@@ -1,0 +1,152 @@
+"""Spatio-temporal image ⋈ chunk join — find_range_st reimagined for Spark.
+
+Reference semantics (src/image_collection.cpp:1324-1394, called per chunk by
+src/image_collection_cube.cpp:315-340):
+- time:    image.datetime BETWEEN chunk.t_start AND chunk.t_end  (both ends
+           INCLUSIVE — t_end is the start of the slice after the last,
+           src/cube.h:676-694);
+- space:   NOT (img.right < ch.left OR img.left > ch.right OR
+           img.bottom > ch.top OR img.top < ch.bottom)  — strict <,
+           so touching edges DO intersect;
+- order:   (image_id, descriptor) — load-bearing for first/last aggregation
+           (src/image_collection_cube.cpp:327). We keep image_id as the sort
+           key inside downstream grouped kernels.
+
+Two physical strategies (method='auto' picks by chunk count):
+
+* ``broadcast``: the chunk grid is generated from the view (pure arithmetic
+  on ``spark.range``) and broadcast; images stream past it with the residual
+  predicate applied directly. No shuffle of the image table at all — the
+  right choice whenever the chunk grid fits in memory (≲ ~5M chunks).
+
+* ``cells``: both sides explode to covering spatial cells at ``cell_deg``
+  resolution (functions/cells.py) and equi-join on cell id — the scale path
+  for planet-sized chunk grids. Duplicate (image, chunk) pairs from multi-
+  cell overlaps are eliminated WITHOUT a distinct-shuffle by the standard
+  bottom-left-corner ownership trick: a pair is emitted only by the cell
+  containing the intersection's bottom-left corner. Hot cells (skewed image
+  density) are handled by AQE skew-join splitting + optional image-side salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import cells as C
+from ..grid import ChunkGrid
+
+CHUNK_COLS = [
+    "chunk_id", "ch_left", "ch_right", "ch_bottom", "ch_top",
+    "ch_t_start", "ch_t_end", "ch_it0",
+]
+
+
+def chunks_df(spark: SparkSession, grid: ChunkGrid) -> DataFrame:
+    """Generate the chunk grid as a DataFrame (bounds_from_chunk as columns).
+
+    Pure JVM arithmetic from ``spark.range(n_chunks)`` — never materialized
+    on the driver, so a billion-chunk grid is fine.
+    """
+    v = grid.view
+    ncx, ncy = grid.ncx, grid.ncy
+    df = spark.range(grid.count).withColumnRenamed("id", "chunk_id")
+    ct = (F.col("chunk_id") / (ncy * ncx)).cast("long")
+    rem = F.col("chunk_id") % (ncy * ncx)
+    cy = (rem / ncx).cast("long")
+    cx = rem % ncx
+    it0 = ct * v.chunk_nt
+    it1 = F.least(it0 + v.chunk_nt, F.lit(v.nt))
+    iy0 = cy * v.chunk_ny
+    iy1 = F.least(iy0 + v.chunk_ny, F.lit(v.ny))
+    ix0 = cx * v.chunk_nx
+    ix1 = F.least(ix0 + v.chunk_nx, F.lit(v.nx))
+
+    if v.labeled:
+        # labeled axis: look up slice datetimes from a literal array
+        labels = F.array(*[F.lit(t) for t in v.time_labels])
+        t_start = F.element_at(labels, (it0 + 1).cast("int"))
+        t_end = F.element_at(labels, it1.cast("int"))  # last label in chunk
+    else:
+        t_start = _time_at(it0, v)
+        t_end = _time_at(it1, v)
+
+    return df.select(
+        "chunk_id",
+        (F.lit(v.left) + ix0 * v.dx).alias("ch_left"),
+        (F.lit(v.left) + ix1 * v.dx).alias("ch_right"),
+        (F.lit(v.top) - iy1 * v.dy).alias("ch_bottom"),
+        (F.lit(v.top) - iy0 * v.dy).alias("ch_top"),
+        t_start.alias("ch_t_start"),
+        t_end.alias("ch_t_end"),
+        it0.cast("int").alias("ch_it0"),
+    )
+
+
+def _time_at(it, v):
+    """Timestamp column for slice index ``it`` on a regular axis."""
+    t0 = F.lit(v.t0)
+    if v.dt.unit == "Y":
+        return F.make_timestamp(
+            F.lit(v.t0.year) + it * v.dt.n, F.lit(v.t0.month), F.lit(v.t0.day),
+            F.lit(v.t0.hour), F.lit(v.t0.minute), F.lit(v.t0.second),
+        )
+    if v.dt.unit == "M":
+        return F.timestamp_add("MONTH", (it * v.dt.n).cast("int"), t0)
+    return F.timestamp_add("SECOND", (it * v.dt.seconds).cast("long"), t0)
+
+
+def _residual_predicate(img, ch):
+    """Exact find_range_st predicate (see module docstring)."""
+    spatial = ~(
+        (img["right"] < ch["ch_left"])
+        | (img["left"] > ch["ch_right"])
+        | (img["bottom"] > ch["ch_top"])
+        | (img["top"] < ch["ch_bottom"])
+    )
+    temporal = (img["ts"] >= ch["ch_t_start"]) & (img["ts"] <= ch["ch_t_end"])
+    return spatial & temporal
+
+
+def st_join(
+    images: DataFrame,
+    grid: ChunkGrid,
+    method: str = "auto",
+    cell_deg: float | None = None,
+    broadcast_threshold: int = 5_000_000,
+) -> DataFrame:
+    """images ⋈ chunks; returns image columns + CHUNK_COLS."""
+    spark = images.sparkSession
+    chunks = chunks_df(spark, grid)
+    if method == "auto":
+        method = "broadcast" if grid.count <= broadcast_threshold else "cells"
+
+    if method == "broadcast":
+        return images.join(F.broadcast(chunks), _residual_predicate(images, chunks))
+
+    if method != "cells":
+        raise ValueError(f"unknown method {method!r}")
+    cell_deg = cell_deg or max(grid.view.dx * grid.view.chunk_nx, grid.view.dy * grid.view.chunk_ny)
+
+    img_c = images.withColumn(
+        "cell", F.explode(C.cover_cells(F.col("left"), F.col("right"), F.col("bottom"), F.col("top"), cell_deg))
+    )
+    ch_c = chunks.withColumn(
+        "cell",
+        F.explode(
+            C.cover_cells(F.col("ch_left"), F.col("ch_right"), F.col("ch_bottom"), F.col("ch_top"), cell_deg)
+        ),
+    )
+    joined = img_c.join(ch_c, "cell")
+    # bottom-left ownership dedup: only the cell containing the intersection's
+    # bottom-left corner emits the pair (replaces a distinct() shuffle).
+    own_x = F.greatest(F.col("left"), F.col("ch_left"))
+    own_y = F.greatest(F.col("bottom"), F.col("ch_bottom"))
+    owner = C.cell_id(own_x, own_y, cell_deg)
+    out = joined.filter(_residual_predicate(joined, joined) & (F.col("cell") == owner))
+    return out.drop("cell")
+
+
+def assignment(images: DataFrame, grid: ChunkGrid, **kw) -> DataFrame:
+    """The (image_id, chunk_id) assignment relation — the oracle-checked
+    join-output rows required by BASELINE.json (exact equality gate)."""
+    return st_join(images, grid, **kw).select("image_id", "chunk_id")
