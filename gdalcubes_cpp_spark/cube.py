@@ -1,0 +1,474 @@
+"""The Cube: a lazily-evaluated 4-D array view backed by a Spark DataFrame.
+
+Representation: sparse wide long format — one row per non-empty (it, iy, ix)
+cell with one DOUBLE column per band; NULL ≡ the reference's NaN-nodata
+(src/cube.h:318-433 stores dense float64 chunks with NaN; absent rows/NULLs
+are the sparse equivalent, and the all-NaN-chunk→empty collapse of
+src/image_collection_cube.cpp:591-594 falls out for free). The DataFrame
+lineage IS the lazy cube DAG (the reference hand-rolls this with _pre/_succ
+pointers + JSON plans, src/cube.h:876-929); Catalyst gives column pruning,
+predicate pushdown and partial aggregation that the reference hard-codes
+(src/select_bands.h:36-38) or lacks.
+
+Every derived operator from SURVEY.md §2.3 is a method here, each citing the
+reference implementation it matches. All are pure DataFrame ops — no Python
+in the hot path except where semantics require a kernel (none here; the only
+pandas UDFs in the engine are the build/extract kernels).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace as dc_replace
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .grid import ChunkGrid
+from .view import CubeView, Duration, add_duration
+
+KEY = ["it", "iy", "ix"]
+
+# reducer -> (Spark agg fn over a column, needs_time_col)
+_REDUCERS = {
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "mean": lambda c: F.avg(c),
+    "sum": lambda c: F.sum(c),
+    "count": lambda c: F.count(c),
+    "prod": lambda c: F.expr(f"aggregate(collect_list({c}), cast(1.0 as double), (a, x) -> a * x)"),
+    "median": lambda c: F.expr(f"percentile({c}, 0.5)"),
+    "Q1": lambda c: F.expr(f"percentile({c}, 0.25)"),
+    "Q3": lambda c: F.expr(f"percentile({c}, 0.75)"),
+    "var": lambda c: F.var_samp(c),   # Welford ddof=1 (src/reduce_time.cpp:467-514)
+    "sd": lambda c: F.stddev_samp(c),
+}
+
+# moving-window reducers supported by window_time (src/window_time.cpp:29-95)
+_WINDOW_REDUCERS = {"mean", "sum", "count", "prod", "min", "max", "median"}
+
+
+def _dtnum(col):
+    """datetime -> numeric yyyyMMddHHmmss double (src/datetime.h:140-148)."""
+    return F.date_format(col, "yyyyMMddHHmmss").cast("double")
+
+
+@dataclass(frozen=True)
+class Cube:
+    df: DataFrame
+    view: CubeView
+    bands: tuple
+
+    # ------------------------------------------------------------------ util
+
+    @property
+    def grid(self) -> ChunkGrid:
+        return ChunkGrid(self.view)
+
+    def _with(self, df: DataFrame, view: CubeView | None = None, bands=None) -> "Cube":
+        return Cube(df, view or self.view, tuple(bands) if bands is not None else self.bands)
+
+    def time_col(self) -> F.Column:
+        """Timestamp of slice ``it`` (regular or labeled axis)."""
+        v = self.view
+        if v.labeled:
+            labels = F.array(*[F.lit(t) for t in v.time_labels])
+            return F.element_at(labels, F.col("it") + 1)
+        from .operators.stjoin import _time_at
+
+        return _time_at(F.col("it"), v)
+
+    def with_chunk_id(self) -> DataFrame:
+        g = self.grid
+        return self.df.withColumn(
+            "chunk_id", g.chunk_id_expr(F.col("it"), F.col("iy"), F.col("ix"))
+        )
+
+    def to_long(self) -> DataFrame:
+        """(it, iy, ix, band, value) melt — the relational cells view."""
+        pairs = F.array(
+            *[F.struct(F.lit(b).alias("band"), F.col(b).alias("value")) for b in self.bands]
+        )
+        return (
+            self.df.select(*KEY, F.explode(pairs).alias("bv"))
+            .select(*KEY, "bv.band", "bv.value")
+            .filter(F.col("value").isNotNull())
+        )
+
+    # ------------------------------------------------- projection (§2.3 rows 1-2)
+
+    def select_bands(self, names) -> "Cube":
+        """select_bands (src/select_bands.h:50-70). Catalyst prunes the scan —
+        the reference's explicit pushdown (src/select_bands.h:36-38) for free."""
+        missing = [n for n in names if n not in self.bands]
+        if missing:
+            raise ValueError(f"no such bands: {missing}")
+        return self._with(self.df.select(*KEY, *names), bands=tuple(names))
+
+    def rename_bands(self, mapping: dict) -> "Cube":
+        """rename_bands (src/rename_bands.h:45-50)."""
+        df = self.df
+        for old, new in mapping.items():
+            df = df.withColumnRenamed(old, new)
+        return self._with(df, bands=tuple(mapping.get(b, b) for b in self.bands))
+
+    # --------------------------------------------------- pixel ops (§2.3 rows 3-4)
+
+    def apply_pixel(self, exprs: dict, keep_bands: bool = False) -> "Cube":
+        """apply_pixel (src/apply_pixel.h:55-60): per-pixel SQL expressions over
+        band names + coordinate vars ix/iy/it/left/right/top/bottom/x/y
+        (src/apply_pixel.cpp:66-128). Spark SQL replaces tinyexpr; Catalyst
+        codegen replaces the per-pixel eval loop (src/apply_pixel.cpp:151)."""
+        v = self.view
+        df = self.df
+        ctx = df.withColumns(
+            {
+                "x": F.lit(v.left) + (F.col("ix") + 0.5) * v.dx,
+                "y": F.lit(v.top) - (F.col("iy") + 0.5) * v.dy,
+                "left": F.lit(v.left) + F.col("ix") * v.dx,
+                "right": F.lit(v.left) + (F.col("ix") + 1) * v.dx,
+                "top": F.lit(v.top) - F.col("iy") * v.dy,
+                "bottom": F.lit(v.top) - (F.col("iy") + 1) * v.dy,
+            }
+        )
+        new_cols = {name: F.expr(e).cast("double") for name, e in exprs.items()}
+        out_bands = (list(self.bands) if keep_bands else []) + list(exprs)
+        out = ctx.withColumns(new_cols).select(*KEY, *out_bands)
+        return self._with(out, bands=tuple(out_bands))
+
+    def filter_pixel(self, predicate: str) -> "Cube":
+        """filter_pixel (src/filter_pixel.h:36, src/filter_pixel.cpp:79-102):
+        pixels failing the predicate become nodata across ALL bands — in the
+        sparse model, the row is dropped (shape metadata unchanged)."""
+        return self._with(self.df.filter(F.expr(predicate)))
+
+    # ------------------------------------------ dimension subsets (§2.3 rows 6-9)
+
+    def crop(self, ix_range=None, iy_range=None, it_range=None) -> "Cube":
+        """crop by integer cube coords (src/crop.h:50-79); ranges are
+        [lo, hi) half-open; output coords re-based to 0."""
+        v = self.view
+        df = self.df
+        x0, x1 = ix_range or (0, v.nx)
+        y0, y1 = iy_range or (0, v.ny)
+        t0, t1 = it_range or (0, v.nt)
+        df = df.filter(
+            (F.col("ix") >= x0) & (F.col("ix") < x1)
+            & (F.col("iy") >= y0) & (F.col("iy") < y1)
+            & (F.col("it") >= t0) & (F.col("it") < t1)
+        ).select(
+            (F.col("it") - t0).alias("it"),
+            (F.col("iy") - y0).alias("iy"),
+            (F.col("ix") - x0).alias("ix"),
+            *self.bands,
+        )
+        nv = dc_replace(
+            v,
+            left=v.left + x0 * v.dx, right=v.left + x1 * v.dx,
+            top=v.top - y0 * v.dy, bottom=v.top - y1 * v.dy,
+            nx=x1 - x0, ny=y1 - y0,
+            t0=v.datetime_at(t0), nt=t1 - t0,
+            time_labels=v.time_labels[t0:t1] if v.labeled else (),
+        )
+        return self._with(df, view=nv)
+
+    def crop_map(self, left, right, bottom, top, t0=None, t1=None) -> "Cube":
+        """crop by map coords + datetimes, snapped outward (src/crop.h:50-79)."""
+        v = self.view
+        ix0, ix1 = max(0, v.ix_of(left)), min(v.nx, v.ix_of(right) + 1)
+        iy0, iy1 = max(0, v.iy_of(top)), min(v.ny, v.iy_of(bottom) + 1)
+        itr = None
+        if t0 is not None:
+            it0 = max(0, v.time_index_of(t0))
+            it1 = min(v.nt, v.time_index_of(t1) + 1)
+            itr = (it0, it1)
+        return self.crop(ix_range=(ix0, ix1), iy_range=(iy0, iy1), it_range=itr)
+
+    def slice_time(self, it: int | str) -> "Cube":
+        """slice_time (src/slice_time.h:45-65): nt=1 cube."""
+        if isinstance(it, str):
+            from .view import parse_datetime
+
+            it = self.view.time_index_of(parse_datetime(it))
+        return self.crop(it_range=(it, it + 1))
+
+    def slice_space(self, ix: int, iy: int) -> "Cube":
+        """slice_space (src/slice_space.h:46-67): single-pixel time series."""
+        return self.crop(ix_range=(ix, ix + 1), iy_range=(iy, iy + 1))
+
+    def select_time(self, its: list) -> "Cube":
+        """select_time (src/select_time.h:22-43): arbitrary slices → labeled
+        (irregular) time axis; output it re-indexed 0..k-1."""
+        v = self.view
+        idx = []
+        for t in its:
+            if isinstance(t, str):
+                from .view import parse_datetime
+
+                idx.append(v.time_index_of(parse_datetime(t)))
+            else:
+                idx.append(int(t))
+        labels = tuple(v.datetime_at(i) for i in idx)
+        mapping = F.map_from_arrays(
+            F.array(*[F.lit(i) for i in idx]),
+            F.array(*[F.lit(k) for k in range(len(idx))]),
+        )
+        df = (
+            self.df.filter(F.col("it").isin(idx))
+            .withColumn("it", F.element_at(mapping, F.col("it")).cast("int"))
+        )
+        nv = v.with_time(labels[0], len(labels), time_labels=labels)
+        return self._with(df, view=nv)
+
+    # ----------------------------------------------------- reductions (§2.3)
+
+    def reduce_time(self, reducers) -> "Cube":
+        """reduce_time (src/reduce_time.h:46-51, kernels src/reduce_time.cpp:
+        56-524): per-(band, x, y) reduction over ALL time → nt=1.
+        ``reducers``: list of (reducer, band). which_min/which_max return the
+        extremum's datetime as numeric yyyyMMddHHmmss (src/reduce_time.cpp:
+        188-240, datetime::to_double src/datetime.h:140-148); ties break to
+        the earliest time (sequential scan with strict <)."""
+        aggs = []
+        names = []
+        need_t = any(r in ("which_min", "which_max") for r, _ in reducers)
+        df = self.df
+        if need_t:
+            df = df.withColumn("_tnum", _dtnum(self.time_col()))
+        for r, b in reducers:
+            name = f"{b}_{r}" if self.view.nt > 1 else b  # src/reduce_time.h:96-99
+            names.append(name)
+            if r == "which_min":
+                aggs.append(F.min_by(F.struct("it", "_tnum"), F.when(F.col(b).isNotNull(), F.struct(F.col(b), F.col("it"))))["_tnum"].alias(name))
+            elif r == "which_max":
+                aggs.append(F.min_by(F.struct("it", "_tnum"), F.when(F.col(b).isNotNull(), F.struct(-F.col(b), F.col("it"))))["_tnum"].alias(name))
+            elif r in _REDUCERS:
+                aggs.append(_REDUCERS[r](b).cast("double").alias(name))
+            else:
+                raise ValueError(f"unknown reducer {r!r}")
+        out = df.groupBy("iy", "ix").agg(*aggs).withColumns(
+            {"it": F.lit(0).cast("int")}
+        ).select(*KEY, *names)
+        nv = self.view.with_time(self.view.t0, 1, Duration(1, "D"), time_labels=())
+        return self._with(out, view=nv, bands=tuple(names))
+
+    def reduce_space(self, reducers) -> "Cube":
+        """reduce_space (src/reduce_space.h:45-63): per-(band, t) reduction
+        over ALL space → nx=ny=1 (same reducer set minus which_*)."""
+        aggs, names = [], []
+        for r, b in reducers:
+            if r in ("which_min", "which_max"):
+                raise ValueError("which_* not supported for reduce_space (matches reference)")
+            name = f"{b}_{r}"
+            names.append(name)
+            aggs.append(_REDUCERS[r](b).cast("double").alias(name))
+        out = (
+            self.df.groupBy("it")
+            .agg(*aggs)
+            .withColumns({"iy": F.lit(0).cast("int"), "ix": F.lit(0).cast("int")})
+            .select(*KEY, *names)
+        )
+        v = self.view
+        nv = dc_replace(v, nx=1, ny=1)
+        return self._with(out, view=nv, bands=tuple(names))
+
+    # ------------------------------------------- grouped downsampling (§2.3)
+
+    def aggregate_time(self, fact: int = None, dt: str = None, func: str = "mean") -> "Cube":
+        """aggregate_time (src/aggregate_time.h:50-127): temporal downsampling
+        to coarser dt. New slice k aggregates input slices [k*fact, (k+1)*fact).
+        funcs: min/max/mean/median/count/var/sd/prod/sum."""
+        v = self.view
+        if fact is None:
+            nd = Duration.parse(dt)
+            if nd.unit != v.dt.unit or nd.n % v.dt.n != 0:
+                raise ValueError("target dt must be a multiple of input dt in the same unit")
+            fact = nd.n // v.dt.n
+        else:
+            nd = Duration(v.dt.n * fact, v.dt.unit)
+        if func not in _REDUCERS:
+            raise ValueError(f"unknown func {func!r}")
+        gb = (F.col("it") / fact).cast("int").alias("it")
+        aggs = [_REDUCERS[func](b).cast("double").alias(b) for b in self.bands]
+        out = self.df.groupBy(gb, "iy", "ix").agg(*aggs).select(*KEY, *self.bands)
+        import math
+
+        nv = v.with_time(v.t0, math.ceil(v.nt / fact), nd)
+        return self._with(out, view=nv)
+
+    def aggregate_space(self, fact: int, func: str = "mean") -> "Cube":
+        """aggregate_space (src/aggregate_space.h:50-74): spatial downsampling
+        by integer factor; per-target-cell aggregation over covered input
+        pixels (fan-in re-chunk, src/aggregate_space.cpp:281-420) — in Spark
+        simply a groupBy on floored coordinates (one shuffle)."""
+        if func not in _REDUCERS:
+            raise ValueError(f"unknown func {func!r}")
+        v = self.view
+        gy = (F.col("iy") / fact).cast("int").alias("iy")
+        gx = (F.col("ix") / fact).cast("int").alias("ix")
+        aggs = [_REDUCERS[func](b).cast("double").alias(b) for b in self.bands]
+        out = self.df.groupBy("it", gy, gx).agg(*aggs).select(*KEY, *self.bands)
+        import math
+
+        nv = dc_replace(
+            v,
+            nx=math.ceil(v.nx / fact), ny=math.ceil(v.ny / fact),
+            right=v.left + math.ceil(v.nx / fact) * v.dx * fact,
+            bottom=v.top - math.ceil(v.ny / fact) * v.dy * fact,
+        )
+        return self._with(out, view=nv)
+
+    # ------------------------------------------------ moving windows (§2.3)
+
+    def window_time(self, window: tuple, reducers=None, kernel=None) -> "Cube":
+        """window_time (src/window_time.h:48-73): moving window over time per
+        pixel. window=(l, r) frames rowsBetween(-l, +r) in SLICE units (the
+        reference reads ±k neighbor chunks, src/window_time.cpp:140-156 — the
+        Window frame is the Spark-native equivalent, no chunk bookkeeping).
+
+        Either ``reducers`` = [(reducer, band)] or ``kernel`` = list of
+        l+1+r taps (convolution, src/window_time.cpp:120-157). Missing cells
+        inside the frame are ignored by reducers; for kernels they contribute
+        0 (matching the reference's NaN-skip accumulate)."""
+        l, r = window
+        v = self.view
+        # densify over time: every pixel needs all nt slices to frame correctly
+        dense = self._densify_time()
+        w = W.partitionBy("iy", "ix").orderBy("it").rowsBetween(-l, r)
+        if kernel is not None:
+            if len(kernel) != l + 1 + r:
+                raise ValueError("kernel length must be l+1+r (src/window_time.h:105-109)")
+            taps = F.array(*[F.lit(float(k)) for k in kernel])
+            cols = {}
+            for b in self.bands:
+                vals = F.collect_list(F.struct(F.col("it").alias("t"), F.col(b).alias("v"))).over(w)
+                # position tap by relative offset; NaN-skip like the reference
+                cols[b] = F.aggregate(
+                    vals,
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.when(
+                        s["v"].isNotNull(), s["v"] * F.element_at(taps, (s["t"] - F.col("it") + l + 1).cast("int"))
+                    ).otherwise(F.lit(0.0)),
+                )
+            out = dense.withColumns(cols).select(*KEY, *self.bands)
+            return self._with(out)
+        names, cols = [], {}
+        for red, b in reducers:
+            if red not in _WINDOW_REDUCERS:
+                raise ValueError(f"reducer {red!r} not supported by window_time")
+            name = f"{b}_{red}"
+            names.append(name)
+            cols[name] = _REDUCERS[red](b).over(w).cast("double") if red != "prod" else F.expr(
+                f"aggregate(collect_list({b}) over (partition by iy, ix order by it rows between {l} preceding and {r} following), cast(1.0 as double), (a, x) -> a * x)"
+            )
+        out = dense.withColumns(cols).select(*KEY, *names)
+        return self._with(out, bands=tuple(names))
+
+    def _densify_time(self) -> DataFrame:
+        """Expand each (iy, ix) pixel to all nt slices (nulls where absent) —
+        needed by window/fill ops whose frames count slices, not rows."""
+        v = self.view
+        pixels = self.df.select("iy", "ix").distinct()
+        ts = pixels.select(
+            "iy", "ix", F.explode(F.sequence(F.lit(0), F.lit(v.nt - 1))).alias("it")
+        ).select(F.col("it").cast("int").alias("it"), "iy", "ix")
+        return ts.join(self.df, KEY, "left")
+
+    def fill_time(self, method: str = "linear") -> "Cube":
+        """fill_time (src/fill_time.h:23-28, methods src/fill_time.cpp:137-150):
+        gap-fill NaNs along time. near/linear/locf/nocb via ignorenulls
+        last/first window functions + linear blend on slice distance — scans
+        across chunk boundaries for free (src/fill_time.cpp:45-110 does this
+        by reading neighbor chunks; Window frames don't care)."""
+        v = self.view
+        dense = self._densify_time()
+        w_prev = W.partitionBy("iy", "ix").orderBy("it").rowsBetween(W.unboundedPreceding, 0)
+        w_next = W.partitionBy("iy", "ix").orderBy("it").rowsBetween(0, W.unboundedFollowing)
+        cols = {}
+        for b in self.bands:
+            prev_v = F.last(b, ignorenulls=True).over(w_prev)
+            next_v = F.first(b, ignorenulls=True).over(w_next)
+            prev_t = F.last(F.when(F.col(b).isNotNull(), F.col("it")), ignorenulls=True).over(w_prev)
+            next_t = F.first(F.when(F.col(b).isNotNull(), F.col("it")), ignorenulls=True).over(w_next)
+            if method == "locf":
+                filled = F.coalesce(F.col(b), prev_v)
+            elif method == "nocb":
+                filled = F.coalesce(F.col(b), next_v)
+            elif method == "near":
+                filled = F.coalesce(
+                    F.col(b),
+                    F.when(
+                        prev_v.isNotNull() & next_v.isNotNull(),
+                        # tie -> previous (matches src/fill_time.cpp:137-141)
+                        F.when(F.col("it") - prev_t <= next_t - F.col("it"), prev_v).otherwise(next_v),
+                    ).otherwise(F.coalesce(prev_v, next_v)),
+                )
+            elif method == "linear":
+                blend = prev_v + (next_v - prev_v) * (F.col("it") - prev_t) / (next_t - prev_t)
+                # linear interpolates strictly BETWEEN known values; no extrapolation
+                # (src/fill_time.cpp:142-146)
+                filled = F.coalesce(
+                    F.col(b),
+                    F.when(prev_v.isNotNull() & next_v.isNotNull(), blend),
+                )
+            else:
+                raise ValueError(f"unknown fill method {method!r}")
+            cols[b] = filled.cast("double")
+        out = dense.withColumns(cols).select(*KEY, *self.bands)
+        import functools
+
+        any_set = functools.reduce(
+            lambda a, b: a | b, [F.col(b).isNotNull() for b in self.bands]
+        )
+        return self._with(out.filter(any_set))
+
+    # ------------------------------------------------------- joins (§2.3)
+
+    def join_bands(self, others, prefixes=None) -> "Cube":
+        """join_bands (src/join_bands.h:62-69): concatenate bands of cubes
+        with identical shape; auto-prefix X1..Xn on name conflicts
+        (src/join_bands.h:110-131). Equi-join on grid keys — with identical
+        upstream partitioning Catalyst reuses the exchange."""
+        cubes = [self] + list(others)
+        shapes = {c.view.shape for c in cubes}
+        if len(shapes) != 1:
+            raise ValueError("join_bands requires identical cube shapes (src/join_bands.h:83-108)")
+        all_names = [b for c in cubes for b in c.bands]
+        conflict = len(set(all_names)) != len(all_names)
+        if prefixes is None:
+            prefixes = [f"X{i+1}" for i in range(len(cubes))] if conflict else [""] * len(cubes)
+        out_bands = []
+        dfs = []
+        for c, p in zip(cubes, prefixes):
+            names = [(f"{p}.{b}" if p else b) for b in c.bands]
+            df = c.df
+            for old, new in zip(c.bands, names):
+                if old != new:
+                    df = df.withColumnRenamed(old, new)
+            out_bands += names
+            dfs.append(df)
+        # full outer on grid keys: a cell present in one cube only keeps NULLs
+        # for the other's bands (NaN there in the dense reference layout)
+        res = dfs[0]
+        for d in dfs[1:]:
+            res = res.join(d, KEY, "outer")
+        return self._with(res.select(*KEY, *out_bands), bands=tuple(out_bands))
+
+    # ------------------------------------------------------- materialize
+
+    def write_chunks(self, path: str, mode: str = "overwrite") -> None:
+        """netCDF-export analog (src/cube.cpp:736): persist the cube as
+        parquet partitioned by chunk_id — re-readable via sources/ncdf.py."""
+        self.with_chunk_id().write.mode(mode).partitionBy("chunk_id").parquet(path)
+
+    def collect_dense(self) -> "np.ndarray":
+        """to_double_array analog (src/cube.cpp:1739) — tests only."""
+        import numpy as np
+
+        v = self.view
+        out = np.full((len(self.bands), v.nt, v.ny, v.nx), np.nan)
+        for row in self.df.collect():
+            for bi, b in enumerate(self.bands):
+                val = row[b]
+                if val is not None:
+                    out[bi, row["it"], row["iy"], row["ix"]] = val
+        return out

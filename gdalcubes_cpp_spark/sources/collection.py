@@ -1,0 +1,98 @@
+"""Cube sources other than the full image-collection scan.
+
+- dummy_cube / empty_cube: synthetic test cubes (src/dummy.h:46-107);
+- simple_cube: cube from a flat (file, datetime, band) list without a
+  collection format (src/simple_cube.h:50-54) — here: from an in-memory
+  metadata list, decoding through the same build kernel;
+- read_chunks: re-read a cube previously written by Cube.write_chunks — the
+  ncdf_cube analog (src/ncdf_cube.h:48-50 reads only gdalcubes-written
+  files; we read only our own parquet layout).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..cube import KEY, Cube
+from ..view import CubeView
+
+
+def dummy_cube(spark: SparkSession, view: CubeView, bands=("B1",), fill: float = 1.0) -> Cube:
+    """Constant-fill cube (src/dummy.h:46-49). Generated distributively from
+    spark.range — no driver materialization."""
+    n = view.nt * view.ny * view.nx
+    df = spark.range(n).select(
+        (F.col("id") / (view.ny * view.nx)).cast("int").alias("it"),
+        ((F.col("id") % (view.ny * view.nx)) / view.nx).cast("int").alias("iy"),
+        (F.col("id") % view.nx).cast("int").alias("ix"),
+        *[F.lit(float(fill)).alias(b) for b in bands],
+    )
+    return Cube(df, view, tuple(bands))
+
+
+def formula_cube(spark: SparkSession, view: CubeView, bands_exprs: dict) -> Cube:
+    """Dense cube whose band values are SQL expressions of it/iy/ix —
+    the deterministic-value test source (extends dummy_cube; values like
+    ``(it*7 + iy*3 + ix) % 11`` are reproducible in any SQL engine, which is
+    how the DuckDB oracle cross-checks operator semantics)."""
+    n = view.nt * view.ny * view.nx
+    base = spark.range(n).select(
+        (F.col("id") / (view.ny * view.nx)).cast("int").alias("it"),
+        ((F.col("id") % (view.ny * view.nx)) / view.nx).cast("int").alias("iy"),
+        (F.col("id") % view.nx).cast("int").alias("ix"),
+    )
+    df = base.withColumns({b: F.expr(e).cast("double") for b, e in bands_exprs.items()})
+    return Cube(df.select(*KEY, *bands_exprs), view, tuple(bands_exprs))
+
+
+def empty_cube(spark: SparkSession, view: CubeView, bands=("B1",)) -> Cube:
+    """All-empty cube (src/dummy.h:105-107)."""
+    schema = "it int, iy int, ix int, " + ", ".join(f"`{b}` double" for b in bands)
+    return Cube(spark.createDataFrame([], schema), view, tuple(bands))
+
+
+def simple_cube(spark: SparkSession, records, view: CubeView, bands=("B1", "B2"), **kw) -> Cube:
+    """simple_cube (src/simple_cube.h:50-54): records is a list of dicts with
+    image_id, bytes, fmt, w, h, left, right, bottom, top, ts."""
+    from ..operators.build import build_cube
+    from ..synth import SCHEMA_DDL
+
+    df = spark.createDataFrame(
+        [
+            (
+                r["image_id"], r["bytes"], r["w"], r["h"], r.get("fmt", "png"),
+                r.get("caption", ""), r.get("phash", 0), r["left"], r["right"],
+                r["bottom"], r["top"], r["ts"], r.get("srs", "EPSG:4326"),
+            )
+            for r in records
+        ],
+        schema=SCHEMA_DDL,
+    )
+    return build_cube(df, view, bands=bands, **kw)
+
+
+def write_cube(cube: Cube, path: str, mode: str = "overwrite") -> None:
+    """Materialize cube + sidecar view json (the netCDF-file analog)."""
+    cube.write_chunks(path + "/cells", mode=mode)
+    meta = {"view": json.loads(cube.view.to_json()), "bands": list(cube.bands)}
+    sc = cube.df.sparkSession.sparkContext
+    # tiny metadata: single json file via the JVM-free local write
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(path + "/cube.json", "w") as f:
+        json.dump(meta, f)
+    _ = sc  # driver-side write is fine for a <1KB sidecar
+
+
+def read_chunks(spark: SparkSession, path: str) -> Cube:
+    """ncdf_cube analog (src/ncdf_cube.h:48-50): re-read a materialized cube.
+    Partitioned by chunk_id → partition pruning on chunk predicates."""
+    with open(path + "/cube.json") as f:
+        meta = json.load(f)
+    view = CubeView.from_json(json.dumps(meta["view"]))
+    bands = tuple(meta["bands"])
+    df = spark.read.parquet(path + "/cells").select(*KEY, *bands)
+    return Cube(df, view, bands)

@@ -1,0 +1,107 @@
+"""ST-join exactness (both physical strategies) + cube build vs numpy oracle
+for every temporal aggregation method and both resamplings."""
+
+import numpy as np
+import pytest
+
+from gdalcubes_cpp_spark import codecs, synth
+from gdalcubes_cpp_spark.grid import ChunkGrid
+from gdalcubes_cpp_spark.operators import stjoin
+from gdalcubes_cpp_spark.operators.build import build_cube, warp_plane
+from gdalcubes_cpp_spark.view import CubeView
+
+from . import oracle_np
+
+N = 200
+
+
+def make_view(**kw):
+    args = dict(
+        left=-12, right=-8, bottom=18, top=22, nx=64, ny=64,
+        t0="2020-01-01", t1="2020-12-31", dt="P1M",
+        aggregation="mean", resampling="near", chunk_size=(4, 32, 32),
+    )
+    args.update(kw)
+    return CubeView.create(**args)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return spark.createDataFrame(synth.images_pdf(N)).cache()
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return synth.images_pdf(N)
+
+
+def test_stjoin_exact_both_methods(spark, images, pdf):
+    v = make_view(left=-55, right=55, bottom=-45, top=45, nx=440, ny=360,
+                  chunk_size=(4, 120, 110))
+    g = ChunkGrid(v)
+    want = oracle_np.st_assignment(pdf, g)
+    for method in ("broadcast", "cells"):
+        got = sorted(
+            (r["image_id"], r["chunk_id"])
+            for r in stjoin.assignment(images, g, method=method).collect()
+        )
+        assert got == want, f"method={method}"
+
+
+@pytest.mark.parametrize(
+    "agg", ["mean", "min", "max", "first", "last", "median", "count_values", "count_images"]
+)
+def test_build_aggregations_exact(spark, images, pdf, agg):
+    v = make_view(aggregation=agg)
+    cube = build_cube(images, v)
+    got = cube.collect_dense()
+    want = oracle_np.dense_cube(pdf, v, resampling="near", aggregation=agg)
+    oracle_np.assert_dense_equal(got, want)
+
+
+def test_build_bilinear_psnr(spark, images, pdf):
+    v = make_view(resampling="bilinear", aggregation="mean")
+    got = build_cube(images, v).collect_dense()
+    want = oracle_np.dense_cube(pdf, v, resampling="bilinear", aggregation="mean")
+    oracle_np.assert_dense_equal(got, want)  # same kernel both sides: exact
+    # and against the NEAREST oracle the values are close (smoothness sanity)
+    near = oracle_np.dense_cube(pdf, v, resampling="near", aggregation="mean")
+    both = np.isfinite(got) & np.isfinite(near)
+    assert codecs.psnr(got[both], near[both]) >= 15  # smoothness sanity only
+
+
+def test_warp_plane_handcomputed():
+    # 2x2 image over [0,2]x[0,2]: values [[1,2],[3,4]] (row 0 = top)
+    plane = np.array([[1.0, 2.0], [3.0, 4.0]])
+    xs = np.array([0.5, 1.5])
+    ys = np.array([1.5, 0.5])  # top row first
+    out = warp_plane(plane, (0, 2, 0, 2), xs, ys, "near")
+    assert np.array_equal(out, [[1, 2], [3, 4]])
+    # bilinear at exact centers = original values
+    outb = warp_plane(plane, (0, 2, 0, 2), xs, ys, "bilinear")
+    assert np.allclose(outb, [[1, 2], [3, 4]])
+    # bilinear midpoint
+    mid = warp_plane(plane, (0, 2, 0, 2), np.array([1.0]), np.array([1.0]), "bilinear")
+    assert np.allclose(mid, [[2.5]])
+    # outside -> NaN
+    outn = warp_plane(plane, (0, 2, 0, 2), np.array([-0.1, 2.1]), np.array([1.0]), "near")
+    assert np.isnan(outn).all()
+
+
+def test_all_nan_chunk_emits_no_rows(spark, images):
+    # a view far away from every image footprint -> zero rows
+    v = make_view(left=150, right=152, bottom=-80, top=-78)
+    cube = build_cube(images, v)
+    assert cube.df.count() == 0
+
+
+def test_caption_equality_roundtrip(spark, images):
+    """caption survives the pipeline byte-equal (input_hint gate)."""
+    v = make_view()
+    g = ChunkGrid(v)
+    joined = stjoin.st_join(images, g)
+    got = joined.select("image_id", "caption").distinct().collect()
+    lookup = dict(synth.images_pdf(N)[["image_id", "caption"]].itertuples(index=False))
+    assert len(got) > 0
+    for r in got:
+        assert r["caption"] == lookup[r["image_id"]]
