@@ -451,7 +451,8 @@ class Cube:
         res = dfs[0]
         for d in dfs[1:]:
             res = res.join(d, KEY, "outer")
-        return self._with(res.select(*KEY, *out_bands), bands=tuple(out_bands))
+        cols = [F.col(f"`{b}`") for b in out_bands]
+        return self._with(res.select(*KEY, *cols), bands=tuple(out_bands))
 
     # ------------------------------------------------------- materialize
 
