@@ -1,0 +1,91 @@
+"""Minimal geometry kernel: WKT polygons/points, bboxes, vectorized
+point-in-polygon — numpy only (shapely/GDAL unavailable in this container).
+
+The reference leans on OGR/GDALRasterize for its polygon burns
+(src/extract_geom.cpp:362-413, src/vector_queries.cpp:887-1020). Semantics we
+match: a cube cell belongs to a polygon iff its CENTER is inside (GDAL
+rasterize default, no ALL_TOUCHED). Even-odd ray casting; points exactly on
+edges follow the half-open convention (left/bottom edges in), which matches
+GDAL's scanline burn for axis-aligned rectangles.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
+
+
+def parse_wkt(wkt: str):
+    """-> ('point', (x, y)) | ('polygon', [rings]) ; ring = (n,2) ndarray."""
+    s = wkt.strip()
+    m = re.match(r"^POINT\s*\(\s*(" + _NUM + r")\s+(" + _NUM + r")\s*\)$", s, re.I)
+    if m:
+        return ("point", (float(m.group(1)), float(m.group(2))))
+    m = re.match(r"^POLYGON\s*\((.*)\)$", s, re.I | re.S)
+    if m:
+        body = m.group(1)
+        rings = []
+        for rm in re.finditer(r"\(([^()]*)\)", body):
+            pts = []
+            for pm in re.finditer(r"(" + _NUM + r")\s+(" + _NUM + r")", rm.group(1)):
+                pts.append((float(pm.group(1)), float(pm.group(2))))
+            rings.append(np.asarray(pts))
+        if rings:
+            return ("polygon", rings)
+    raise ValueError(f"cannot parse WKT: {wkt[:80]}")
+
+
+def wkt_bbox(wkt: str):
+    kind, g = parse_wkt(wkt)
+    if kind == "point":
+        x, y = g
+        return (x, x, y, y)
+    all_pts = np.vstack(g)
+    return (
+        float(all_pts[:, 0].min()), float(all_pts[:, 0].max()),
+        float(all_pts[:, 1].min()), float(all_pts[:, 1].max()),
+    )
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting (rightward ray). px/py 1-D arrays."""
+    x0 = ring[:-1, 0][:, None] if not np.allclose(ring[0], ring[-1]) else ring[:-1, 0][:, None]
+    # ensure closed
+    r = ring if np.allclose(ring[0], ring[-1]) else np.vstack([ring, ring[:1]])
+    xa, ya = r[:-1, 0][:, None], r[:-1, 1][:, None]
+    xb, yb = r[1:, 0][:, None], r[1:, 1][:, None]
+    px = px[None, :]
+    py = py[None, :]
+    cond = (ya <= py) != (yb <= py)  # edge straddles the horizontal line
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = xa + (py - ya) * (xb - xa) / (yb - ya)
+    crossing = cond & (px < xint)
+    return crossing.sum(axis=0) % 2 == 1
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Even-odd over all rings (holes flip parity)."""
+    inside = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        inside ^= points_in_ring(np.asarray(px, float), np.asarray(py, float), ring)
+    return inside
+
+
+def polygon_contains_bbox(rings, left, right, bottom, top) -> bool:
+    """Conservative chunk-fully-inside test (src/filter_geom.cpp:196-230
+    fast path): all 4 bbox corners inside AND no ring vertex inside bbox."""
+    corners_x = np.array([left, right, right, left])
+    corners_y = np.array([bottom, bottom, top, top])
+    if not points_in_polygon(corners_x, corners_y, rings).all():
+        return False
+    for ring in rings:
+        inb = (
+            (ring[:, 0] > left) & (ring[:, 0] < right)
+            & (ring[:, 1] > bottom) & (ring[:, 1] < top)
+        )
+        if inb.any():
+            return False
+    return True

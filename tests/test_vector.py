@@ -1,0 +1,157 @@
+"""Vector queries vs numpy oracles (FIXTURES.md F3/F4 analogs)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdalcubes_cpp_spark.vector import geom
+from gdalcubes_cpp_spark.vector.queries import (
+    extract_geom, filter_geom, query_points, query_timeseries, zonal_statistics,
+)
+
+from .test_ops import NT, NX, NY, cube_from_dense, make_dense
+
+
+@pytest.fixture(scope="module")
+def dense():
+    return make_dense(seed=11)
+
+
+@pytest.fixture(scope="module")
+def cube(spark, dense):
+    c, _ = cube_from_dense(spark, dense)
+    return c
+
+
+def test_pip_square():
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    px = np.array([2.0, 5.0, -1.0, 0.5, 3.9])
+    py = np.array([2.0, 2.0, 2.0, 3.9, 0.1])
+    got = geom.points_in_polygon(px, py, [ring])
+    assert got.tolist() == [True, False, False, True, True]
+
+
+def test_pip_with_hole():
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)
+    px = np.array([5.0, 2.0])
+    py = np.array([5.0, 2.0])
+    got = geom.points_in_polygon(px, py, [outer, hole])
+    assert got.tolist() == [False, True]
+
+
+def test_wkt_parsing():
+    k, p = geom.parse_wkt("POINT (3.5 -2.25)")
+    assert k == "point" and p == (3.5, -2.25)
+    k, rings = geom.parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0), (0.2 0.2, 0.4 0.2, 0.4 0.4, 0.2 0.4, 0.2 0.2))")
+    assert k == "polygon" and len(rings) == 2
+    assert geom.wkt_bbox("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))") == (0, 1, 0, 1)
+
+
+def test_query_points(spark, cube, dense):
+    # grid: x in [0,NX], y in [0,NY]; cell centers at +.5; t0=2020-01-01 P1D
+    pts = pd.DataFrame({
+        "point_id": [1, 2, 3, 4],
+        "x": [0.5, 2.7, 4.9, 99.0],      # 99 -> outside
+        "y": [5.5, 3.1, 0.2, 1.0],
+        "t": pd.to_datetime(["2020-01-01", "2020-01-03", "2020-01-08", "2020-01-01"]),
+    })
+    out = query_points(cube, spark.createDataFrame(pts)).toPandas().set_index("point_id")
+    assert 4 not in out.index  # outside extent -> no row (src/vector_queries.cpp:127-131)
+    # point 1: ix=0, iy = floor(NY - 5.5) = 0, it=0
+    if 1 in out.index:
+        want = dense[0, 0, 0, 0]
+        got = out.loc[1, "B1"]
+        assert (np.isnan(want) and (got is None or np.isnan(got))) or got == want
+    # point 2: ix=2, iy=NY-1-3=2, it=2
+    want = dense[:, 2, 2, 2]
+    if np.isfinite(want).any():
+        assert 2 in out.index
+        got = out.loc[2]
+        for b, w in zip(("B1", "B2"), want):
+            g = got[b]
+            assert (np.isnan(w) and (g is None or np.isnan(g))) or g == w
+
+
+def test_query_timeseries(spark, cube, dense):
+    pts = pd.DataFrame({"point_id": [7], "x": [1.5], "y": [2.5]})
+    out = query_timeseries(cube, spark.createDataFrame(pts)).toPandas()
+    iy, ix = NY - 3, 1
+    col = dense[0, :, iy, ix]
+    present = np.isfinite(dense[:, :, iy, ix]).any(axis=0)
+    assert len(out) == present.sum()
+    for _, r in out.iterrows():
+        w = col[int(r["it"])]
+        g = r["B1"]
+        assert (np.isnan(w) and (g is None or np.isnan(g))) or g == w
+
+
+def test_extract_geom_rect(spark, cube, dense):
+    # rectangle covering cells ix 1..3, iy rows with centers y in (2,5)
+    polys = pd.DataFrame({"fid": [10], "wkt": ["POLYGON ((1 2, 4 2, 4 5, 1 5, 1 2))"]})
+    out = extract_geom(cube, spark.createDataFrame(polys)).toPandas()
+    ys = NY - np.arange(NY) - 0.5  # center y per iy
+    want_iy = [iy for iy in range(NY) if 2 < ys[iy] < 5]
+    want_cells = {(iy, ix) for iy in want_iy for ix in (1, 2, 3)}
+    got_cells = set(zip(out["iy"], out["ix"]))
+    assert got_cells <= want_cells
+    # every present (non-all-NaN) cell in range must appear for all nt with data
+    present = ~np.isnan(dense).all(axis=0)
+    want_rows = sum(present[t, iy, ix] for t in range(NT) for (iy, ix) in want_cells)
+    assert len(out) == want_rows
+
+
+def test_zonal_statistics(spark, cube, dense):
+    polys = pd.DataFrame({"fid": [1], "wkt": ["POLYGON ((0 0, 5 0, 5 6, 0 6, 0 0))"]})
+    out = zonal_statistics(cube, spark.createDataFrame(polys),
+                           stats=("mean", "count", "min", "max", "median", "var", "sd"))
+    pdf = out.toPandas().set_index("it").sort_index()
+    for t in range(NT):
+        vals = dense[0, t].ravel()
+        vals = vals[np.isfinite(vals)]
+        if len(vals) == 0:
+            continue
+        row = pdf.loc[t]
+        assert row["B1_mean"] == pytest.approx(vals.mean(), abs=1e-9)
+        assert row["B1_count"] == len(vals)
+        assert row["B1_min"] == vals.min() and row["B1_max"] == vals.max()
+        assert row["B1_median"] == pytest.approx(np.median(vals), abs=1e-9)
+        if len(vals) > 1:
+            assert row["B1_var"] == pytest.approx(vals.var(ddof=1), abs=1e-9)
+            assert row["B1_sd"] == pytest.approx(vals.std(ddof=1), abs=1e-9)
+
+
+def test_filter_geom(spark, cube, dense):
+    # triangle inside the cube
+    wkt = "POLYGON ((0 0, 5 0, 0 6, 0 0))"
+    out = filter_geom(cube, wkt)
+    pdf = out.df.toPandas()
+    v = out.view
+    _, rings = geom.parse_wkt(wkt)
+    for _, r in pdf.iterrows():
+        cx = v.left + (r["ix"] + 0.5) * v.dx
+        cy = v.top - (r["iy"] + 0.5) * v.dy
+        assert geom.points_in_polygon(np.array([cx]), np.array([cy]), rings)[0]
+    # count matches oracle: cells with center inside AND any band value
+    cnt = 0
+    for iy in range(v.ny):
+        for ix in range(v.nx):
+            cx = v.left + (ix + 0.5) * v.dx
+            cy = v.top - (iy + 0.5) * v.dy
+            if geom.points_in_polygon(np.array([cx]), np.array([cy]), rings)[0]:
+                # map back to original cube coords (crop offset)
+                gx = int(round((v.left - 0.0) / 1.0)) + ix
+                gy = int(round((6.0 - v.top) / 1.0)) + iy
+                cnt += int((~np.isnan(dense[:, :, gy, gx])).any(axis=0).sum())
+    assert len(pdf) == cnt
+
+
+def test_extract_geom_time_column(spark, cube, dense):
+    polys = pd.DataFrame({
+        "fid": [1, 2],
+        "wkt": ["POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"],
+        "t": pd.to_datetime(["2020-01-02", "2020-01-05"]),
+    })
+    out = extract_geom(cube, spark.createDataFrame(polys), time_column=True).toPandas()
+    assert set(out.loc[out["fid"] == 1, "it"]) <= {1}
+    assert set(out.loc[out["fid"] == 2, "it"]) <= {4}
