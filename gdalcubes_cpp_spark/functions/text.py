@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines over the
+``documents`` table: token counting, quality scoring, language ID,
+fingerprinting. All native Spark SQL expressions (JVM-side, codegen'd) —
+no Python UDFs — and every formula is reproducible in ANSI/DuckDB SQL so the
+driver's oracle can value-check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# deliberately small, deterministic marker sets (not a real langid model —
+# a scalable n-gram/stopword heuristic with the same Spark-side shape)
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|in)\b",
+    "de": r"\b(der|die|und|ist|nicht|das)\b",
+    "fr": r"\b(le|la|les|et|est|une)\b",
+    "es": r"\b(el|la|los|que|es|una)\b",
+}
+
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # word / number / punct pieces
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punct marks."""
+    return F.regexp_count(text, F.lit(BPE_ISH))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = ws_token_count(text)
+    stops = F.regexp_count(F.lower(text), F.lit(LANG_MARKERS["en"]))
+    return F.when(words > 0, stops.cast("double") / words).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    letters = F.regexp_count(text, F.lit(r"[A-Za-z]"))
+    words = ws_token_count(text)
+    return F.when(words > 0, letters.cast("double") / words).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: favors mid-length documents,
+    moderate punctuation, presence of stopwords, sane word lengths — the
+    standard pretraining-corpus filters (C4/Gopher-style rules)."""
+    n = F.length(text)
+    len_score = F.least(n.cast("double") / 500.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4.0)
+    stop_score = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    wl = mean_word_len(text)
+    wl_score = F.when((wl >= 2.5) & (wl <= 9.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    return (len_score * 0.3 + punct_pen * 0.25 + stop_score * 0.25 + wl_score * 0.2)
+
+
+def lang_scores(text: Column) -> dict:
+    t = F.lower(text)
+    return {
+        lang: F.regexp_count(t, F.lit(pat)).cast("double") / F.greatest(ws_token_count(text), F.lit(1)).cast("double")
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker-stopword density; 'und' if all zero.
+    Ties break by the fixed en<de<fr<es priority (deterministic)."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[F.struct(scores[lang].alias("s"), F.lit(i).alias("p"), F.lit(lang).alias("l"))
+          for i, lang in enumerate(LANG_MARKERS)]
+    )
+    best = F.array_max(F.transform(pairs, lambda s: F.struct(s["s"].alias("s"), (-s["p"]).alias("p"), s["l"].alias("l"))))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column) -> Column:
+    """lowercase, strip punctuation, collapse whitespace — the canonical
+    form used for fingerprints and near-dup shingles."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (md5 is available
+    and bit-identical in Spark and DuckDB — the cross-engine oracle hash)."""
+    return F.md5(normalize_text(text))
+
+
+def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text analysis: all metrics as native columns."""
+    t = F.col(text_col)
+    return docs.withColumns(
+        {
+            "ws_tokens": ws_token_count(t),
+            "bpe_tokens": bpe_token_count(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+            "mean_word_len": mean_word_len(t),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )
