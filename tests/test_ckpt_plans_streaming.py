@@ -1,0 +1,107 @@
+"""Resumable checkpointed runs, JSON plans, streaming ingestion."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdalcubes_cpp_spark import ckpt, synth
+from gdalcubes_cpp_spark.grid import ChunkGrid
+from gdalcubes_cpp_spark.operators.build import build_cube, build_cells
+from gdalcubes_cpp_spark.operators.stjoin import st_join
+from gdalcubes_cpp_spark.plans.jsonplan import plan_from_json
+from gdalcubes_cpp_spark.view import CubeView
+
+
+def view_small(**kw):
+    args = dict(left=-12, right=-8, bottom=18, top=22, nx=40, ny=40,
+                t0="2020-01-01", t1="2020-12-31", dt="P1M",
+                aggregation="mean", resampling="near", chunk_size=(4, 20, 20))
+    args.update(kw)
+    return CubeView.create(**args)
+
+
+def test_checkpointed_run_and_resume(spark, tmp_path):
+    v = view_small()
+    g = ChunkGrid(v)
+    imgs = synth.images_df(spark, 150)
+    cells = build_cells(st_join(imgs, g), v)
+    sink = str(tmp_path / "sink")
+
+    m1 = ckpt.run_partitioned(cells, sink, g.count, n_parts=4)
+    assert m1["parts_run"] == 4 and m1["parts_skipped"] == 0
+    rows1 = spark.read.parquet(sink).count()
+    lin = ckpt.read_lineage(spark, sink).toPandas()
+    assert len(lin) == 4
+    assert lin["n_rows"].sum() == rows1
+
+    # resume: everything skips, output unchanged
+    m2 = ckpt.run_partitioned(cells, sink, g.count, n_parts=4)
+    assert m2["parts_run"] == 0 and m2["parts_skipped"] == 4
+    assert spark.read.parquet(sink).count() == rows1
+
+    # simulate a dead part: drop one lineage row -> only that part re-runs
+    lin2 = lin[lin["part_id"] != 2]
+    import shutil
+
+    shutil.rmtree(sink + "/_lineage")
+    spark.createDataFrame(lin2, schema=ckpt.LINEAGE_SCHEMA).write.parquet(sink + "/_lineage")
+    m3 = ckpt.run_partitioned(cells, sink, g.count, n_parts=4, attempt=2)
+    assert m3["parts_run"] == 1 and m3["parts_skipped"] == 3
+    assert spark.read.parquet(sink).count() == rows1  # idempotent overwrite
+
+    # digests stable across attempts
+    lin3 = ckpt.read_lineage(spark, sink).toPandas().set_index("part_id")
+    assert lin3.loc[2, "digest"] == lin.set_index("part_id").loc[2, "digest"]
+
+
+def test_json_plan_roundtrip(spark):
+    v = view_small(nx=20, ny=20, chunk_size=(4, 10, 10))
+    plan = {
+        "source": {"kind": "formula", "view": json.loads(v.to_json()),
+                   "bands_exprs": {"B1": "(it*7 + iy*3 + ix*5) % 11"}},
+        "ops": [
+            {"op": "apply_pixel", "exprs": {"B2": "B1 * 2"}, "keep_bands": True},
+            {"op": "reduce_time", "reducers": [["mean", "B1"], ["max", "B2"]]},
+        ],
+    }
+    cube = plan_from_json(spark, json.dumps(plan))
+    assert cube.bands == ("B1_mean", "B2_max")
+    got = cube.collect_dense()
+    assert np.isfinite(got).all()
+    # B2_max = 2 * max over it of B1 formula
+    it = np.arange(v.nt)[:, None, None]
+    iy = np.arange(v.ny)[None, :, None]
+    ix = np.arange(v.nx)[None, None, :]
+    b1 = (it * 7 + iy * 3 + ix * 5) % 11
+    assert np.allclose(got[1, 0], 2 * b1.max(axis=0))
+    assert np.allclose(got[0, 0], b1.mean(axis=0))
+
+
+def test_streaming_incremental_build(spark, tmp_path):
+    """Two microbatches of images folded incrementally == one batch build."""
+    from gdalcubes_cpp_spark.streaming.ingest import finalize_state, incremental_build
+
+    v = view_small(aggregation="mean")
+    n = 120
+    pdf = synth.images_pdf(n)
+    in_dir = str(tmp_path / "in")
+    half1 = spark.createDataFrame(pdf.iloc[:60])
+    half2 = spark.createDataFrame(pdf.iloc[60:])
+    half1.write.mode("overwrite").parquet(in_dir)
+
+    sink = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    q = incremental_build(spark, in_dir, v, sink, cp)
+    q.awaitTermination(120)
+
+    half2.write.mode("append").parquet(in_dir)
+    q2 = incremental_build(spark, in_dir, v, sink, cp)
+    q2.awaitTermination(120)
+
+    got = finalize_state(spark, sink, v).collect_dense()
+    want = build_cube(spark.createDataFrame(pdf), v).collect_dense()
+    assert (np.isnan(got) == np.isnan(want)).all()
+    m = np.isfinite(want)
+    assert np.allclose(got[m], want[m], atol=1e-9)
