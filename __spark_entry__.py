@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()       — flagship pipeline on sf0.001: deterministic image table
+                (input_hint schema) -> spatio-temporal join -> decode+warp+
+                temporal-aggregate cube -> reduce_time composite.
+queries()     — one entry per implemented operator (SURVEY.md §2), each
+                running THE ENGINE's code path (gdalcubes_cpp_spark/*).
+oracle_sql()  — DuckDB-dialect equivalents over the same parquet views;
+                see gdalcubes_cpp_spark/benchqueries.py for the
+                cross-engine exactness rules. Entries without SQL are the
+                genuinely non-SQL-expressible paths (real PNG decode,
+                approximate IVF search, probabilistic LSH pipelines) —
+                those get the driver's rows-only check and are value-gated
+                by pytest instead (tests/).
 """
 
 from __future__ import annotations
@@ -13,26 +20,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gdalcubes_cpp_spark.benchqueries import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from gdalcubes_cpp_spark.benchqueries import REGISTRY
+
+    fn, _ = REGISTRY["cube_real_decode"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (omitted => rows-only check)."""
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql}

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness.
+
+Runs the headline pipeline (deterministic image table with REAL encoded
+bytes -> st_join -> decode+warp+temporal-agg cube -> reduce) plus the
+representative operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+  {"metric": ..., "value": <suite sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "images_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
+
+BENCH_QUERIES = [
+    "stjoin_rows", "cube_mean", "cube_median", "cube_count_images",
+    "reduce_time_exact", "reduce_time_stats", "window_time_mean",
+    "fill_time_linear", "aggregate_time", "aggregate_space",
+    "query_points", "zonal_statistics", "extract_geom",
+    "doc_stats", "doc_exact_dups", "doc_minhash", "doc_lsh_jaccard",
+    "doc_simhash", "ann_topk", "ann_knn_join", "ann_dup_pairs",
+    "events_tumbling", "tpch_pricing", "tpch_market_revenue",
+]
+
+
+def images_pipeline(spark, n_images: int) -> int:
+    """The BASELINE.json headline: H3-style-indexed spatial join + cube-chunk
+    tiling with real decode over the input_hint image table."""
+    import dataclasses
+
+    from gdalcubes_cpp_spark.benchqueries import V_ENG
+    from gdalcubes_cpp_spark.operators.build import build_cube
+    from gdalcubes_cpp_spark.synth import images_df
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(
+        left=-50.0, right=50.0, bottom=-40.0, top=40.0, nx=1000, ny=800,
+        t0="2020-01-01", t1="2020-12-31", dt="P1M",
+        aggregation="mean", resampling="near", chunk_size=(4, 100, 125),
+    )
+    imgs = images_df(spark, n_images)
+    cube = build_cube(imgs, v, bands=("B1", "B2"))
+    out = cube.reduce_time([("mean", "B1"), ("count", "B1")])
+    return out.df.count()
+
+
+def main() -> None:
+    from gdalcubes_cpp_spark.benchqueries import REGISTRY
+    from gdalcubes_cpp_spark.session import get_spark
+
+    spark = get_spark(app="gdalcubes-bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 16))
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    timings: dict = {}
+    t_suite = time.time()
+
+    t0 = time.time()
+    rows = images_pipeline(spark, N_IMAGES)
+    pipeline_s = time.time() - t0
+    timings["images_pipeline"] = round(pipeline_s, 3)
+
+    for name in BENCH_QUERIES:
+        fn, _sql = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = time.time() - t_suite
+    print(
+        json.dumps(
+            {
+                "metric": "operator-suite wall time (flagship images/sec in images_per_sec)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "images_per_sec": round(N_IMAGES / pipeline_s, 1),
+                "n_images": N_IMAGES,
+                "cpus": CPUS,
+                "pipeline_rows": rows,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,977 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2), each
+with (a) a Spark implementation that exercises THE ENGINE's code path and
+(b) a DuckDB-dialect oracle SQL computing the same result from the same
+deterministic derivation — the driver's correctness gate.
+
+Input derivation: the engine's real input is an image table with the
+BASELINE.json input_hint schema (synth.py). For the oracle-checkable
+entries, image METADATA (footprints, timestamps, per-image values) is
+derived from the ``orders`` testdata table by pure integer arithmetic that
+both engines evaluate bit-identically; pixel DECODE correctness (PNG/lossy
+bytes, PSNR gates) is covered separately by pytest (tests/test_stjoin_build)
+because no SQL engine can replay a PNG codec.
+
+Cross-engine exactness rules used throughout:
+- values are integers or single divisions of exact integers (bit-identical
+  IEEE754 in both engines);
+- md5 is the shared deterministic hash (identical text → identical hex);
+- float-sensitive aggregates (var/sd, float sums) are round()ed to 6
+  decimals on BOTH sides;
+- every aggregate/computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .cube import KEY, Cube
+from .grid import ChunkGrid
+from .view import CubeView
+
+# ---------------------------------------------------------------------------
+# fixed views (constants shared by Spark code and SQL templates)
+# ---------------------------------------------------------------------------
+
+# engine view over the orders-derived image table: 40x32 cells of 1.0°,
+# 27 quarters from 1995-01-01, 16 chunks of (8, 16, 20)
+V_ENG = CubeView.create(
+    left=-20.0, right=20.0, bottom=-20.0, top=12.0, nx=40, ny=32,
+    t0="1995-01-01", nt=27, dt="P3M",
+    aggregation="mean", resampling="near", chunk_size=(8, 16, 20),
+)
+
+# formula cube for derived-operator checks: 24x24x18 daily
+V_F = CubeView.create(
+    left=0.0, right=24.0, bottom=0.0, top=24.0, nx=24, ny=24,
+    t0="2020-01-01", nt=18, dt="P1D", chunk_size=(6, 12, 12),
+)
+
+B1_EXPR = "CASE WHEN (it + iy + ix) % 7 = 0 THEN NULL ELSE CAST((it*7 + iy*3 + ix*5) % 11 AS DOUBLE) END"
+B2_EXPR = "CAST((it*2 + iy + ix*3) % 13 AS DOUBLE)"
+
+# ---------------------------------------------------------------------------
+# orders -> image metadata (identical arithmetic in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+IMG_META_SQL = """
+  SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS image_id,
+         -50.0 + (o_orderkey * 7919 % 9000) / 100.0 AS left,
+         -50.0 + (o_orderkey * 7919 % 9000) / 100.0
+           + 0.55 + (o_orderkey * 104729 % 200) / 100.0 AS right,
+         -40.0 + (o_orderkey * 6271 % 7200) / 100.0 AS bottom,
+         -40.0 + (o_orderkey * 6271 % 7200) / 100.0
+           + 0.55 + (o_orderkey * 7127 % 200) / 100.0 AS top,
+         o_orderdate AS ts,
+         CAST(o_orderkey % 97 AS DOUBLE) AS val1,
+         CAST(o_orderkey % 89 AS DOUBLE) AS val2
+  FROM orders
+"""
+
+
+def images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    left = F.lit(-50.0) + (k * 7919 % 9000) / 100.0
+    bottom = F.lit(-40.0) + (k * 6271 % 7200) / 100.0
+    return o.select(
+        F.lpad(k.cast("string"), 10, "0").alias("image_id"),
+        left.alias("left"),
+        (left + 0.55 + (k * 104729 % 200) / 100.0).alias("right"),
+        bottom.alias("bottom"),
+        (bottom + 0.55 + (k * 7127 % 200) / 100.0).alias("top"),
+        F.col("o_orderdate").alias("ts"),
+        (k % 97).cast("double").alias("val1"),
+        (k % 89).cast("double").alias("val2"),
+        F.lit(16).alias("w"), F.lit(16).alias("h"),
+    )
+
+
+def _value_fn(image_id: str):
+    k = int(image_id)
+    return (float(k % 97), float(k % 89))
+
+
+# chunk-grid SQL fragment for V_ENG (bounds_from_chunk as SQL)
+def _chunks_sql(v: CubeView) -> str:
+    g = ChunkGrid(v)
+    return f"""
+  SELECT cid AS chunk_id,
+         {v.left} + (cid % {g.ncx}) * {v.chunk_nx} * {v.dx} AS ch_left,
+         {v.left} + least((cid % {g.ncx}) * {v.chunk_nx} + {v.chunk_nx}, {v.nx}) * {v.dx} AS ch_right,
+         {v.top} - least(((cid % {g.ncy * g.ncx}) // {g.ncx}) * {v.chunk_ny} + {v.chunk_ny}, {v.ny}) * {v.dy} AS ch_bottom,
+         {v.top} - ((cid % {g.ncy * g.ncx}) // {g.ncx}) * {v.chunk_ny} * {v.dy} AS ch_top,
+         TIMESTAMP '{v.t0.isoformat()}' + to_months(CAST((cid // {g.ncy * g.ncx}) * {v.chunk_nt} * {v.dt.n} AS INT)) AS ch_t_start,
+         TIMESTAMP '{v.t0.isoformat()}' + to_months(CAST(least((cid // {g.ncy * g.ncx}) * {v.chunk_nt} + {v.chunk_nt}, {v.nt}) * {v.dt.n} AS INT)) AS ch_t_end,
+         (cid // {g.ncy * g.ncx}) * {v.chunk_nt} AS it0,
+         least((cid // {g.ncy * g.ncx}) * {v.chunk_nt} + {v.chunk_nt}, {v.nt}) AS it1,
+         ((cid % {g.ncy * g.ncx}) // {g.ncx}) * {v.chunk_ny} AS iy0,
+         least(((cid % {g.ncy * g.ncx}) // {g.ncx}) * {v.chunk_ny} + {v.chunk_ny}, {v.ny}) AS iy1,
+         (cid % {g.ncx}) * {v.chunk_nx} AS ix0,
+         least((cid % {g.ncx}) * {v.chunk_nx} + {v.chunk_nx}, {v.nx}) AS ix1
+  FROM range({g.count}) t(cid)
+"""
+
+
+# (it, slot) for a timestamp on V_ENG's quarterly axis
+_IT_SQL = (
+    "((date_part('year', ts) * 12 + date_part('month', ts) - 1) "
+    f"- ({V_ENG.t0.year * 12 + V_ENG.t0.month - 1})) // {V_ENG.dt.n}"
+)
+
+# per-cell coverage predicate of the 'near'-warped constant plane
+_COVER_SQL = "cx >= img.left AND cx < img.right AND cy > img.bottom AND cy <= img.top"
+
+_CELLS_ENG_SQL = f"""
+  SELECT CAST(t.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         {V_ENG.left} + (x.ix + 0.5) * {V_ENG.dx} AS cx,
+         {V_ENG.top} - (y.iy + 0.5) * {V_ENG.dy} AS cy
+  FROM range({V_ENG.nt}) t(it), range({V_ENG.ny}) y(iy), range({V_ENG.nx}) x(ix)
+"""
+
+_CELLS_F_SQL = f"""
+  SELECT CAST(t.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         CAST({B1_EXPR.replace('it', 't.it').replace('iy', 'y.iy').replace('ix', 'x.ix')} AS DOUBLE) AS B1,
+         CAST({B2_EXPR.replace('it', 't.it').replace('iy', 'y.iy').replace('ix', 'x.ix')} AS DOUBLE) AS B2
+  FROM range({V_F.nt}) t(it), range({V_F.ny}) y(iy), range({V_F.nx}) x(ix)
+"""
+
+
+def _formula_cube(spark: SparkSession) -> Cube:
+    from .sources.collection import formula_cube
+
+    return formula_cube(spark, V_F, {"B1": B1_EXPR, "B2": B2_EXPR})
+
+
+# ---------------------------------------------------------------------------
+# the registry: name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------------- engine: join
+
+@q(
+    "stjoin_rows",
+    f"""
+WITH img AS ({IMG_META_SQL}), chunks AS ({_chunks_sql(V_ENG)})
+SELECT img.image_id AS image_id, chunks.chunk_id AS chunk_id
+FROM img JOIN chunks
+  ON NOT (img.right < chunks.ch_left OR img.left > chunks.ch_right
+          OR img.bottom > chunks.ch_top OR img.top < chunks.ch_bottom)
+ AND img.ts >= chunks.ch_t_start AND img.ts <= chunks.ch_t_end
+""",
+)
+def stjoin_rows(spark, sf_dir):
+    """find_range_st join rows (src/image_collection.cpp:1324-1394)."""
+    from .operators.stjoin import assignment
+
+    return assignment(images_meta(spark, sf_dir), ChunkGrid(V_ENG))
+
+
+def _cube_eng(spark, sf_dir, agg: str) -> Cube:
+    from .operators.build import build_cube
+
+    import dataclasses
+
+    v = dataclasses.replace(V_ENG, aggregation=agg)
+    return build_cube(images_meta(spark, sf_dir), v, bands=("B1", "B2"), value_fn=_value_fn)
+
+
+_ENG_CELL_JOIN = f"""
+WITH img AS ({IMG_META_SQL}),
+cells AS ({_CELLS_ENG_SQL}),
+cov AS (
+  SELECT cells.it, cells.iy, cells.ix, img.image_id, img.val1, img.val2
+  FROM cells JOIN img
+    ON {_COVER_SQL}
+   AND cells.it = {_IT_SQL}
+)
+"""
+
+
+@q(
+    "cube_mean",
+    _ENG_CELL_JOIN
+    + """
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_mean(spark, sf_dir):
+    """image_collection_cube scan, AGG_MEAN (src/image_collection_cube.cpp:71-110)."""
+    return _cube_eng(spark, sf_dir, "mean").df
+
+
+@q(
+    "cube_first",
+    _ENG_CELL_JOIN
+    + """
+SELECT it, iy, ix, arg_min(val1, image_id) AS B1, arg_min(val2, image_id) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_first(spark, sf_dir):
+    """AGG_FIRST with (image_id, descriptor) order (src/image_collection_cube.cpp:154-177,327)."""
+    return _cube_eng(spark, sf_dir, "first").df
+
+
+@q(
+    "cube_median",
+    _ENG_CELL_JOIN
+    + """
+SELECT it, iy, ix, quantile_cont(val1, 0.5) AS B1, quantile_cont(val2, 0.5) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_median(spark, sf_dir):
+    """AGG_MEDIAN, exact avg-of-middles (src/image_collection_cube.cpp:112-152)."""
+    return _cube_eng(spark, sf_dir, "median").df
+
+
+@q(
+    "cube_count_images",
+    f"""
+WITH img AS ({IMG_META_SQL}), chunks AS ({_chunks_sql(V_ENG)}),
+hits AS (
+  SELECT chunks.chunk_id, {_IT_SQL} AS it, count(*) AS n,
+         any_value(it0) AS it0, any_value(it1) AS it1,
+         any_value(iy0) AS iy0, any_value(iy1) AS iy1,
+         any_value(ix0) AS ix0, any_value(ix1) AS ix1
+  FROM img JOIN chunks
+    ON NOT (img.right < chunks.ch_left OR img.left > chunks.ch_right
+            OR img.bottom > chunks.ch_top OR img.top < chunks.ch_bottom)
+   AND img.ts >= chunks.ch_t_start AND img.ts <= chunks.ch_t_end
+   AND {_IT_SQL} >= it0 AND {_IT_SQL} < it1
+  GROUP BY chunks.chunk_id, {_IT_SQL}
+)
+SELECT CAST(hits.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+       CAST(n AS DOUBLE) AS B1, CAST(n AS DOUBLE) AS B2
+FROM hits, range(0, {V_ENG.ny}) y(iy), range(0, {V_ENG.nx}) x(ix)
+WHERE y.iy >= iy0 AND y.iy < iy1 AND x.ix >= ix0 AND x.ix < ix1
+""",
+)
+def cube_count_images(spark, sf_dir):
+    """AGG_COUNT_IMAGES: per-(chunk, slot) image count broadcast to the whole
+    chunk plane (src/image_collection_cube.cpp:203-224)."""
+    return _cube_eng(spark, sf_dir, "count_images").df
+
+
+# --------------------------------------------------- derived ops on formula cube
+
+@q(
+    "reduce_time_exact",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT iy, ix,
+       min(B1) AS B1_min, max(B1) AS B1_max,
+       CAST(count(B1) AS DOUBLE) AS B1_count, CAST(sum(B1) AS DOUBLE) AS B1_sum
+FROM cells GROUP BY iy, ix
+""",
+)
+def reduce_time_exact(spark, sf_dir):
+    """reduce_time min/max/count/sum (src/reduce_time.cpp:56-355)."""
+    c = _formula_cube(spark).reduce_time(
+        [("min", "B1"), ("max", "B1"), ("count", "B1"), ("sum", "B1")]
+    )
+    return c.df.select("iy", "ix", "B1_min", "B1_max", "B1_count", "B1_sum")
+
+
+@q(
+    "reduce_time_stats",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT iy, ix,
+       avg(B1) AS B1_mean,
+       quantile_cont(B1, 0.5) AS B1_median,
+       quantile_cont(B1, 0.25) AS B1_Q1,
+       quantile_cont(B1, 0.75) AS B1_Q3,
+       round(var_samp(B1), 6) AS B1_var,
+       round(stddev_samp(B1), 6) AS B1_sd
+FROM cells GROUP BY iy, ix
+""",
+)
+def reduce_time_stats(spark, sf_dir):
+    """reduce_time mean/median/Q1/Q3/var/sd — exact percentile type-7 and
+    Welford ddof=1 (src/reduce_time.cpp:114-153,357-524)."""
+    c = _formula_cube(spark).reduce_time(
+        [("mean", "B1"), ("median", "B1"), ("Q1", "B1"), ("Q3", "B1"),
+         ("var", "B1"), ("sd", "B1")]
+    )
+    return c.df.select(
+        "iy", "ix", "B1_mean", "B1_median", "B1_Q1", "B1_Q3",
+        F.round("B1_var", 6).alias("B1_var"), F.round("B1_sd", 6).alias("B1_sd"),
+    )
+
+
+@q(
+    "reduce_time_which",
+    f"""
+WITH cells AS ({_CELLS_F_SQL}),
+r AS (
+  SELECT iy, ix, it, B1,
+         CAST(strftime(TIMESTAMP '2020-01-01' + to_days(it), '%Y%m%d%H%M%S') AS DOUBLE) AS tnum,
+         row_number() OVER (PARTITION BY iy, ix ORDER BY B1 ASC NULLS LAST, it ASC) AS rmin,
+         row_number() OVER (PARTITION BY iy, ix ORDER BY B1 DESC NULLS LAST, it ASC) AS rmax
+  FROM cells
+)
+SELECT iy, ix,
+       max(CASE WHEN rmin = 1 AND B1 IS NOT NULL THEN tnum END) AS B1_which_min,
+       max(CASE WHEN rmax = 1 AND B1 IS NOT NULL THEN tnum END) AS B1_which_max
+FROM r GROUP BY iy, ix
+""",
+)
+def reduce_time_which(spark, sf_dir):
+    """which_min/which_max -> datetime-as-number (src/reduce_time.cpp:188-318)."""
+    c = _formula_cube(spark).reduce_time([("which_min", "B1"), ("which_max", "B1")])
+    return c.df.select("iy", "ix", "B1_which_min", "B1_which_max")
+
+
+@q(
+    "reduce_space",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, avg(B1) AS B1_mean, CAST(count(B1) AS DOUBLE) AS B1_count,
+       min(B2) AS B2_min, max(B2) AS B2_max
+FROM cells GROUP BY it
+""",
+)
+def reduce_space(spark, sf_dir):
+    """reduce_space (src/reduce_space.h:45-63)."""
+    c = _formula_cube(spark).reduce_space(
+        [("mean", "B1"), ("count", "B1"), ("min", "B2"), ("max", "B2")]
+    )
+    return c.df.select("it", "B1_mean", "B1_count", "B2_min", "B2_max")
+
+
+@q(
+    "aggregate_time",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT CAST(it // 3 AS INT) AS it, iy, ix, avg(B1) AS B1, avg(B2) AS B2
+FROM cells GROUP BY it // 3, iy, ix
+""",
+)
+def aggregate_time(spark, sf_dir):
+    """aggregate_time fact=3 mean (src/aggregate_time.h:50-127)."""
+    return _formula_cube(spark).aggregate_time(fact=3, func="mean").df
+
+
+@q(
+    "aggregate_space",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, CAST(iy // 2 AS INT) AS iy, CAST(ix // 2 AS INT) AS ix,
+       max(B1) AS B1, max(B2) AS B2
+FROM cells GROUP BY it, iy // 2, ix // 2
+""",
+)
+def aggregate_space(spark, sf_dir):
+    """aggregate_space fact=2 max (src/aggregate_space.h:50-74)."""
+    return _formula_cube(spark).aggregate_space(fact=2, func="max").df
+
+
+@q(
+    "window_time_mean",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, iy, ix,
+       avg(B1) OVER (PARTITION BY iy, ix ORDER BY it
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS B1_mean
+FROM cells
+""",
+)
+def window_time_mean(spark, sf_dir):
+    """window_time (l=r=1, mean) (src/window_time.cpp:29-95)."""
+    c = _formula_cube(spark).window_time((1, 1), reducers=[("mean", "B1")])
+    return c.df.select(*KEY, "B1_mean")
+
+
+@q(
+    "fill_time_linear",
+    f"""
+WITH cells AS ({_CELLS_F_SQL}),
+f AS (
+  SELECT it, iy, ix, B1, B2,
+    last_value(B1 IGNORE NULLS) OVER w_prev AS pv,
+    first_value(B1 IGNORE NULLS) OVER w_next AS nv,
+    last_value(CASE WHEN B1 IS NOT NULL THEN it END IGNORE NULLS) OVER w_prev AS pt,
+    first_value(CASE WHEN B1 IS NOT NULL THEN it END IGNORE NULLS) OVER w_next AS nt
+  FROM cells
+  WINDOW w_prev AS (PARTITION BY iy, ix ORDER BY it ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY iy, ix ORDER BY it ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT it, iy, ix,
+       coalesce(B1, CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                         THEN pv + (nv - pv) * (it - pt) / (nt - pt) END) AS B1,
+       B2
+FROM f
+WHERE coalesce(B1, CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN pv + (nv - pv) * (it - pt) / (nt - pt) END) IS NOT NULL
+   OR B2 IS NOT NULL
+""",
+)
+def fill_time_linear(spark, sf_dir):
+    """fill_time linear (src/fill_time.cpp:45-150)."""
+    return _formula_cube(spark).fill_time("linear").df
+
+
+@q(
+    "apply_filter_pixel",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, iy, ix, (B2 - B1) / (B2 + B1) AS ndvi, B1 + B2 AS total
+FROM cells
+WHERE B1 IS NOT NULL AND B1 > 3 AND B2 + B1 <> 0
+""",
+)
+def apply_filter_pixel(spark, sf_dir):
+    """apply_pixel + filter_pixel (src/apply_pixel.h:55-60, src/filter_pixel.h:36)."""
+    c = (
+        _formula_cube(spark)
+        .filter_pixel("B1 IS NOT NULL AND B1 > 3 AND B2 + B1 <> 0")
+        .apply_pixel({"ndvi": "(B2 - B1) / (B2 + B1)", "total": "B1 + B2"})
+    )
+    return c.df.select(*KEY, "ndvi", "total")
+
+
+@q(
+    "join_bands",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, iy, ix, B1 AS a_B1, B2 * 2 AS b_B2x2
+FROM cells WHERE B1 IS NOT NULL OR B2 IS NOT NULL
+""",
+)
+def join_bands(spark, sf_dir):
+    """join_bands grid equi-join (src/join_bands.h:62-69)."""
+    a = _formula_cube(spark).select_bands(["B1"]).rename_bands({"B1": "a_B1"})
+    b = (
+        _formula_cube(spark)
+        .apply_pixel({"b_B2x2": "B2 * 2"})
+    )
+    return a.join_bands([b]).df.select(*KEY, "a_B1", "b_B2x2")
+
+
+@q(
+    "slice_crop",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT CAST(it - 4 AS INT) AS it, CAST(iy - 6 AS INT) AS iy, CAST(ix - 6 AS INT) AS ix, B1, B2
+FROM cells
+WHERE it >= 4 AND it < 10 AND iy >= 6 AND iy < 18 AND ix >= 6 AND ix < 18
+  AND (B1 IS NOT NULL OR B2 IS NOT NULL)
+""",
+)
+def slice_crop(spark, sf_dir):
+    """crop by cube coords with re-based indices (src/crop.h:50-79)."""
+    return _formula_cube(spark).crop(ix_range=(6, 18), iy_range=(6, 18), it_range=(4, 10)).df
+
+
+# --------------------------------------------------------------- vector ops
+
+_PTS_SQL = """
+  SELECT c_custkey AS point_id,
+         (c_custkey * 131 % 2400) / 100.0 AS x,
+         (c_custkey * 173 % 2400) / 100.0 AS y,
+         TIMESTAMP '2020-01-01' + to_days(CAST(c_custkey % 22 AS INT)) AS t
+  FROM customer
+"""
+
+
+def _points_df(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("point_id"),
+        ((k * 131 % 2400) / 100.0).alias("x"),
+        ((k * 173 % 2400) / 100.0).alias("y"),
+        F.timestamp_add("DAY", (k % 22).cast("int"), F.lit(V_F.t0)).alias("t"),
+    )
+
+
+@q(
+    "query_points",
+    f"""
+WITH cells AS ({_CELLS_F_SQL}), pts AS ({_PTS_SQL})
+SELECT point_id, cells.it AS it, cells.iy AS iy, cells.ix AS ix, B1, B2
+FROM pts JOIN cells
+  ON cells.ix = CAST(floor(x / {V_F.dx}) AS INT)
+ AND cells.iy = CAST(floor(({V_F.top} - y) / {V_F.dy}) AS INT)
+ AND cells.it = date_diff('day', TIMESTAMP '{V_F.t0.isoformat()}', t)
+WHERE B1 IS NOT NULL OR B2 IS NOT NULL
+""",
+)
+def query_points(spark, sf_dir):
+    """vector_queries::query_points (src/vector_queries.cpp:36-202)."""
+    from .vector.queries import query_points as qp
+
+    return qp(_formula_cube(spark), _points_df(spark, sf_dir))
+
+
+_RECTS = [
+    (1, 2.33, 9.77, 3.21, 11.03),
+    (2, 10.11, 20.57, 1.13, 7.91),
+    (3, 0.53, 23.49, 15.27, 22.81),
+    (4, 17.21, 19.83, 8.37, 9.71),
+]
+
+
+def _rects_df(spark):
+    import pandas as pd
+
+    rows = [
+        (fid, f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))")
+        for fid, x0, x1, y0, y1 in _RECTS
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["fid", "wkt"]))
+
+
+_RECT_CELLS_SQL = f"""
+  SELECT CAST(r.fid AS BIGINT) AS fid, cells.it AS it, cells.iy AS iy, cells.ix AS ix, B1, B2
+  FROM (VALUES {", ".join(f"({fid}, {x0}, {x1}, {y0}, {y1})" for fid, x0, x1, y0, y1 in _RECTS)})
+       r(fid, x0, x1, y0, y1)
+  JOIN ({_CELLS_F_SQL}) cells
+    ON ({V_F.left} + (cells.ix + 0.5) * {V_F.dx}) > r.x0
+   AND ({V_F.left} + (cells.ix + 0.5) * {V_F.dx}) < r.x1
+   AND ({V_F.top} - (cells.iy + 0.5) * {V_F.dy}) > r.y0
+   AND ({V_F.top} - (cells.iy + 0.5) * {V_F.dy}) < r.y1
+"""
+
+
+@q(
+    "extract_geom",
+    f"""
+SELECT fid, it, iy, ix, B1, B2 FROM ({_RECT_CELLS_SQL})
+WHERE B1 IS NOT NULL OR B2 IS NOT NULL
+""",
+)
+def extract_geom(spark, sf_dir):
+    """extract_geom: feature -> (fid, t, bands) rows (src/extract_geom.cpp:220-520)."""
+    from .vector.queries import extract_geom as eg
+
+    return eg(_formula_cube(spark), _rects_df(spark))
+
+
+@q(
+    "zonal_statistics",
+    f"""
+SELECT fid, it,
+       avg(B1) AS B1_mean, CAST(count(B1) AS DOUBLE) AS B1_count,
+       min(B1) AS B1_min, max(B1) AS B1_max,
+       quantile_cont(B1, 0.5) AS B1_median,
+       avg(B2) AS B2_mean, CAST(count(B2) AS DOUBLE) AS B2_count,
+       min(B2) AS B2_min, max(B2) AS B2_max,
+       quantile_cont(B2, 0.5) AS B2_median
+FROM ({_RECT_CELLS_SQL})
+GROUP BY fid, it
+""",
+)
+def zonal_statistics(spark, sf_dir):
+    """vector_queries::zonal_statistics (src/vector_queries.cpp:603-1160)."""
+    from .vector.queries import zonal_statistics as zs
+
+    return zs(
+        _formula_cube(spark), _rects_df(spark),
+        stats=("mean", "count", "min", "max", "median"),
+    )
+
+# ------------------------------------------------------- documents pipeline
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+_WORDS_SQL = f"regexp_split_to_array({_NORM_SQL}, ' ')"
+_SHINGLES_SQL = (
+    "CASE WHEN len(w) >= 3 THEN "
+    "list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 2), ' ')) "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+_EN_PAT = r"\b(the|and|of|to|is|in)\b"
+_MARKER_SQL = {
+    "en": r"\b(the|and|of|to|is|in)\b",
+    "de": r"\b(der|die|und|ist|nicht|das)\b",
+    "fr": r"\b(le|la|les|et|est|une)\b",
+    "es": r"\b(el|la|los|que|es|una)\b",
+}
+
+
+@q(
+    "doc_stats",
+    f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_letters,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["en"]}')) AS n_stops,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["de"]}')) AS s_de_n,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["fr"]}')) AS s_fr_n,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["es"]}')) AS s_es_n
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(ws_tokens AS INT) AS ws_tokens, CAST(bpe_tokens AS INT) AS bpe_tokens,
+         CASE WHEN length(text) > 0 THEN CAST(n_punct AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN ws_tokens > 0 THEN CAST(n_stops AS DOUBLE) / ws_tokens ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN ws_tokens > 0 THEN CAST(n_letters AS DOUBLE) / ws_tokens ELSE 0.0 END AS mean_word_len,
+         length(text) AS n, text,
+         CAST(n_stops AS DOUBLE) / greatest(ws_tokens, 1) AS s_en,
+         CAST(s_de_n AS DOUBLE) / greatest(ws_tokens, 1) AS s_de,
+         CAST(s_fr_n AS DOUBLE) / greatest(ws_tokens, 1) AS s_fr,
+         CAST(s_es_n AS DOUBLE) / greatest(ws_tokens, 1) AS s_es
+  FROM t
+)
+SELECT doc_id, ws_tokens, bpe_tokens, punct_ratio, stopword_ratio,
+       least(CAST(n AS DOUBLE) / 500.0, 1.0) * 0.3
+         + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
+         + least(stopword_ratio * 5.0, 1.0) * 0.25
+         + CASE WHEN mean_word_len >= 2.5 AND mean_word_len <= 9.0 THEN 1.0 ELSE 0.3 END * 0.2
+         AS quality,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+       md5({_NORM_SQL}) AS fingerprint
+FROM m
+""",
+)
+def doc_stats(spark, sf_dir):
+    """Text analysis: tokens/quality/langid/fingerprint (functions/text.py)."""
+    from .functions.text import analyze
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return analyze(docs).select(
+        "doc_id", "ws_tokens", "bpe_tokens", "punct_ratio", "stopword_ratio",
+        "quality", "lang_pred", "fingerprint",
+    )
+
+
+@q(
+    "doc_exact_dups",
+    """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keep_id
+FROM u GROUP BY md5(text) HAVING count(*) >= 2
+""",
+)
+def doc_exact_dups(spark, sf_dir):
+    """Exact dedup: hash-groupBy, one shuffle (functions/dedup.py). Duplicate
+    rows injected deterministically (doc_id % 10) on both sides."""
+    from .functions.dedup import exact_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_dups(docs.unionAll(dup))
+
+
+@q(
+    "doc_minhash",
+    f"""
+WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM d)
+SELECT doc_id,
+       min(md5('s0|' || sh)) AS mh_0, min(md5('s1|' || sh)) AS mh_1,
+       min(md5('s2|' || sh)) AS mh_2, min(md5('s3|' || sh)) AS mh_3
+FROM sh GROUP BY doc_id
+""",
+)
+def doc_minhash(spark, sf_dir):
+    """MinHash signatures, k=4 (functions/dedup.py — min of md5(seed||shingle))."""
+    from .functions.dedup import minhash_signature
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signature(docs, k=4)
+
+
+@q(
+    "doc_lsh_jaccard",
+    f"""
+WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM d),
+sig AS (
+  SELECT doc_id, min(md5('s0|' || sh)) AS mh_0, min(md5('s1|' || sh)) AS mh_1,
+         min(md5('s2|' || sh)) AS mh_2, min(md5('s3|' || sh)) AS mh_3
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, b.band AS band,
+         CASE b.band WHEN 0 THEN md5(mh_0) WHEN 1 THEN md5(mh_1)
+                     WHEN 2 THEN md5(mh_2) ELSE md5(mh_3) END AS band_key
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(min(a.band) AS INT) AS band
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+ss AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s FROM d)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / len(list_distinct(sa.s || sb.s)), 6) AS jaccard
+FROM cand JOIN ss sa ON cand.doc_a = sa.doc_id
+          JOIN ss sb ON cand.doc_b = sb.doc_id
+""",
+)
+def doc_lsh_jaccard(spark, sf_dir):
+    """MinHash-LSH candidates (k=4, r=1 banding) + exact n-gram Jaccard
+    verify (functions/dedup.py lsh_candidates + ngram_jaccard)."""
+    from .functions.dedup import lsh_candidates, ngram_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = lsh_candidates(docs, k=4, bands=4)
+    jac = ngram_jaccard(docs, cand.select("doc_a", "doc_b"))
+    return jac.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q(
+    "doc_simhash",
+    f"""
+WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+words AS (SELECT doc_id, unnest(w) AS wd FROM d),
+h AS (SELECT doc_id, ('0x' || substr(md5(wd), 1, 15))::BIGINT AS h
+      FROM words WHERE length(wd) > 0),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         CASE WHEN sum(((h >> CAST(b.b AS INT)) & 1) * 2 - 1) > 0
+              THEN CAST(1 AS BIGINT) << CAST(b.b AS INT) ELSE 0 END AS bit
+  FROM h, range(60) b(b) GROUP BY doc_id, b.b
+)
+SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
+""",
+)
+def doc_simhash(spark, sf_dir):
+    """SimHash signatures (functions/dedup.py — 60-bit majority vote)."""
+    from .functions.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs)
+
+
+@q("doc_near_dups_pipeline", None)  # rows-only: full LSH->verify pipeline
+def doc_near_dups_pipeline(spark, sf_dir):
+    from .functions.dedup import near_dups_minhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dups_minhash(docs, k=8, bands=4, threshold=0.5)
+
+
+@q("doc_simhash_near_dups", None)  # rows-only: bucketed hamming join
+def doc_simhash_near_dups(spark, sf_dir):
+    from .functions.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dups(docs, max_hamming=8)
+
+
+# ------------------------------------------------------------- embeddings
+
+_COS_SQL = (
+    "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+
+@q(
+    "ann_topk",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id, round({_COS_SQL}, 6) AS cos_r
+FROM embeddings e, q
+ORDER BY {_COS_SQL} DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k (functions/ann.py cosine_topk)."""
+    from .functions.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = cosine_topk(emb, qv, k=10)
+    return out.select("vec_id", F.round("cos", 6).alias("cos_r"))
+
+
+@q(
+    "ann_knn_join",
+    f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM b WHERE vec_id < 3),
+scored AS (
+  SELECT q_id, b.vec_id AS b_id,
+         list_dot_product(b.v, qs.qv)
+           / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(qs.qv, qs.qv))) AS cos
+  FROM qs JOIN b ON b.vec_id <> qs.q_id
+)
+SELECT q_id, b_id, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, b_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, b_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def ann_knn_join(spark, sf_dir):
+    """Exact kNN join, broadcast queries (functions/ann.py)."""
+    from .functions.ann import knn_join_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_join_bruteforce(emb.filter(F.col("vec_id") < 3), emb, k=3)
+    return out.select("q_id", "b_id", "rank")
+
+
+@q(
+    "ann_dup_pairs",
+    f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       round(list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_r
+FROM b a JOIN b c ON a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.95
+""",
+)
+def ann_dup_pairs(spark, sf_dir):
+    """Embedding near-duplicate pairs, exact threshold join (the LSH/IVF
+    bucketed variant is ann_ivf_topk / cosine_near_dup_pairs — rows-only)."""
+    from .functions.ann import _as_double_array, cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = emb.select("vec_id", _as_double_array(F.col("embedding")).alias("v"))
+    a, c = b.alias("a"), b.alias("c")
+    cos = cosine(F.col("a.v"), F.col("c.v"))
+    return (
+        a.join(c, F.col("a.vec_id") < F.col("c.vec_id"))
+        .filter(cos >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_r"),
+        )
+    )
+
+
+@q("ann_ivf_topk", None)  # rows-only: approximate by construction
+def ann_ivf_topk(spark, sf_dir):
+    from .functions.ann import deterministic_centroids, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = deterministic_centroids(emb, nlist=8)
+    return ivf_topk(emb, qv, cents, k=10, nprobe=3)
+
+
+# ------------------------------------------------------------- relational / events
+
+@q(
+    "events_tumbling",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+       CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, max(value) AS vmax,
+       round(sum(value), 3) AS vsum
+FROM events GROUP BY 1, 2
+""",
+)
+def events_tumbling(spark, sf_dir):
+    """Tumbling-window aggregation over the event stream table — the batch
+    equivalent of the Structured-Streaming windowed agg (streaming/ingest.py
+    holds the incremental path)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"), F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"), F.round(F.sum("value"), 3).alias("vsum"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "vmin", "vmax", "vsum")
+    )
+
+
+@q(
+    "tpch_pricing",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_pricing(spark, sf_dir):
+    """Relational layer sanity: TPC-H Q1 shape with exact-cents arithmetic."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_market_revenue",
+    """
+SELECT c_mktsegment,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def tpch_market_revenue(spark, sf_dir):
+    """Broadcast dim join + groupBy (the relational join path)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@q("cube_real_decode", None)  # rows-only: true PNG/lossy decode path
+def cube_real_decode(spark, sf_dir):
+    """The full real pipeline on input_hint data: synth image table with
+    actual encoded bytes -> st_join -> decode+warp+mean -> reduce_time.
+    Pixel exactness vs the numpy oracle is pytest-gated
+    (tests/test_stjoin_build.py); no SQL engine can replay a PNG codec."""
+    from .operators.build import build_cube
+    from .synth import images_df
+
+    import dataclasses
+
+    v = dataclasses.replace(
+        V_ENG, left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=40, ny=40,
+        chunk_nt=8, chunk_ny=20, chunk_nx=20,
+    )
+    imgs = images_df(spark, 400)
+    cube = build_cube(imgs, v, bands=("B1", "B2"))
+    return cube.reduce_time([("mean", "B1"), ("count", "B1"), ("max", "B2")]).df
