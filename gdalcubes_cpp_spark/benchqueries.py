@@ -957,11 +957,10 @@ def cube_real_decode(spark, sf_dir):
     from .operators.build import build_cube
     from .synth import images_df
 
-    import dataclasses
-
-    v = dataclasses.replace(
-        V_ENG, left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=40, ny=40,
-        chunk_nt=8, chunk_ny=20, chunk_nx=20,
+    v = CubeView.create(
+        left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=40, ny=40,
+        t0="2020-01-01", t1="2020-12-31", dt="P1M",
+        aggregation="mean", resampling="near", chunk_size=(8, 20, 20),
     )
     imgs = images_df(spark, 400)
     cube = build_cube(imgs, v, bands=("B1", "B2"))

@@ -20,6 +20,12 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # one BLAS thread per python worker: N workers x M-thread OpenBLAS
+    # spin-waits destroy scaling (each tiny numpy op wakes M spinning
+    # threads; at 32 workers that is 32xM runnable threads)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -29,11 +35,28 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # small Arrow batches: big binary columns in 2048-row batches hit
+        # heavy allocator contention in local mode (40s vs 3s at 32 threads
+        # for the same 1GB transfer); ~2-3MB batches stay in cheap pools
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # binary image payloads make rows heavy: smaller splits keep every
+        # core fed (default 128m yields too few scan partitions for wide
+        # tables of encoded bytes)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # ParallelGC: G1's region management collapses under the
+        # many-threads x large-binary-batch allocation pattern (young pauses
+        # up to 880ms, 10-15x wall blowup at 32 threads); ParallelGC handles
+        # the same load with sub-50ms pauses
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.io.tmpdir=/tmp -XX:+UseParallelGC",
+        )
     )
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        b = b.config(f"spark.executorEnv.{var}", "1")
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
