@@ -259,7 +259,31 @@ class _AggMedian(_Agg):
         return out
 
 
+class _AggSumCount(_Agg):
+    """Partial state for salted/distributed MEAN: (sum, count) planes."""
+
+    def __init__(self, shape):
+        super().__init__(shape)
+        self.sum = np.zeros(shape)
+        self.cnt = np.zeros(shape)
+
+    def update(self, img, it):
+        m = ~np.isnan(img)
+        self.sum[:, it][m] += img[m]
+        self.cnt[:, it][m] += 1
+
+    def finalize(self):
+        # (2*nb, nt, ny, nx): [b1_sum..bn_sum, b1_cnt..bn_cnt]
+        return np.concatenate(
+            [np.where(self.cnt > 0, self.sum, np.nan),
+             np.where(self.cnt > 0, self.cnt, np.nan)],
+            axis=0,
+        )
+
+
 def _make_agg(method: str, shape) -> _Agg:
+    if method == "_sum_count":
+        return _AggSumCount(shape)
     if method == "mean":
         return _AggMean(shape)
     if method == "min":
@@ -298,6 +322,8 @@ def build_cells(
     decode_fn: Callable = default_decode,
     mask=None,
     value_fn: Callable | None = None,
+    group_cols: tuple = ("chunk_id",),
+    agg_override: str | None = None,
 ) -> DataFrame:
     """st_join output -> sparse wide cube cells (chunk_id, it, iy, ix, B*).
 
@@ -309,14 +335,24 @@ def build_cells(
     grid = ChunkGrid(view)
     nb = len(bands)
     resampling = view.resampling
-    agg_method = view.aggregation
+    agg_method = agg_override or view.aggregation
+    out_bands = (
+        [f"{b}_psum" for b in bands] + [f"{b}_pcnt" for b in bands]
+        if agg_method == "_sum_count" else list(bands)
+    )
 
     def kernel(pdf: pd.DataFrame):
+        from .. import srs as _srs
+
         cid = int(pdf["chunk_id"].iloc[0])
         (it0, it1), (iy0, iy1), (ix0, ix1) = grid.chunk_limits(cid)
         nt_c, ny_c, nx_c = it1 - it0, iy1 - iy0, ix1 - ix0
         xs = view.left + (np.arange(ix0, ix1) + 0.5) * view.dx
         ys = view.top - (np.arange(iy0, iy1) + 0.5) * view.dy
+        # footprints/pixels live in EPSG:4326; sample at the cell centers
+        # expressed in 4326 (warp.cpp's SRS transform step — mercator is
+        # separable so the 1-D axis vectors transform independently)
+        xs, ys = _srs.axis_to_wgs84(xs, ys, view.srs)
 
         pdf = pdf.sort_values("image_id", kind="mergesort")  # reference order
         agg = _make_agg(agg_method, (nb, nt_c, ny_c, nx_c))
@@ -370,7 +406,7 @@ def build_cells(
                 planes[:, m] = np.nan
             agg.update(planes, itl)
 
-        cube = agg.finalize()  # (nb, nt_c, ny_c, nx_c)
+        cube = agg.finalize()  # (len(out_bands), nt_c, ny_c, nx_c)
         keep = ~np.isnan(cube).all(axis=0)
         if not keep.any():
             return pd.DataFrame(
@@ -378,7 +414,7 @@ def build_cells(
                  "it": pd.Series([], dtype="int32"),
                  "iy": pd.Series([], dtype="int32"),
                  "ix": pd.Series([], dtype="int32"),
-                 **{b: pd.Series([], dtype="float64") for b in bands}}
+                 **{b: pd.Series([], dtype="float64") for b in out_bands}}
             )
         tt, yy, xx = np.nonzero(keep)
         out = {
@@ -387,16 +423,68 @@ def build_cells(
             "iy": (yy + iy0).astype(np.int32),
             "ix": (xx + ix0).astype(np.int32),
         }
-        for b in range(nb):
-            out[bands[b]] = cube[b, tt, yy, xx]
+        for b in range(len(out_bands)):
+            out[out_bands[b]] = cube[b, tt, yy, xx]
         return pd.DataFrame(out)
 
-    cols = ["chunk_id", "image_id", "ts", "left", "right", "bottom", "top", "w", "h"]
+    cols = list(group_cols) + [
+        "image_id", "ts", "left", "right", "bottom", "top", "w", "h"
+    ]
+    if "chunk_id" not in cols:
+        cols = ["chunk_id"] + cols
     if value_fn is None:
         cols += ["bytes", "fmt"]
-    return joined.select(*cols).groupBy("chunk_id").applyInPandas(
-        kernel, schema=cells_schema(bands)
+    return joined.select(*cols).groupBy(*group_cols).applyInPandas(
+        kernel, schema=cells_schema(out_bands)
     )
+
+
+# ---------------------------------------------------------------------------
+# salted two-phase aggregation for hot chunks (north_rule skew handling)
+# ---------------------------------------------------------------------------
+
+_SALTABLE = {"mean", "min", "max", "count_values", "count_images"}
+
+
+def build_cells_salted(
+    joined: DataFrame,
+    view: CubeView,
+    bands: tuple = DEFAULT_BANDS,
+    decode_fn: Callable = default_decode,
+    mask=None,
+    value_fn: Callable | None = None,
+    salt: int = 8,
+) -> DataFrame:
+    """Two-phase chunk build for skewed collections: images of a chunk are
+    split into ``salt`` sub-groups by image-id hash; each sub-group runs the
+    chunk kernel producing PARTIAL states (sum/count for mean; partial
+    extremes/counts otherwise); a native groupBy merges. Bounds any single
+    Python task's input to ~1/salt of the hottest chunk — the explicit
+    salted-key handling BASELINE.json's north_rule requires (the reference
+    has no equivalent; its chunk is a hard parallelism unit,
+    src/cube.cpp:1703-1737). Only associative methods are saltable;
+    median/first/last need total order and go unsalted."""
+    agg = view.aggregation
+    if agg not in _SALTABLE:
+        raise ValueError(f"aggregation {agg!r} is not saltable (use build_cells)")
+    salted = joined.withColumn("salt", F.pmod(F.xxhash64("image_id"), F.lit(salt)))
+    kernel_agg = "_sum_count" if agg == "mean" else agg
+    partial = build_cells(
+        salted, view, bands, decode_fn, mask, value_fn,
+        group_cols=("chunk_id", "salt"), agg_override=kernel_agg,
+    )
+    keys = ["chunk_id", "it", "iy", "ix"]
+    if agg == "mean":
+        aggs = [
+            (F.sum(f"`{b}_psum`") / F.sum(f"`{b}_pcnt`")).alias(b) for b in bands
+        ]
+    elif agg == "min":
+        aggs = [F.min(f"`{b}`").alias(b) for b in bands]
+    elif agg == "max":
+        aggs = [F.max(f"`{b}`").alias(b) for b in bands]
+    else:  # count_values / count_images: partial counts add up
+        aggs = [F.sum(f"`{b}`").alias(b) for b in bands]
+    return partial.groupBy(*keys).agg(*aggs)
 
 
 # ---------------------------------------------------------------------------
@@ -443,6 +531,9 @@ def build_cells_long(
         cols += ["bytes", "fmt"]
 
     def scan(batches):
+        from .. import srs as _srs
+
+        merc = _srs.normalize(view.srs) == "EPSG:3857"
         for pdf in batches:
             out_it, out_iy, out_ix, out_id = [], [], [], []
             out_v = [[] for _ in range(nb)]
@@ -452,6 +543,14 @@ def build_cells_long(
             a_b = pdf["bottom"].to_numpy()
             a_t = pdf["top"].to_numpy()
             a_id = pdf["image_id"].to_numpy()
+            if merc:
+                # footprint bbox -> view coords for the cell-window math
+                v_l = _srs.lon_to_x(a_l)
+                v_r = _srs.lon_to_x(a_r)
+                v_b = _srs.lat_to_y(a_b)
+                v_t = _srs.lat_to_y(a_t)
+            else:
+                v_l, v_r, v_b, v_t = a_l, a_r, a_b, a_t
             if value_fn is None:
                 a_bytes = pdf["bytes"].to_numpy()
                 a_fmt = pdf["fmt"].to_numpy()
@@ -460,15 +559,17 @@ def build_cells_long(
                 if itg < 0 or itg >= view.nt:
                     continue
                 # covered global cell window (centers inside the footprint)
-                ix0 = max(0, int(np.ceil((a_l[k] - view.left) / view.dx - 0.5)))
-                ix1 = min(view.nx, int(np.floor((a_r[k] - view.left) / view.dx - 0.5)) + 1)
-                iy0 = max(0, int(np.ceil((view.top - a_t[k]) / view.dy - 0.5)))
-                iy1 = min(view.ny, int(np.floor((view.top - a_b[k]) / view.dy - 0.5)) + 1)
+                ix0 = max(0, int(np.ceil((v_l[k] - view.left) / view.dx - 0.5)))
+                ix1 = min(view.nx, int(np.floor((v_r[k] - view.left) / view.dx - 0.5)) + 1)
+                iy0 = max(0, int(np.ceil((view.top - v_t[k]) / view.dy - 0.5)))
+                iy1 = min(view.ny, int(np.floor((view.top - v_b[k]) / view.dy - 0.5)) + 1)
                 if ix1 <= ix0 or iy1 <= iy0:
                     continue
                 xs = view.left + (np.arange(ix0, ix1) + 0.5) * view.dx
                 ys = view.top - (np.arange(iy0, iy1) + 0.5) * view.dy
-                # guard float edges: centers must be strictly covered
+                xs, ys = _srs.axis_to_wgs84(xs, ys, view.srs)
+                # guard float edges: centers must be strictly covered (in 4326,
+                # matching the warp's own inside test exactly)
                 mx = (xs >= a_l[k]) & (xs < a_r[k])
                 my = (ys > a_b[k]) & (ys <= a_t[k])
                 if not (mx.any() and my.any()):
@@ -581,6 +682,10 @@ def build_cube(
         strategy = "cell_long" if view.aggregation in _LONG_AGGS else "chunk_kernel"
     if strategy == "cell_long":
         cells = build_cells_long(images, view, bands, decode_fn, mask, value_fn)
+    elif strategy == "salted":
+        grid = ChunkGrid(view)
+        joined = st_join(images, grid, method=method)
+        cells = build_cells_salted(joined, view, bands, decode_fn, mask, value_fn).drop("chunk_id")
     else:
         grid = ChunkGrid(view)
         joined = st_join(images, grid, method=method)

