@@ -965,3 +965,139 @@ def cube_real_decode(spark, sf_dir):
     imgs = images_df(spark, 400)
     cube = build_cube(imgs, v, bands=("B1", "B2"))
     return cube.reduce_time([("mean", "B1"), ("count", "B1"), ("max", "B2")]).df
+
+
+# ------------------------------------------------- additional operator oracles
+
+@q(
+    "cube_last",
+    _ENG_CELL_JOIN
+    + """
+SELECT it, iy, ix, arg_max(val1, image_id) AS B1, arg_max(val2, image_id) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_last(spark, sf_dir):
+    """AGG_LAST (src/image_collection_cube.cpp:226-244)."""
+    return _cube_eng(spark, sf_dir, "last").df
+
+
+@q(
+    "cube_min_max",
+    _ENG_CELL_JOIN
+    + """
+SELECT it, iy, ix, min(val1) AS B1, max(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_min_max(spark, sf_dir):
+    """AGG_MIN / AGG_MAX (src/image_collection_cube.cpp:246-292)."""
+    mn = _cube_eng(spark, sf_dir, "min")
+    mx = _cube_eng(spark, sf_dir, "max")
+    j = mn.select_bands(["B1"]).join_bands([mx.select_bands(["B2"])])
+    return j.df.select(*KEY, "B1", "B2")
+
+
+@q(
+    "cube_count_values",
+    f"""
+WITH img AS ({IMG_META_SQL}), chunks AS ({_chunks_sql(V_ENG)}),
+hits AS (
+  SELECT chunks.chunk_id, {_IT_SQL} AS it,
+         any_value(it0) AS it0, any_value(iy0) AS iy0, any_value(iy1) AS iy1,
+         any_value(ix0) AS ix0, any_value(ix1) AS ix1
+  FROM img JOIN chunks
+    ON NOT (img.right < chunks.ch_left OR img.left > chunks.ch_right
+            OR img.bottom > chunks.ch_top OR img.top < chunks.ch_bottom)
+   AND img.ts >= chunks.ch_t_start AND img.ts <= chunks.ch_t_end
+   AND {_IT_SQL} >= it0 AND {_IT_SQL} < it1
+  GROUP BY chunks.chunk_id, {_IT_SQL}
+),
+cellcnt AS (
+  SELECT cells.it AS it, cells.iy AS iy, cells.ix AS ix, count(*) AS n
+  FROM ({_CELLS_ENG_SQL}) cells JOIN img
+    ON {_COVER_SQL} AND cells.it = {_IT_SQL}
+  GROUP BY cells.it, cells.iy, cells.ix
+)
+SELECT CAST(hits.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+       CAST(coalesce(n, 0) AS DOUBLE) AS B1, CAST(coalesce(n, 0) AS DOUBLE) AS B2
+FROM hits
+JOIN range(0, {V_ENG.ny}) y(iy) ON y.iy >= iy0 AND y.iy < iy1
+JOIN range(0, {V_ENG.nx}) x(ix) ON x.ix >= ix0 AND x.ix < ix1
+LEFT JOIN cellcnt ON cellcnt.it = hits.it AND cellcnt.iy = y.iy AND cellcnt.ix = x.ix
+""",
+)
+def cube_count_values(spark, sf_dir):
+    """AGG_COUNT_VALUES incl. plane-flip-to-0 (src/image_collection_cube.cpp:179-201)."""
+    return _cube_eng(spark, sf_dir, "count_values").df
+
+
+@q(
+    "select_time_labeled",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT CAST(CASE it WHEN 2 THEN 0 WHEN 9 THEN 1 WHEN 15 THEN 2 END AS INT) AS it,
+       iy, ix, B1, B2
+FROM cells WHERE it IN (2, 9, 15) AND (B1 IS NOT NULL OR B2 IS NOT NULL)
+""",
+)
+def select_time_labeled(spark, sf_dir):
+    """select_time -> labeled irregular axis (src/select_time.h:22-43)."""
+    c = _formula_cube(spark).select_time([2, 9, 15])
+    assert c.view.labeled
+    return c.df
+
+
+@q(
+    "window_time_kernel",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, iy, ix,
+       2.0 * coalesce(B1, 0)
+       - coalesce(lag(B1) OVER w, 0) - coalesce(lead(B1) OVER w, 0) AS B1
+FROM cells
+WINDOW w AS (PARTITION BY iy, ix ORDER BY it)
+""",
+)
+def window_time_kernel(spark, sf_dir):
+    """window_time convolution kernel [-1, 2, -1] (src/window_time.cpp:120-157)."""
+    c = _formula_cube(spark).select_bands(["B1"]).window_time((1, 1), kernel=[-1.0, 2.0, -1.0])
+    return c.df.select(*KEY, "B1")
+
+
+@q(
+    "fill_time_locf",
+    f"""
+WITH cells AS ({_CELLS_F_SQL}),
+f AS (
+  SELECT it, iy, ix, B1, B2,
+    last_value(B1 IGNORE NULLS) OVER
+      (PARTITION BY iy, ix ORDER BY it ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+  FROM cells
+)
+SELECT it, iy, ix, coalesce(B1, pv) AS B1, B2 FROM f
+WHERE coalesce(B1, pv) IS NOT NULL OR B2 IS NOT NULL
+""",
+)
+def fill_time_locf(spark, sf_dir):
+    """fill_time locf (src/fill_time.cpp:137-150)."""
+    return _formula_cube(spark).fill_time("locf").df
+
+
+@q(
+    "query_timeseries",
+    f"""
+WITH cells AS ({_CELLS_F_SQL}), pts AS ({_PTS_SQL})
+SELECT point_id, cells.it AS it, cells.iy AS iy, cells.ix AS ix, B1, B2
+FROM pts JOIN cells
+  ON cells.ix = CAST(floor(x / {V_F.dx}) AS INT)
+ AND cells.iy = CAST(floor(({V_F.top} - y) / {V_F.dy}) AS INT)
+WHERE pts.point_id < 30 AND (B1 IS NOT NULL OR B2 IS NOT NULL)
+""",
+)
+def query_timeseries(spark, sf_dir):
+    """vector_queries::query_timeseries (src/vector_queries.cpp:204-370)."""
+    from .vector.queries import query_timeseries as qt
+
+    pts = _points_df(spark, sf_dir).filter(F.col("point_id") < 30)
+    return qt(_formula_cube(spark), pts)
