@@ -421,6 +421,63 @@ class Cube:
         )
         return self._with(out.filter(any_set))
 
+    def fill_space_knn(self, k: int = 1) -> "Cube":
+        """Spatial kNN gap-fill (north_star: 'kNN neighbor lookup for
+        gap-filling'): every cell within Chebyshev distance <= k of a
+        populated cell, missing in the sparse table or NULL in a band,
+        takes the value of its nearest populated neighbor (ties break by
+        smallest (distance, iy, ix) — deterministic).
+
+        Shuffle shape: each populated cell advertises itself to its
+        (2k+1)² neighbor positions (a Generate, no UDF), then one
+        groupBy(it, ty, tx) min_by picks the winner — the k-ring-join
+        formulation of kNN that scales as rows × ring size with no
+        quadratic term. The reference has no spatial fill operator
+        (only fill_time, src/fill_time.h:23-28) — this is an extension."""
+        v = self.view
+        off = F.sequence(F.lit(-k), F.lit(k))
+        pairs = F.explode(
+            F.flatten(
+                F.transform(
+                    off,
+                    lambda dy: F.transform(off, lambda dx: F.struct(dy.alias("dy"), dx.alias("dx"))),
+                )
+            )
+        ).alias("o")
+        adv = (
+            self.df.select(*KEY, *self.bands, pairs)
+            .select(
+                "it",
+                (F.col("iy") + F.col("o.dy")).cast("int").alias("ty"),
+                (F.col("ix") + F.col("o.dx")).cast("int").alias("tx"),
+                (F.greatest(F.abs(F.col("o.dy")), F.abs(F.col("o.dx")))).alias("dist"),
+                "iy", "ix", *self.bands,
+            )
+            .filter(
+                (F.col("ty") >= 0) & (F.col("ty") < v.ny)
+                & (F.col("tx") >= 0) & (F.col("tx") < v.nx)
+            )
+        )
+        order = F.struct(F.col("dist"), F.col("iy"), F.col("ix"))
+        agg = [
+            F.min_by(F.col(f"`{b}`"), F.when(F.col(f"`{b}`").isNotNull(), order)).alias(f"f_{b}")
+            for b in self.bands
+        ]
+        nearest = adv.groupBy("it", "ty", "tx").agg(*agg).withColumnsRenamed(
+            {"ty": "iy", "tx": "ix"}
+        )
+        out = (
+            self.df.join(nearest, KEY, "outer")
+            .select(
+                *KEY,
+                *[
+                    F.coalesce(F.col(f"`{b}`"), F.col(f"`f_{b}`")).alias(b)
+                    for b in self.bands
+                ],
+            )
+        )
+        return self._with(out)
+
     # ------------------------------------------------------- joins (§2.3)
 
     def join_bands(self, others, prefixes=None) -> "Cube":

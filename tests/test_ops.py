@@ -307,3 +307,30 @@ def test_write_read_roundtrip(spark, dense, tmp_path):
     gm = np.isfinite(got)
     assert np.allclose(got[gm], dense[gm], atol=0)
     assert gm.sum() == m.sum()
+
+
+def test_fill_space_knn(spark, dense):
+    c, v = cube_from_dense(spark, dense)
+    got = c.fill_space_knn(k=1).collect_dense()
+    want = dense.copy()
+    for b in range(2):
+        for t in range(NT):
+            plane = dense[b, t]
+            for iy in range(NY):
+                for ix in range(NX):
+                    if np.isfinite(plane[iy, ix]):
+                        continue
+                    best = None
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            sy, sx = iy + dy, ix + dx
+                            if 0 <= sy < NY and 0 <= sx < NX and np.isfinite(plane[sy, sx]):
+                                key = (max(abs(dy), abs(dx)), sy, sx)
+                                if best is None or key < best[0]:
+                                    best = (key, plane[sy, sx])
+                    if best is not None:
+                        want[b, t, iy, ix] = best[1]
+    m = np.isfinite(want)
+    gm = np.isfinite(got)
+    assert (m == gm).all(), "knn fill NaN pattern"
+    assert np.allclose(got[m], want[m], atol=0)
