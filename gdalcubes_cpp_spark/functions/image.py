@@ -75,6 +75,31 @@ def thumbnails(images: DataFrame, size: int = 16) -> DataFrame:
     )
 
 
+def create_overviews(images: DataFrame, levels=(2, 4, 8)) -> DataFrame:
+    """image_collection_ops::create_overviews analog (src/image_collection_ops.h:
+    30-34): batch maintenance job producing a resolution pyramid per image —
+    (image_id, level, bytes). mapInPandas over image rows; the reference's
+    warp.cpp:104-157 overview-selection pushdown reads these instead of the
+    full-res image when the target grid is coarse."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, lvls, data = [], [], []
+            for _, r in b.iterrows():
+                img = codecs.decode(r["bytes"], r["fmt"])
+                for lv in levels:
+                    oh = max(1, img.shape[0] // lv)
+                    ow = max(1, img.shape[1] // lv)
+                    ids.append(r["image_id"])
+                    lvls.append(lv)
+                    data.append(codecs.encode_png(resize_nearest(img, oh, ow)))
+            yield pd.DataFrame({"image_id": ids, "level": lvls, "bytes": data})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, "image_id string, level int, bytes binary"
+    )
+
+
 # ---------------------------------------------------------------------------
 # audio / video stubs (deterministic fake containers)
 # ---------------------------------------------------------------------------

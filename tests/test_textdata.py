@@ -152,3 +152,18 @@ def test_audio_video_stub_plumbing(spark):
     assert frames.shape == (4, 16, 16)
     with pytest.raises(NotImplementedError):
         image.decode_audio(b"not audio bytes")
+
+
+def test_create_overviews(spark):
+    from gdalcubes_cpp_spark import codecs, synth
+
+    imgs = synth.images_df(spark, 6)
+    ov = image.create_overviews(imgs, levels=(2, 4)).toPandas()
+    assert len(ov) == 12
+    pdf = synth.images_pdf(6).set_index("image_id")
+    for _, r in ov.iterrows():
+        full = codecs.decode(pdf.loc[r["image_id"], "bytes"], pdf.loc[r["image_id"], "fmt"])
+        small = codecs.decode_png(bytes(r["bytes"]))
+        assert small.shape[0] == full.shape[0] // r["level"]
+        # nearest-downsampled pixels are exact gathers from the full image
+        assert small[0, 0, 0] == full[0, 0, 0]
