@@ -16,7 +16,11 @@ oracle_sql()  — DuckDB-dialect equivalents over the same parquet views;
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -117,3 +117,24 @@ def test_default_view(spark):
     # extent covers all footprints
     pdf = synth.images_pdf(300)
     assert v.left <= pdf["left"].min() and v.right >= pdf["right"].max()
+
+
+def test_stjoin_3857_methods_agree(spark):
+    from gdalcubes_cpp_spark.grid import ChunkGrid
+    from gdalcubes_cpp_spark.operators import stjoin
+
+    images = spark.createDataFrame(synth.images_pdf(300))
+    v = CubeView.create(
+        srs="EPSG:3857",
+        left=float(srs.lon_to_x(-30)), right=float(srs.lon_to_x(30)),
+        bottom=float(srs.lat_to_y(-30)), top=float(srs.lat_to_y(38)),
+        nx=120, ny=136, t0="2020-01-01", t1="2020-12-31", dt="P2M",
+        aggregation="mean", resampling="near", chunk_size=(2, 34, 40),
+    )
+    g = ChunkGrid(v)
+    a = sorted((r["image_id"], r["chunk_id"])
+               for r in stjoin.assignment(images, g, method="broadcast").collect())
+    b = sorted((r["image_id"], r["chunk_id"])
+               for r in stjoin.assignment(images, g, method="cells").collect())
+    assert len(a) > 50
+    assert a == b
