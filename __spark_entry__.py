@@ -29,15 +29,32 @@ from gdalcubes_cpp_spark.benchqueries import REGISTRY
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from gdalcubes_cpp_spark.benchqueries import REGISTRY
-
     fn, _ = REGISTRY["cube_real_decode"]
-    return fn(spark, "/root/testdata/sf0.001")
+    return _with_session_defaults(fn)(spark, "/root/testdata/sf0.001")
+
+
+def _with_session_defaults(fn):
+    """The driver runs queries in ITS OWN session; timestamp-deriving
+    expressions (window alignment, unix_timestamp, date_format) must see
+    UTC to match the DuckDB oracle's naive timestamps, and small Arrow
+    batches keep binary-column transfer off the allocator-contention path."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        except Exception:
+            pass
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: _with_session_defaults(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
