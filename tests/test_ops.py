@@ -334,3 +334,17 @@ def test_fill_space_knn(spark, dense):
     gm = np.isfinite(got)
     assert (m == gm).all(), "knn fill NaN pattern"
     assert np.allclose(got[m], want[m], atol=0)
+
+
+def test_window_time_median_prod(spark, dense):
+    c, _ = cube_from_dense(spark, dense)
+    got = c.window_time((1, 1), reducers=[("median", "B1"), ("prod", "B2")]).collect_dense()
+    for t in range(NT):
+        lo, hi = max(0, t - 1), min(NT, t + 2)
+        with np.errstate(all="ignore"):
+            wm = np.nanmedian(dense[0][lo:hi], axis=0)
+            wp = np.nanprod(dense[1][lo:hi], axis=0)
+        m = np.isfinite(wm)
+        assert np.allclose(got[0, t][m], wm[m], atol=1e-9)
+        m3 = np.isfinite(got[1, t])
+        assert np.allclose(got[1, t][m3], wp[m3], rtol=1e-12)
