@@ -122,6 +122,16 @@ HTTP with no resume (src/swarm.cpp:265-297). Our engine distributes via
 Spark partitions, pushes aggregation map-side, and checkpoints lineage
 per partition (gdalcubes_cpp_spark/ckpt.py).
 """
+    hr = os.path.join(REPO, "BENCH", "headroom.json")
+    if os.path.exists(hr):
+        with open(hr) as f:
+            h = json.load(f)
+        md += (
+            "\n## Scale headroom (single machine ceiling)\n\n"
+            f"Flagship at {h['n_images']:,} images ({h['input_gb']} GB input), "
+            f"local[{h['cores']}]: best {h['best_images_per_sec']:,} images/sec "
+            f"(runs: {h['runs_s']} s; rep0 cold).\n"
+        )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps(result))
