@@ -1101,3 +1101,52 @@ def query_timeseries(spark, sf_dir):
 
     pts = _points_df(spark, sf_dir).filter(F.col("point_id") < 30)
     return qt(_formula_cube(spark), pts)
+
+
+@q(
+    "filter_geom_rect",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT CAST(it AS INT) AS it, CAST(iy - 5 AS INT) AS iy, CAST(ix - 3 AS INT) AS ix, B1, B2
+FROM cells
+WHERE ({V_F.left} + (ix + 0.5) * {V_F.dx}) > 3.4 AND ({V_F.left} + (ix + 0.5) * {V_F.dx}) < 14.8
+  AND ({V_F.top} - (iy + 0.5) * {V_F.dy}) > 8.2 AND ({V_F.top} - (iy + 0.5) * {V_F.dy}) < 18.6
+""",
+)
+def filter_geom_rect(spark, sf_dir):
+    """filter_geom: polygon crop + center-in-polygon mask
+    (src/filter_geom.h:46-49). Output coords are re-based by the bbox crop."""
+    from .vector.queries import filter_geom
+
+    wkt = "POLYGON ((3.4 8.2, 14.8 8.2, 14.8 18.6, 3.4 18.6, 3.4 8.2))"
+    return filter_geom(_formula_cube(spark), wkt).df
+
+
+@q(
+    "fill_space_knn",
+    f"""
+WITH cells AS ({_CELLS_F_SQL}),
+adv AS (
+  SELECT c.it AS it, c.iy + dy.d AS ty, c.ix + dx.d AS tx,
+         greatest(abs(dy.d), abs(dx.d)) AS dist, c.iy AS sy, c.ix AS sx, c.B1 AS v
+  FROM cells c, (VALUES (-1), (0), (1)) dy(d), (VALUES (-1), (0), (1)) dx(d)
+  WHERE c.B1 IS NOT NULL
+    AND c.iy + dy.d >= 0 AND c.iy + dy.d < {V_F.ny}
+    AND c.ix + dx.d >= 0 AND c.ix + dx.d < {V_F.nx}
+),
+nearest AS (
+  SELECT it, ty, tx, v FROM (
+    SELECT it, ty, tx, v,
+           row_number() OVER (PARTITION BY it, ty, tx ORDER BY dist, sy, sx) AS rn
+    FROM adv
+  ) WHERE rn = 1
+)
+SELECT cells.it AS it, cells.iy AS iy, cells.ix AS ix,
+       coalesce(cells.B1, nearest.v) AS B1, cells.B2 AS B2
+FROM cells LEFT JOIN nearest
+  ON nearest.it = cells.it AND nearest.ty = cells.iy AND nearest.tx = cells.ix
+""",
+)
+def fill_space_knn(spark, sf_dir):
+    """kNN spatial gap-fill, k=1 (north_star kNN lookup; cube.py extension)."""
+    return _formula_cube(spark).fill_space_knn(k=1).df

@@ -72,3 +72,41 @@ def test_lossy_psnr_always_above_gate(s, w, h):
     dec = codecs.decode(codecs.encode_lossy(img))
     assert codecs.psnr(img, dec) >= 40.0
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    # bboxes with deliberate exact-boundary alignments (multiples of 0.25)
+    l=st.integers(-40, 36).map(lambda k: k * 0.25),
+    w=st.integers(1, 12).map(lambda k: k * 0.25),
+    b=st.integers(-40, 36).map(lambda k: k * 0.25),
+    h=st.integers(1, 12).map(lambda k: k * 0.25),
+    day=st.integers(0, 400),
+)
+def test_join_predicate_edges(l, w, b, h, day):
+    """find_range_st edge semantics: touching bboxes intersect (strict <),
+    chunk time end is INCLUSIVE (src/image_collection.cpp:1330-1334)."""
+    from datetime import datetime, timedelta
+
+    from gdalcubes_cpp_spark.grid import ChunkGrid
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(left=-10, right=10, bottom=-10, top=10, nx=40, ny=40,
+                        t0="2020-01-01", nt=12, dt="P1M", chunk_size=(4, 20, 20))
+    g = ChunkGrid(v)
+    ts = datetime(2020, 1, 1) + timedelta(days=day)
+    hits = []
+    for cid in g.chunk_ids():
+        bd = g.chunk_bounds(cid)
+        sp = not (l + w < bd["left"] or l > bd["right"] or b > bd["top"] or b + h < bd["bottom"])
+        tm = bd["t_start"] <= ts <= bd["t_end"]
+        if sp and tm:
+            hits.append(cid)
+    # invariants: a bbox overlapping the extent with ts inside [t0, t_end]
+    # hits at least one chunk; disjoint bboxes hit none
+    inside_space = not (l + w < v.left or l > v.right or b > v.top or b + h < v.bottom)
+    inside_time = v.t0 <= ts <= v.t_end
+    if inside_space and inside_time:
+        assert hits, (l, w, b, h, ts)
+    if not inside_space:
+        assert not hits
