@@ -145,12 +145,42 @@ def write_cube(cube: Cube, path: str, mode: str = "overwrite") -> None:
     _ = sc  # driver-side write is fine for a <1KB sidecar
 
 
-def read_chunks(spark: SparkSession, path: str) -> Cube:
+def read_chunks(
+    spark: SparkSession, path: str,
+    ix_range=None, iy_range=None, it_range=None,
+) -> Cube:
     """ncdf_cube analog (src/ncdf_cube.h:48-50): re-read a materialized cube.
-    Partitioned by chunk_id → partition pruning on chunk predicates."""
+
+    The cells are partitioned by chunk_id; optional coordinate ranges are
+    translated to the covering chunk-id set and pushed as a partition
+    filter, so a crop touches only matching chunk directories — the
+    partition-pruning discipline that replaces the reference's
+    chunk-wise file reads (and maps to Iceberg partition pruning at scale)."""
+    from pyspark.sql import functions as F
+
+    from ..grid import ChunkGrid
+
     with open(path + "/cube.json") as f:
         meta = json.load(f)
     view = CubeView.from_json(json.dumps(meta["view"]))
     bands = tuple(meta["bands"])
-    df = spark.read.parquet(path + "/cells").select(*KEY, *bands)
-    return Cube(df, view, bands)
+    df = spark.read.parquet(path + "/cells")
+    if ix_range or iy_range or it_range:
+        g = ChunkGrid(view)
+        x0, x1 = ix_range or (0, view.nx)
+        y0, y1 = iy_range or (0, view.ny)
+        t0, t1 = it_range or (0, view.nt)
+        cids = [
+            cid
+            for cid in g.chunk_ids()
+            if not (
+                g.chunk_limits(cid)[2][1] <= x0 or g.chunk_limits(cid)[2][0] >= x1
+                or g.chunk_limits(cid)[1][1] <= y0 or g.chunk_limits(cid)[1][0] >= y1
+                or g.chunk_limits(cid)[0][1] <= t0 or g.chunk_limits(cid)[0][0] >= t1
+            )
+        ]
+        df = df.filter(F.col("chunk_id").isin(cids))
+    cube = Cube(df.select(*KEY, *bands), view, bands)
+    if ix_range or iy_range or it_range:
+        cube = cube.crop(ix_range=ix_range, iy_range=iy_range, it_range=it_range)
+    return cube

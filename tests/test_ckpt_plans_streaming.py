@@ -105,3 +105,27 @@ def test_streaming_incremental_build(spark, tmp_path):
     assert (np.isnan(got) == np.isnan(want)).all()
     m = np.isfinite(want)
     assert np.allclose(got[m], want[m], atol=1e-9)
+
+
+def test_read_chunks_partition_pruning(spark, tmp_path):
+    """A cropped re-read must prune chunk partitions at the file-source level
+    (PartitionFilters in the scan) and match the in-memory crop."""
+    import numpy as np
+
+    from gdalcubes_cpp_spark.sources.collection import read_chunks, write_cube
+
+    from .test_ops import cube_from_dense, make_dense
+
+    dense = make_dense(seed=21)
+    c, v = cube_from_dense(spark, dense)
+    path = str(tmp_path / "cube")
+    write_cube(c, path)
+
+    cropped = read_chunks(spark, path, ix_range=(0, 3), iy_range=(0, 3), it_range=(0, 4))
+    plan = cropped.df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "chunk_id" in plan
+    got = cropped.collect_dense()
+    want = dense[:, 0:4, 0:3, 0:3]
+    m = np.isfinite(want)
+    assert (m == np.isfinite(got)).all()
+    assert np.allclose(got[m], want[m], atol=0)
