@@ -1150,3 +1150,37 @@ FROM cells LEFT JOIN nearest
 def fill_space_knn(spark, sf_dir):
     """kNN spatial gap-fill, k=1 (north_star kNN lookup; cube.py extension)."""
     return _formula_cube(spark).fill_space_knn(k=1).df
+
+
+@q(
+    "zonal_topk",
+    f"""
+WITH z AS (
+  SELECT fid, it, avg(B1) AS B1_mean
+  FROM ({_RECT_CELLS_SQL})
+  GROUP BY fid, it
+)
+SELECT fid, it, B1_mean, CAST(rk AS INT) AS rk FROM (
+  SELECT fid, it, B1_mean,
+         row_number() OVER (PARTITION BY it ORDER BY B1_mean DESC, fid ASC) AS rk
+  FROM z WHERE B1_mean IS NOT NULL
+) WHERE rk <= 2
+""",
+)
+def zonal_topk(spark, sf_dir):
+    """Ranking/top-k over zonal stats — a capability the reference lacks
+    entirely (SURVEY.md §2.4: 'no limit/top-k operator'); here it is one
+    Window clause over the zonal_statistics output."""
+    from pyspark.sql import Window as W
+
+    from .vector.queries import zonal_statistics as zs
+
+    z = zs(_formula_cube(spark), _rects_df(spark), stats=("mean",)).filter(
+        F.col("B1_mean").isNotNull()
+    )
+    w = W.partitionBy("it").orderBy(F.desc("B1_mean"), F.asc("fid"))
+    return (
+        z.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("fid", "it", "B1_mean", "rk")
+    )
