@@ -511,6 +511,65 @@ class Cube:
         cols = [F.col(f"`{b}`") for b in out_bands]
         return self._with(res.select(*KEY, *cols), bands=tuple(out_bands))
 
+    # -------------------------------------------- user-defined kernels (§2.3)
+
+    def apply_time(self, fn, out_bands=None) -> "Cube":
+        """stream_apply_time analog (src/stream_apply_time.h:11-28): a
+        user-defined, shape-preserving kernel over each pixel's full time
+        series. ``fn(pdf)`` receives a pandas frame (it + band columns,
+        sorted by it, NaN for missing) and returns equal-length arrays for
+        ``out_bands``. Spark's Arrow-grouped-map IS the reference's
+        chunk→subprocess protocol (src/stream.cpp:66-151), minus the
+        tempfile plumbing."""
+        import pandas as pd
+
+        out_bands = tuple(out_bands or self.bands)
+        bands = self.bands
+        nt = self.view.nt
+
+        def runner(pdf: pd.DataFrame) -> pd.DataFrame:
+            iy, ix = int(pdf["iy"].iloc[0]), int(pdf["ix"].iloc[0])
+            full = pd.DataFrame({"it": range(nt)})
+            full = full.merge(pdf.drop(columns=["iy", "ix"]), on="it", how="left")
+            full = full.sort_values("it").reset_index(drop=True)
+            res = fn(full)
+            out = pd.DataFrame({"it": full["it"].astype("int32")})
+            for b in out_bands:
+                out[b] = res[b]
+            out["iy"] = iy
+            out["ix"] = ix
+            keep = out[list(out_bands)].notna().any(axis=1)
+            return out.loc[keep, ["it", "iy", "ix", *out_bands]]
+
+        schema = "it int, iy int, ix int, " + ", ".join(f"`{b}` double" for b in out_bands)
+        df = self.df.groupBy("iy", "ix").applyInPandas(runner, schema=schema)
+        _ = bands
+        return self._with(df, bands=out_bands)
+
+    def reduce_time_udf(self, fn, out_bands) -> "Cube":
+        """stream_reduce_time analog (src/stream_reduce_time.h:11-25): a
+        user-defined reducer per pixel over all time → nt=1. ``fn(pdf)``
+        returns a dict of scalars keyed by out_bands."""
+        import pandas as pd
+
+        out_bands = tuple(out_bands)
+        nt = self.view.nt
+
+        def runner(pdf: pd.DataFrame) -> pd.DataFrame:
+            iy, ix = int(pdf["iy"].iloc[0]), int(pdf["ix"].iloc[0])
+            full = pd.DataFrame({"it": range(nt)})
+            full = full.merge(pdf.drop(columns=["iy", "ix"]), on="it", how="left")
+            res = fn(full.sort_values("it").reset_index(drop=True))
+            row = {"it": [0], "iy": [iy], "ix": [ix]}
+            for b in out_bands:
+                row[b] = [res[b]]
+            return pd.DataFrame(row)
+
+        schema = "it int, iy int, ix int, " + ", ".join(f"`{b}` double" for b in out_bands)
+        df = self.df.groupBy("iy", "ix").applyInPandas(runner, schema=schema)
+        nv = self.view.with_time(self.view.t0, 1, Duration(1, "D"), time_labels=())
+        return self._with(df, view=nv, bands=out_bands)
+
     # ------------------------------------------------------- materialize
 
     def write_chunks(self, path: str, mode: str = "overwrite") -> None:

@@ -348,3 +348,43 @@ def test_window_time_median_prod(spark, dense):
         assert np.allclose(got[0, t][m], wm[m], atol=1e-9)
         m3 = np.isfinite(got[1, t])
         assert np.allclose(got[1, t][m3], wp[m3], rtol=1e-12)
+
+
+def test_apply_time_udf(spark, dense):
+    """User-defined shape-preserving time kernel (stream_apply_time analog):
+    cumulative max along time, NaN-skipping."""
+    c, _ = cube_from_dense(spark, dense)
+
+    def cummax(pdf):
+        return {"B1": pdf["B1"].cummax(), "B2": pdf["B2"].cummax()}
+
+    got = c.apply_time(cummax).collect_dense()
+    want = dense.copy()
+    for b in range(2):
+        for iy in range(NY):
+            for ix in range(NX):
+                col = want[b, :, iy, ix]
+                run = np.nan
+                for t in range(NT):
+                    if np.isfinite(col[t]):
+                        run = col[t] if not np.isfinite(run) else max(run, col[t])
+                        col[t] = run
+                    # NaN inputs stay NaN (pandas cummax semantics)
+    m = np.isfinite(want)
+    assert (m == np.isfinite(got)).all()
+    assert np.allclose(got[m], want[m], atol=0)
+
+
+def test_reduce_time_udf(spark, dense):
+    """User-defined reducer (stream_reduce_time analog): NaN-aware range."""
+    c, _ = cube_from_dense(spark, dense)
+
+    def vrange(pdf):
+        return {"B1_range": pdf["B1"].max() - pdf["B1"].min()}
+
+    got = c.reduce_time_udf(vrange, ["B1_range"]).collect_dense()
+    assert got.shape[1] == 1
+    with np.errstate(all="ignore"):
+        want = np.nanmax(dense[0], axis=0) - np.nanmin(dense[0], axis=0)
+    m = np.isfinite(want)
+    assert np.allclose(got[0, 0][m], want[m], atol=0)
