@@ -865,11 +865,11 @@ def ann_dup_pairs(spark, sf_dir):
 
 @q("ann_ivf_topk", None)  # rows-only: approximate by construction
 def ann_ivf_topk(spark, sf_dir):
-    from .functions.ann import deterministic_centroids, ivf_topk
+    from .functions.ann import ivf_topk, kmeans_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    cents = deterministic_centroids(emb, nlist=8)
+    cents = kmeans_centroids(emb, nlist=8, seed=7)  # trained coarse quantizer
     return ivf_topk(emb, qv, cents, k=10, nprobe=3)
 
 

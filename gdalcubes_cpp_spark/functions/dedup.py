@@ -20,7 +20,7 @@ an order statistic on a uniform hash, the standard min-wise scheme.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .text import normalize_text
 
@@ -118,13 +118,66 @@ def minhash_signature(
     return docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(sig, schema)
 
 
-def lsh_candidates(
+def _capped_bucket_pairs(
+    banded: DataFrame, bucket_cols: list, max_bucket: int | None,
+    extra_cols: list = (),
+) -> DataFrame:
+    """Self-join rows sharing a bucket key, with the quadratic term BOUNDED.
+
+    Web corpora have mega-buckets (empty docs, boilerplate) and an unbounded
+    bucket self-join is quadratic in the largest bucket — AQE skew-split
+    cannot help a genuinely quadratic pair count (r1 VERDICT #3). With
+    ``max_bucket`` set, a bucket larger than the cap pairs every member
+    against only the bucket's ``max_bucket`` lowest-id REPRESENTATIVES:
+    pair count becomes O(n·cap) instead of O(n²), and — unlike truncation —
+    every member still receives candidates (recall degrades gracefully
+    toward the representatives; identical-doc mega-buckets keep full recall
+    because any representative certifies the duplicate). Buckets at or
+    under the cap are exact all-pairs, so results are UNCHANGED wherever
+    the cap doesn't bite."""
+    a = banded.alias("a")
+    if max_bucket is None:
+        b = banded.alias("b")
+    else:
+        w = W.partitionBy(*bucket_cols).orderBy("doc_id")
+        b = (
+            banded.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+            .alias("b")
+        )
+    swap = F.col("a.doc_id") > F.col("b.doc_id")
+    return (
+        a.join(b, bucket_cols)
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            *[F.col(f"a.{c}").alias(c) for c in bucket_cols],
+            *[
+                F.when(swap, F.col(f"b.{c}")).otherwise(F.col(f"a.{c}")).alias(f"{c}_a")
+                for c in extra_cols
+            ],
+            *[
+                F.when(swap, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(f"{c}_b")
+                for c in extra_cols
+            ],
+        )
+    )
+
+
+def lsh_bucket_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, bands: int = 4, shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs (doc_a < doc_b, band) — one pair appears
-    once (kept in its smallest matching band; dedup via groupBy(min)).
-    rows_per_band = k / bands; collision threshold ≈ (1/b)^(1/r)."""
+    """(band, band_key, n) bucket-size profile — run this to size
+    ``max_bucket`` / audit what a cap would affect (no silent truncation:
+    the cap's blast radius is one aggregation away)."""
+    banded = _banded_signatures(docs, id_col, text_col, k, bands, shingle_n)
+    return banded.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+
+
+def _banded_signatures(docs, id_col, text_col, k, bands, shingle_n):
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
@@ -133,7 +186,7 @@ def lsh_candidates(
         F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias("band_key")
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -141,15 +194,20 @@ def lsh_candidates(
             ])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "band"
-        )
-    )
+
+
+def lsh_candidates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, bands: int = 4, shingle_n: int = 3,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (doc_a < doc_b, band) — one pair appears
+    once (kept in its smallest matching band; dedup via groupBy(min)).
+    rows_per_band = k / bands; collision threshold ≈ (1/b)^(1/r).
+    ``max_bucket`` bounds the per-bucket pair blowup (see
+    _capped_bucket_pairs); None = exact all-pairs."""
+    banded = _banded_signatures(docs, id_col, text_col, k, bands, shingle_n)
+    pairs = _capped_bucket_pairs(banded, ["band", "band_key"], max_bucket)
     return pairs.groupBy("doc_a", "doc_b").agg(F.min("band").alias("band"))
 
 
@@ -274,12 +332,15 @@ def simhash(
 
 
 def simhash_near_dups(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3, max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Bucketing: split
     the 60-bit signature into 4 sub-keys of 15 bits; by pigeonhole any pair
     within distance 3 collides on >= 1 sub-key — candidate join per sub-key,
-    then exact hamming verify (bit_count)."""
+    then exact hamming verify (bit_count). ``max_bucket`` bounds the
+    mega-bucket blowup (all empty/templated docs share simhash=0 — r1
+    VERDICT #3) via representative pairing, see _capped_bucket_pairs."""
     sig = simhash(docs, id_col, text_col)
     parts = sig.select(
         "doc_id", "simhash",
@@ -293,16 +354,11 @@ def simhash_near_dups(
             ])
         ).alias("pk"),
     ).select("doc_id", "simhash", F.col("pk.part").alias("part"), F.col("pk.sub").alias("sub"))
-    a, b = parts.alias("a"), parts.alias("b")
-    cand = (
-        a.join(b, ["part", "sub"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    cand = _capped_bucket_pairs(
+        parts, ["part", "sub"], max_bucket, extra_cols=["simhash"]
+    ).select(
+        "doc_a", "doc_b", F.col("simhash_a").alias("sh_a"), F.col("simhash_b").alias("sh_b")
+    ).distinct()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", ham).filter(ham <= max_hamming).select(
         "doc_a", "doc_b", "hamming"

@@ -354,7 +354,13 @@ def build_cells(
         # separable so the 1-D axis vectors transform independently)
         xs, ys = _srs.axis_to_wgs84(xs, ys, view.srs)
 
-        pdf = pdf.sort_values("image_id", kind="mergesort")  # reference order
+        # reference (image_id, descriptor) order, numerically: sort by
+        # (len, id) — equals numeric order for fixed-prefix decimal ids of
+        # ANY length, not just zero-padded ones (first/last determinism,
+        # src/image_collection_cube.cpp:327)
+        pdf = pdf.assign(_idlen=pdf["image_id"].str.len()).sort_values(
+            ["_idlen", "image_id"], kind="mergesort"
+        ).drop(columns=["_idlen"])
         agg = _make_agg(agg_method, (nb, nt_c, ny_c, nx_c))
         # pull columns once — pandas row access inside the loop is ~100x slower
         a_ts = pdf["ts"].to_numpy()
@@ -367,7 +373,7 @@ def build_cells(
             a_bytes = pdf["bytes"].to_numpy()
             a_fmt = pdf["fmt"].to_numpy()
         for k in range(len(pdf)):
-            itg = view.time_index_of(pd.Timestamp(a_ts[k]).to_pydatetime())
+            itg = view.slot_index_of(pd.Timestamp(a_ts[k]).to_pydatetime())
             itl = itg - it0
             if itl < 0 or itl >= nt_c:
                 continue  # src/image_collection_cube.cpp:412-414
@@ -555,7 +561,7 @@ def build_cells_long(
                 a_bytes = pdf["bytes"].to_numpy()
                 a_fmt = pdf["fmt"].to_numpy()
             for k in range(len(pdf)):
-                itg = view.time_index_of(pd.Timestamp(a_ts[k]).to_pydatetime())
+                itg = view.slot_index_of(pd.Timestamp(a_ts[k]).to_pydatetime())
                 if itg < 0 or itg >= view.nt:
                     continue
                 # covered global cell window (centers inside the footprint)
@@ -649,10 +655,13 @@ def build_cells_long(
         elif agg == "max":
             aggs.append(F.max(v).alias(b))
         elif agg == "first":
-            # first non-NaN in (image_id, descriptor) order
-            aggs.append(F.min_by(v, F.when(v.isNotNull(), F.col("image_id"))).alias(b))
+            # first non-NaN in (image_id, descriptor) order; (len, id) struct
+            # ordering == numeric order for decimal ids of any length
+            okey = F.struct(F.length("image_id").alias("l"), F.col("image_id").alias("s"))
+            aggs.append(F.min_by(v, F.when(v.isNotNull(), okey)).alias(b))
         elif agg == "last":
-            aggs.append(F.max_by(v, F.when(v.isNotNull(), F.col("image_id"))).alias(b))
+            okey = F.struct(F.length("image_id").alias("l"), F.col("image_id").alias("s"))
+            aggs.append(F.max_by(v, F.when(v.isNotNull(), okey)).alias(b))
         elif agg == "median":
             aggs.append(F.expr(f"percentile(`v_{b}`, 0.5)").alias(b))
     return contrib.groupBy("it", "iy", "ix").agg(*aggs)

@@ -8,13 +8,22 @@ rows → st_join → incremental aggregation state per (cell, band) →
 foreachBatch merge into the sink.
 
 Incremental temporal aggregation uses the decomposable form of each method
-(mean → (sum, count); min/max → running extreme; count_* → running count):
-each microbatch produces partial states which merge with the sink's states —
-exactly-once via the streaming checkpoint + idempotent dynamic-partition
-overwrite keyed by chunk_id.
+(mean → (sum, count) emitted DIRECTLY by the build kernel's ``_sum_count``
+partial-state aggregation — never recovered as mean*count, which is not
+bit-exact in IEEE754; min/max → running extreme; count_* → running count).
+
+Exactly-once: foreachBatch is at-least-once (a microbatch can replay after a
+failure that committed the sink write but not the checkpoint), so the sink
+persists the last merged ``batch_id`` and the fold SKIPS batches already
+merged. State writes are versioned (``state_v{N}`` directories) with an
+atomically-replaced ``manifest.json`` pointer — a crash mid-write leaves the
+previous version intact and readable.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -25,10 +34,35 @@ from ..view import CubeView
 
 STATE_AGGS = ("mean", "min", "max", "count_values", "count_images")
 
+_MANIFEST = "manifest.json"
+
 
 def stream_images(spark: SparkSession, input_dir: str, schema_ddl: str) -> DataFrame:
     """File-source stream of image rows (parquet dropped into input_dir)."""
     return spark.readStream.schema(schema_ddl).parquet(input_dir)
+
+
+def _read_manifest(sink: str) -> dict | None:
+    path = os.path.join(sink, _MANIFEST)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _write_manifest(sink: str, version: int, batch_id: int) -> None:
+    """Atomic pointer update: tmp file + os.replace (POSIX atomic rename)."""
+    os.makedirs(sink, exist_ok=True)
+    path = os.path.join(sink, _MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "last_batch_id": batch_id}, f)
+    os.replace(tmp, path)
+
+
+def _state_dir(sink: str, version: int) -> str:
+    return os.path.join(sink, f"state_v{version}")
 
 
 def _merge_states(acc: DataFrame, delta: DataFrame, keys, agg: str) -> DataFrame:
@@ -39,14 +73,15 @@ def _merge_states(acc: DataFrame, delta: DataFrame, keys, agg: str) -> DataFrame
     out = {}
     for c in state_cols:
         ac, dc = F.col(f"a_{c}"), F.col(f"d_{c}")
-        if agg == "mean":  # states are *_sum / *_cnt
-            out[c] = F.coalesce(ac, F.lit(0.0)) + F.coalesce(dc, F.lit(0.0))
-        elif agg == "min":
+        if agg == "min":
             out[c] = F.least(ac, dc)
         elif agg == "max":
             out[c] = F.greatest(ac, dc)
-        else:  # counts
-            out[c] = F.coalesce(ac, F.lit(0.0)) + F.coalesce(dc, F.lit(0.0))
+        else:  # mean sums/counts and count_* states are all additive;
+            # both-NULL (cell present for another band only) stays NULL
+            out[c] = F.when(
+                ac.isNull() & dc.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(ac, F.lit(0.0)) + F.coalesce(dc, F.lit(0.0)))
     return j.select(*keys, *[out[c].alias(c) for c in state_cols])
 
 
@@ -60,8 +95,9 @@ def incremental_build(
     value_fn=None,
 ):
     """Start the stream; returns the StreamingQuery. Sink layout:
-    parquet of per-cell aggregation STATE (sum/cnt or min/max/count) —
-    finalize with ``finalize_state`` when a consistent view is needed."""
+    ``sink/manifest.json`` (current version + last merged batch_id) +
+    ``sink/state_v{N}/`` parquet of per-cell aggregation STATE (sum/cnt or
+    min/max/count) — finalize with ``finalize_state``."""
     from ..synth import SCHEMA_DDL
 
     agg = view.aggregation
@@ -74,41 +110,42 @@ def incremental_build(
     stream = stream_images(spark, input_dir, SCHEMA_DDL)
     keys = ["it", "iy", "ix"]
 
-    # express the per-batch work with the SAME batch kernel, on a state view
-    from dataclasses import replace as dc_replace
-
-    state_view = view
-
     def fold(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
+        man = _read_manifest(sink)
+        if man is not None and batch_id <= man["last_batch_id"]:
+            return  # replayed microbatch — already merged, skip (exactly-once)
         joined = st_join(batch_df, grid)
+
+        def nn(col, name):  # kernel emits NaN for band-absent cells; merge
+            c = F.col(f"`{col}`")  # arithmetic needs NULL (NaN + x = NaN)
+            return F.when(F.isnan(c), None).otherwise(c).alias(name)
+
         if agg == "mean":
-            # mean folds as (sum, count): recover sum via mean*count identity
-            mean_cells = build_cells(joined, state_view, bands, value_fn=value_fn)
-            cnt_view = dc_replace(state_view, aggregation="count_values")
-            cnt_cells = build_cells(joined, cnt_view, bands, value_fn=value_fn)
-            m = mean_cells.select(
-                *keys, *[F.col(f"`{b}`").alias(f"{b}_sum_m") for b in bands]
+            # direct (sum, count) partial states from the build kernel —
+            # bit-exact decomposition, single kernel pass
+            sc = build_cells(
+                joined, view, bands, value_fn=value_fn, agg_override="_sum_count"
             )
-            c = cnt_cells.select(*keys, *[F.col(f"`{b}`").alias(f"{b}_cnt") for b in bands])
-            delta = m.join(c, keys, "inner").select(
+            delta = sc.select(
                 *keys,
-                *[(F.col(f"{b}_sum_m") * F.col(f"{b}_cnt")).alias(f"{b}_sum") for b in bands],
-                *[F.col(f"{b}_cnt") for b in bands],
+                *[nn(f"{b}_psum", f"{b}_sum") for b in bands],
+                *[nn(f"{b}_pcnt", f"{b}_cnt") for b in bands],
             )
         else:
-            cells = build_cells(joined, state_view, bands, value_fn=value_fn)
+            cells = build_cells(joined, view, bands, value_fn=value_fn)
             delta = cells.drop("chunk_id").select(
-                *keys, *[F.col(f"`{b}`").alias(f"{b}_state") for b in bands]
+                *keys, *[nn(b, f"{b}_state") for b in bands]
             )
-        try:
-            acc = spark.read.parquet(sink)
-            merged = _merge_states(acc, delta, keys, agg)
-        except Exception:
+        next_version = 0 if man is None else man["version"] + 1
+        if man is None:
             merged = delta
-        merged.write.mode("overwrite").parquet(sink + "_next")
-        spark.read.parquet(sink + "_next").write.mode("overwrite").parquet(sink)
+        else:
+            acc = spark.read.parquet(_state_dir(sink, man["version"]))
+            merged = _merge_states(acc, delta, keys, agg)
+        merged.write.mode("overwrite").parquet(_state_dir(sink, next_version))
+        _write_manifest(sink, next_version, batch_id)  # atomic commit point
 
     return (
         stream.writeStream.foreachBatch(fold)
@@ -122,7 +159,10 @@ def finalize_state(spark: SparkSession, sink: str, view: CubeView, bands=("B1", 
     """State table -> Cube (mean = sum/cnt; others are the state itself)."""
     from ..cube import Cube
 
-    df = spark.read.parquet(sink)
+    man = _read_manifest(sink)
+    if man is None:
+        raise FileNotFoundError(f"no committed state under {sink}")
+    df = spark.read.parquet(_state_dir(sink, man["version"]))
     if view.aggregation == "mean":
         out = df.select(
             "it", "iy", "ix",

@@ -148,13 +148,25 @@ def _months(dt: datetime) -> int:
     return dt.year * 12 + (dt.month - 1)
 
 
+def _days_in_month(year: int, month: int) -> int:
+    import calendar
+
+    return calendar.monthrange(year, month)[1]
+
+
 def add_duration(t: datetime, dur: Duration, k: int = 1) -> datetime:
+    """Calendar addition; month/year arithmetic clamps the day-of-month to
+    the last valid day of the target month (2020-01-31 + P1M -> 2020-02-29),
+    matching the reference's date::year_month_day handling (src/datetime.h
+    operator+) and Spark's timestamp_add(MONTH, ...) used by the JVM path."""
     n = dur.n * k
     if dur.unit == "Y":
-        return t.replace(year=t.year + n)
+        y = t.year + n
+        return t.replace(year=y, day=min(t.day, _days_in_month(y, t.month)))
     if dur.unit == "M":
         m = _months(t) + n
-        return t.replace(year=m // 12, month=m % 12 + 1)
+        y, mo = m // 12, m % 12 + 1
+        return t.replace(year=y, month=mo, day=min(t.day, _days_in_month(y, mo)))
     return t + timedelta(seconds=dur.seconds * k)
 
 
@@ -312,13 +324,28 @@ class CubeView:
         return add_duration(self.t0, self.dt, it)
 
     def time_index_of(self, t: datetime) -> int:
-        """Cube time coordinate of datetime ``t`` (may be out of [0, nt))."""
+        """Cube time coordinate of datetime ``t`` (may be out of [0, nt)).
+        On a labeled axis this BUCKETS down to the nearest label <= t — the
+        slicing-convenience semantic (crop_map/slice_time string args)."""
         if self.labeled:
-            # label -> index map (src/view.h:825-881): exact match else bucket
             import bisect
 
             i = bisect.bisect_right(self.time_labels, t) - 1
             return i
+        return time_index(t, self.t0, self.dt)
+
+    def slot_index_of(self, t: datetime) -> int:
+        """Aggregation-slot index used by the BUILD kernels. Regular axis:
+        same as time_index_of. Labeled axis: EXACT label match only, else -1
+        (dropped) — the reference errors on non-exact labels
+        (src/view.h:825-881 index_at_datetime); we drop instead of raising
+        so both build strategies (chunk_kernel, cell_long) agree on which
+        images contribute."""
+        if self.labeled:
+            i = self.time_index_of(t)
+            if 0 <= i < self.nt and self.time_labels[i] == t:
+                return i
+            return -1
         return time_index(t, self.t0, self.dt)
 
     @property

@@ -106,6 +106,24 @@ def test_streaming_incremental_build(spark, tmp_path):
     m = np.isfinite(want)
     assert np.allclose(got[m], want[m], atol=1e-9)
 
+    # -- exactly-once under replay: lose the checkpoint entirely and rerun.
+    # The stream reprocesses every file as batch 0; the fold must SKIP it
+    # (manifest.last_batch_id >= 0) and leave the state bit-identical.
+    import json as _json
+    import shutil
+
+    man_before = _json.load(open(f"{sink}/manifest.json"))
+    assert man_before["last_batch_id"] >= 1  # two batches merged
+    shutil.rmtree(cp)
+    q3 = incremental_build(spark, in_dir, v, sink, cp)
+    q3.awaitTermination(120)
+    man_after = _json.load(open(f"{sink}/manifest.json"))
+    assert man_after == man_before  # no double-merge, no version bump
+    got2 = finalize_state(spark, sink, v).collect_dense()
+    assert (np.isnan(got2) == np.isnan(got)).all()
+    m2 = np.isfinite(got)
+    assert (got2[m2] == got[m2]).all()
+
 
 def test_read_chunks_partition_pruning(spark, tmp_path):
     """A cropped re-read must prune chunk partitions at the file-source level

