@@ -948,6 +948,118 @@ def tpch_market_revenue(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- arbitrary-SRS (UTM) cube
+
+# EPSG:32633 view: 300x340 km of 10 km cells, quarterly 1995-2001. Cell
+# centers are inverse-transverse-Mercator'd to 4326 for the coverage test;
+# footprint edges sit on a 0.01-degree grid while cell-center lon/lat stay
+# >= 2e-6 degrees away from it (tests/test_srs_tm.py margin assertion), so
+# the ~1e-14-degree libm disagreement between numpy and DuckDB can never
+# flip a coverage decision.
+V_UTM = CubeView.create(
+    srs="EPSG:32633", left=350000.0, right=650000.0,
+    bottom=5090000.0, top=5430000.0, nx=30, ny=34,
+    t0="1995-01-01", nt=27, dt="P3M",
+    aggregation="mean", resampling="near", chunk_size=(8, 17, 15),
+)
+
+UTM_IMG_SQL = """
+  SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS image_id,
+         12.0 + (o_orderkey * 7919 % 450) / 100.0 AS left,
+         12.0 + (o_orderkey * 7919 % 450) / 100.0
+           + 0.3 + (o_orderkey * 104729 % 120) / 100.0 AS right,
+         46.0 + (o_orderkey * 6271 % 250) / 100.0 AS bottom,
+         46.0 + (o_orderkey * 6271 % 250) / 100.0
+           + 0.3 + (o_orderkey * 7127 % 100) / 100.0 AS top,
+         o_orderdate AS ts,
+         CAST(o_orderkey % 97 AS DOUBLE) AS val1,
+         CAST(o_orderkey % 89 AS DOUBLE) AS val2
+  FROM orders
+"""
+
+
+def images_meta_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    left = F.lit(12.0) + (k * 7919 % 450) / 100.0
+    bottom = F.lit(46.0) + (k * 6271 % 250) / 100.0
+    return o.select(
+        F.lpad(k.cast("string"), 10, "0").alias("image_id"),
+        left.alias("left"),
+        (left + 0.3 + (k * 104729 % 120) / 100.0).alias("right"),
+        bottom.alias("bottom"),
+        (bottom + 0.3 + (k * 7127 % 100) / 100.0).alias("top"),
+        F.col("o_orderdate").alias("ts"),
+        (k % 97).cast("double").alias("val1"),
+        (k % 89).cast("double").alias("val2"),
+        F.lit(16).alias("w"), F.lit(16).alias("h"),
+    )
+
+
+def _utm_cells_sql(v: CubeView) -> str:
+    """(it, iy, ix, cx=lon, cy=lat) of every cell center: UTM coords by
+    exact arithmetic, then the inverse-TM series emitted by
+    srs.tm_inverse_sql — the SAME operation order as the numpy kernel."""
+    from . import srs as _srs
+
+    lon0, fn = _srs.utm_params(v.srs)
+    x_sql = f"({_srs._flit(v.left)} + (x.ix + 0.5) * {_srs._flit(v.dx)})"
+    y_sql = f"({_srs._flit(v.top)} - (y.iy + 0.5) * {_srs._flit(v.dy)})"
+    lon_sql, lat_sql = _srs.tm_inverse_sql(x_sql, y_sql, lon0, fn)
+    return f"""
+  SELECT CAST(t.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         {lon_sql} AS cx, {lat_sql} AS cy
+  FROM range({v.nt}) t(it), range({v.ny}) y(iy), range({v.nx}) x(ix)
+"""
+
+
+@q(
+    "cube_utm_mean",
+    f"""
+WITH img AS ({UTM_IMG_SQL}),
+cells AS ({_utm_cells_sql(V_UTM)}),
+cov AS (
+  SELECT cells.it, cells.iy, cells.ix, img.val1, img.val2
+  FROM cells JOIN img
+    ON {_COVER_SQL}
+   AND cells.it = {_IT_SQL}
+)
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_utm_mean(spark, sf_dir):
+    """Cube build in an ARBITRARY (non-separable) SRS: EPSG:32633 view over
+    4326 footprints — the reference's any-GDAL-SRS warp (src/warp.cpp:33-55,
+    src/view.h:703-711; its flagship formats are UTM-zone products). The
+    kernel samples cell centers through the numpy inverse transverse-
+    Mercator series; the oracle replays the identical series in SQL."""
+    from .operators.build import build_cube
+
+    return build_cube(
+        images_meta_utm(spark, sf_dir), V_UTM, bands=("B1", "B2"), value_fn=_value_fn
+    ).df
+
+
+@q("cube_average_decode", None)  # rows-only: real decode + aggregating resampler
+def cube_average_decode(spark, sf_dir):
+    """Real decode through the 'average' AGGREGATING resampler (the
+    downsampling workhorse, src/warp.cpp:167): coarse view over synth
+    images; per-method exactness is pytest-gated vs the numpy oracle
+    (tests/test_resampling.py) — no SQL engine can replay a PNG codec."""
+    from .operators.build import build_cube
+    from .synth import images_df
+
+    v = CubeView.create(
+        left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=16, ny=16,
+        t0="2020-01-01", t1="2020-12-31", dt="P2M",
+        aggregation="mean", resampling="average", chunk_size=(3, 8, 8),
+    )
+    imgs = images_df(spark, 300)
+    cube = build_cube(imgs, v, bands=("B1", "B2"))
+    return cube.reduce_time([("mean", "B1"), ("count", "B1"), ("max", "B2")]).df
+
+
 @q("cube_real_decode", None)  # rows-only: true PNG/lossy decode path
 def cube_real_decode(spark, sf_dir):
     """The full real pipeline on input_hint data: synth image table with
@@ -1184,3 +1296,214 @@ def zonal_topk(spark, sf_dir):
         .filter(F.col("rk") <= 2)
         .select("fid", "it", "B1_mean", "rk")
     )
+
+
+# ------------------------------------------------- masks (value/range)
+
+@q(
+    "cube_mask_value",
+    _ENG_CELL_JOIN.replace(
+        "SELECT cells.it, cells.iy, cells.ix, img.image_id, img.val1, img.val2",
+        "SELECT cells.it, cells.iy, cells.ix, img.image_id,\n"
+        "         CASE WHEN img.val1 IN (3, 7, 11, 20, 41) THEN NULL ELSE img.val1 END AS val1,\n"
+        "         CASE WHEN img.val1 IN (3, 7, 11, 20, 41) THEN NULL ELSE img.val2 END AS val2",
+    )
+    + """
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+HAVING avg(val1) IS NOT NULL OR avg(val2) IS NOT NULL
+""",
+)
+def cube_mask_value(spark, sf_dir):
+    """value_mask (src/image_collection_cube.h:34-88): pixels whose MASK-BAND
+    value is in the set become nodata across all bands before temporal
+    aggregation."""
+    from .operators.build import ValueMask, build_cube
+
+    return build_cube(
+        images_meta(spark, sf_dir), V_ENG, bands=("B1", "B2"),
+        value_fn=_value_fn, mask=ValueMask(0, [3, 7, 11, 20, 41]),
+    ).df
+
+
+@q(
+    "cube_mask_range",
+    _ENG_CELL_JOIN.replace(
+        "SELECT cells.it, cells.iy, cells.ix, img.image_id, img.val1, img.val2",
+        "SELECT cells.it, cells.iy, cells.ix, img.image_id,\n"
+        "         CASE WHEN img.val2 >= 10 AND img.val2 <= 60 THEN NULL ELSE img.val1 END AS val1,\n"
+        "         CASE WHEN img.val2 >= 10 AND img.val2 <= 60 THEN NULL ELSE img.val2 END AS val2",
+    )
+    + """
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+HAVING avg(val1) IS NOT NULL OR avg(val2) IS NOT NULL
+""",
+)
+def cube_mask_range(spark, sf_dir):
+    """range_mask (src/image_collection_cube.h:90-146): vmin<=v<=vmax on the
+    mask band -> nodata across all bands (non-inverted form)."""
+    from .operators.build import RangeMask, build_cube
+
+    return build_cube(
+        images_meta(spark, sf_dir), V_ENG, bands=("B1", "B2"),
+        value_fn=_value_fn, mask=RangeMask(1, 10.0, 60.0),
+    ).df
+
+
+# ------------------------------------------------- export / re-read paths
+
+@q(
+    "packed_roundtrip",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, iy, ix,
+       CASE WHEN B1 IS NULL THEN NULL
+            ELSE least(greatest(round((B1 - 1.0) / 0.5), 0.0), 255.0) * 0.5 + 1.0 END AS B1,
+       CASE WHEN B2 IS NULL THEN NULL
+            ELSE least(greatest(round((B2 - 1.0) / 0.5), 0.0), 255.0) * 0.5 + 1.0 END AS B2
+FROM cells
+WHERE B1 IS NOT NULL OR B2 IS NOT NULL
+""",
+)
+def packed_roundtrip(spark, sf_dir):
+    """packed_export (src/cube.h:51-151): scale/offset int packing on write,
+    unpack on read — round((v-offset)/scale) clipped to the uint8 range,
+    then packed*scale+offset back."""
+    import tempfile
+
+    from .operators.export import Packing, read_packed, write_packed
+
+    path = tempfile.mkdtemp(prefix="gcs_packed_")
+    write_packed(
+        _formula_cube(spark), path,
+        Packing(type="uint8", scale=(0.5,), offset=(1.0,), nodata=(255.0,)),
+    )
+    return read_packed(spark, path).df
+
+
+@q(
+    "cube_write_reread",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, iy, ix, B1, B2 FROM cells
+WHERE B1 IS NOT NULL OR B2 IS NOT NULL
+""",
+)
+def cube_write_reread(spark, sf_dir):
+    """netCDF-export analog roundtrip (src/cube.cpp:736 + src/ncdf_cube.h:
+    48-50): persist the cube as chunk-partitioned parquet, re-read it —
+    values byte-identical to the in-memory cube."""
+    import tempfile
+
+    from .sources.collection import read_chunks, write_cube
+
+    path = tempfile.mkdtemp(prefix="gcs_reread_")
+    write_cube(_formula_cube(spark), path)
+    return read_chunks(spark, path).df
+
+
+@q("simple_cube_decode", None)  # rows-only: real decode via simple_cube
+def simple_cube_decode(spark, sf_dir):
+    """simple_cube (src/simple_cube.h:50-54): cube from a flat record list
+    without a collection format; real PNG decode (pytest-gated values)."""
+    from .sources.collection import simple_cube
+    from .synth import images_pdf
+
+    pdf = images_pdf(60)
+    records = pdf.to_dict("records")
+    v = CubeView.create(
+        left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=20, ny=20,
+        t0="2020-01-01", t1="2020-12-31", dt="P3M",
+        aggregation="mean", resampling="near", chunk_size=(2, 10, 10),
+    )
+    return simple_cube(spark, records, v).df
+
+
+# ------------------------------------------------- stream_* UDF surface
+
+@q(
+    "apply_time_udf_cumsum",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, iy, ix,
+       sum(B1) OVER (PARTITION BY iy, ix ORDER BY it
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS B1
+FROM cells WHERE B1 IS NOT NULL
+""",
+)
+def apply_time_udf_cumsum(spark, sf_dir):
+    """stream_apply_time analog at CHUNK grain (src/stream_apply_time.h:
+    11-28, chunk protocol src/stream.cpp:66-103): user kernel = NaN-skipping
+    cumulative sum along time, vectorized over all pixels of a chunk."""
+    import numpy as np
+
+    def cumsum(mats):
+        M = mats["B1"]
+        acc = np.nancumsum(M, axis=1)
+        return {"B1": np.where(np.isnan(M), np.nan, acc)}
+
+    c = _formula_cube(spark).select_bands(["B1"]).apply_time(cumsum)
+    return c.df.select(*KEY, "B1")
+
+
+@q(
+    "reduce_time_udf_range",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT iy, ix, max(B1) - min(B1) AS B1_range
+FROM cells GROUP BY iy, ix
+HAVING max(B1) IS NOT NULL
+""",
+)
+def reduce_time_udf_range(spark, sf_dir):
+    """stream_reduce_time analog at CHUNK grain (src/stream_reduce_time.h:
+    11-25): user reducer = per-pixel value range over time."""
+    import numpy as np
+
+    def vrange(mats):
+        M = mats["B1"]
+        with np.errstate(all="ignore"):
+            return {"B1_range": np.nanmax(M, axis=1) - np.nanmin(M, axis=1)}
+
+    c = _formula_cube(spark).select_bands(["B1"]).reduce_time_udf(vrange, ["B1_range"])
+    return c.df.select("iy", "ix", "B1_range")
+
+
+@q(
+    "apply_pixel_udf_poly",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, iy, ix, 2.0 * B1 + B2 * B2 AS poly
+FROM cells WHERE B1 IS NOT NULL
+""",
+)
+def apply_pixel_udf_poly(spark, sf_dir):
+    """stream_apply_pixel analog (src/stream_apply_pixel.h:11-28): per-cell
+    band function via one mapInPandas scan — NO shuffle."""
+    def poly(cols):
+        return {"poly": 2.0 * cols["B1"] + cols["B2"] * cols["B2"]}
+
+    c = _formula_cube(spark).apply_pixel_udf(poly, ["poly"])
+    return c.df.select(*KEY, "poly")
+
+
+@q(
+    "reduce_space_udf_spread",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, max(B1) - min(B1) AS B1_spread
+FROM cells GROUP BY it
+""",
+)
+def reduce_space_udf_spread(spark, sf_dir):
+    """stream_reduce_space analog (src/stream_reduce_space.h:11-25): one
+    user-defined reduction per time slice over the whole plane."""
+    import numpy as np
+
+    def spread(cols, iy, ix):
+        with np.errstate(all="ignore"):
+            return {"B1_spread": np.nanmax(cols["B1"]) - np.nanmin(cols["B1"])}
+
+    c = _formula_cube(spark).reduce_space_udf(spread, ["B1_spread"])
+    return c.df.select("it", "B1_spread")

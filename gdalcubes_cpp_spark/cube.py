@@ -513,61 +513,133 @@ class Cube:
 
     # -------------------------------------------- user-defined kernels (§2.3)
 
+    def _spatial_chunk_groupby(self):
+        v = self.view
+        return self.df.groupBy(
+            F.floor(F.col("iy") / F.lit(v.chunk_ny)).cast("int").alias("_cy"),
+            F.floor(F.col("ix") / F.lit(v.chunk_nx)).cast("int").alias("_cx"),
+        )
+
     def apply_time(self, fn, out_bands=None) -> "Cube":
         """stream_apply_time analog (src/stream_apply_time.h:11-28): a
-        user-defined, shape-preserving kernel over each pixel's full time
-        series. ``fn(pdf)`` receives a pandas frame (it + band columns,
-        sorted by it, NaN for missing) and returns equal-length arrays for
-        ``out_bands``. Spark's Arrow-grouped-map IS the reference's
-        chunk→subprocess protocol (src/stream.cpp:66-151), minus the
-        tempfile plumbing."""
+        user-defined, shape-preserving kernel over pixel time series.
+
+        CHUNK-grain protocol, like the reference streams whole chunk buffers
+        to the user process (src/stream.cpp:66-103) — NOT one Arrow group
+        per pixel (r1 VERDICT: 10^8 tiny groups at a 10k x 10k cube).
+        ``fn(mats)`` receives a dict {band: float64 array (npix, nt)} (NaN
+        for missing) covering ALL pixels of one spatial chunk, and returns
+        {out_band: array (npix, nt)} — vectorize across rows. Cells where
+        every out band is NaN emit no row."""
+        import numpy as np
         import pandas as pd
 
         out_bands = tuple(out_bands or self.bands)
         bands = self.bands
-        nt = self.view.nt
+        nt, nx = self.view.nt, self.view.nx
 
         def runner(pdf: pd.DataFrame) -> pd.DataFrame:
-            iy, ix = int(pdf["iy"].iloc[0]), int(pdf["ix"].iloc[0])
-            full = pd.DataFrame({"it": range(nt)})
-            full = full.merge(pdf.drop(columns=["iy", "ix"]), on="it", how="left")
-            full = full.sort_values("it").reset_index(drop=True)
-            res = fn(full)
-            out = pd.DataFrame({"it": full["it"].astype("int32")})
-            for b in out_bands:
-                out[b] = res[b]
-            out["iy"] = iy
-            out["ix"] = ix
-            keep = out[list(out_bands)].notna().any(axis=1)
-            return out.loc[keep, ["it", "iy", "ix", *out_bands]]
+            mats, iy, ix = _chunk_time_matrices(pdf, bands, nt, nx)
+            res = fn(mats)
+            stack = np.stack([np.asarray(res[b], dtype=np.float64) for b in out_bands])
+            keep = ~np.isnan(stack).all(axis=0)
+            pp, tt = np.nonzero(keep)
+            return pd.DataFrame({
+                "it": tt.astype("int32"),
+                "iy": iy[pp],
+                "ix": ix[pp],
+                **{b: stack[k, pp, tt] for k, b in enumerate(out_bands)},
+            })
 
         schema = "it int, iy int, ix int, " + ", ".join(f"`{b}` double" for b in out_bands)
-        df = self.df.groupBy("iy", "ix").applyInPandas(runner, schema=schema)
-        _ = bands
+        df = self._spatial_chunk_groupby().applyInPandas(runner, schema=schema)
         return self._with(df, bands=out_bands)
 
     def reduce_time_udf(self, fn, out_bands) -> "Cube":
         """stream_reduce_time analog (src/stream_reduce_time.h:11-25): a
-        user-defined reducer per pixel over all time → nt=1. ``fn(pdf)``
-        returns a dict of scalars keyed by out_bands."""
+        user-defined reducer over time → nt=1, at CHUNK grain like
+        apply_time. ``fn(mats)`` receives {band: (npix, nt)} and returns
+        {out_band: (npix,)} — one value per pixel."""
+        import numpy as np
         import pandas as pd
 
         out_bands = tuple(out_bands)
-        nt = self.view.nt
+        bands = self.bands
+        nt, nx = self.view.nt, self.view.nx
 
         def runner(pdf: pd.DataFrame) -> pd.DataFrame:
-            iy, ix = int(pdf["iy"].iloc[0]), int(pdf["ix"].iloc[0])
-            full = pd.DataFrame({"it": range(nt)})
-            full = full.merge(pdf.drop(columns=["iy", "ix"]), on="it", how="left")
-            res = fn(full.sort_values("it").reset_index(drop=True))
-            row = {"it": [0], "iy": [iy], "ix": [ix]}
+            mats, iy, ix = _chunk_time_matrices(pdf, bands, nt, nx)
+            res = fn(mats)
+            stack = np.stack([np.asarray(res[b], dtype=np.float64) for b in out_bands])
+            keep = ~np.isnan(stack).all(axis=0)  # sparse: all-NaN cells drop
+            return pd.DataFrame({
+                "it": np.zeros(int(keep.sum()), dtype="int32"),
+                "iy": iy[keep],
+                "ix": ix[keep],
+                **{b: stack[k, keep] for k, b in enumerate(out_bands)},
+            })
+
+        schema = "it int, iy int, ix int, " + ", ".join(f"`{b}` double" for b in out_bands)
+        df = self._spatial_chunk_groupby().applyInPandas(runner, schema=schema)
+        nv = self.view.with_time(self.view.t0, 1, Duration(1, "D"), time_labels=())
+        return self._with(df, view=nv, bands=out_bands)
+
+    def apply_pixel_udf(self, fn, out_bands, keep_bands: bool = False) -> "Cube":
+        """stream_apply_pixel analog (src/stream_apply_pixel.h:11-28): a
+        user-defined function applied independently per pixel (all bands of
+        one cell in, new bands out). No grouping at all — one mapInPandas
+        scan, Arrow-batch vectorized: ``fn(cols)`` receives {band: float64
+        array (n,)} and returns {out_band: array (n,)}."""
+        import numpy as np
+        import pandas as pd
+
+        out_bands = tuple(out_bands)
+        bands = self.bands
+        all_out = (list(bands) if keep_bands else []) + list(out_bands)
+
+        def runner(batches):
+            for pdf in batches:
+                cols = {
+                    b: pdf[b].to_numpy(dtype=np.float64, na_value=np.nan) for b in bands
+                }
+                res = fn(cols)
+                out = {
+                    "it": pdf["it"], "iy": pdf["iy"], "ix": pdf["ix"],
+                    **({b: cols[b] for b in bands} if keep_bands else {}),
+                    **{b: np.asarray(res[b], dtype=np.float64) for b in out_bands},
+                }
+                o = pd.DataFrame(out)
+                keep = o[list(all_out)].notna().any(axis=1)
+                yield o.loc[keep]
+
+        schema = "it int, iy int, ix int, " + ", ".join(f"`{b}` double" for b in all_out)
+        df = self.df.select(*KEY, *bands).mapInPandas(runner, schema=schema)
+        return self._with(df, bands=tuple(all_out))
+
+    def reduce_space_udf(self, fn, out_bands) -> "Cube":
+        """stream_reduce_space analog (src/stream_reduce_space.h:11-25): a
+        user-defined reducer over ALL space per time slice → nx=ny=1.
+        ``fn(cols, iy, ix)`` receives {band: (ncells,)} plus the cell
+        coordinate arrays for one time slice and returns a dict of scalars.
+        One group per time slice — the same grain as the reference, which
+        streams each slice's full plane to the user process."""
+        import numpy as np
+        import pandas as pd
+
+        out_bands = tuple(out_bands)
+        bands = self.bands
+
+        def runner(pdf: pd.DataFrame) -> pd.DataFrame:
+            cols = {b: pdf[b].to_numpy(dtype=np.float64, na_value=np.nan) for b in bands}
+            res = fn(cols, pdf["iy"].to_numpy(), pdf["ix"].to_numpy())
+            row = {"it": [np.int32(pdf["it"].iloc[0])], "iy": [0], "ix": [0]}
             for b in out_bands:
-                row[b] = [res[b]]
+                row[b] = [np.float64(res[b])]
             return pd.DataFrame(row)
 
         schema = "it int, iy int, ix int, " + ", ".join(f"`{b}` double" for b in out_bands)
-        df = self.df.groupBy("iy", "ix").applyInPandas(runner, schema=schema)
-        nv = self.view.with_time(self.view.t0, 1, Duration(1, "D"), time_labels=())
+        df = self.df.groupBy("it").applyInPandas(runner, schema=schema)
+        nv = dc_replace(self.view, nx=1, ny=1)
         return self._with(df, view=nv, bands=out_bands)
 
     # ------------------------------------------------------- materialize
@@ -589,3 +661,22 @@ class Cube:
                 if val is not None:
                     out[bi, row["it"], row["iy"], row["ix"]] = val
         return out
+
+
+def _chunk_time_matrices(pdf, bands, nt: int, nx: int):
+    """One spatial CHUNK's rows -> dense per-band (npix, nt) float64
+    matrices (NaN for missing), plus the pixel coordinate arrays. Pixels
+    with no row at any time are absent (sparse model). Module-level (no
+    DataFrame captured) so the grouped-map closure pickles cleanly."""
+    import numpy as np
+    import pandas as pd
+
+    flat = pdf["iy"].to_numpy(dtype=np.int64) * nx + pdf["ix"].to_numpy(dtype=np.int64)
+    codes, uniq = pd.factorize(flat, sort=True)
+    its = pdf["it"].to_numpy(dtype=np.int64)
+    mats = {}
+    for b in bands:
+        M = np.full((len(uniq), nt), np.nan)
+        M[codes, its] = pdf[b].to_numpy(dtype=np.float64, na_value=np.nan)
+        mats[b] = M
+    return mats, (uniq // nx).astype("int32"), (uniq % nx).astype("int32")

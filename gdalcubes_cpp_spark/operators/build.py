@@ -74,36 +74,92 @@ class RangeMask:
         return ~m if self.invert else m
 
 
+# resampling method registry (src/warp.cpp:159-182, enum src/view.h:111-124)
+# point kernels gather at the target cell CENTER; aggregating kernels pool
+# every source pixel whose center falls inside the target cell's footprint
+POINT_RESAMPLERS = ("near", "bilinear", "cubic", "cubicspline", "lanczos")
+AGG_RESAMPLERS = ("average", "mode", "min", "max", "med", "q1", "q3")
+RESAMPLERS = POINT_RESAMPLERS + AGG_RESAMPLERS
+
+
+def _sep_kernel_weights(t: np.ndarray, method: str) -> np.ndarray:
+    """Weights of a separable convolution kernel at offsets ``t`` (|t| can
+    exceed the support; weight 0 there)."""
+    at = np.abs(t)
+    if method == "cubic":
+        # cubic convolution, a = -0.5 (Keys / GDAL GRA_Cubic)
+        a = -0.5
+        w = np.where(
+            at <= 1.0,
+            (a + 2.0) * at ** 3 - (a + 3.0) * at ** 2 + 1.0,
+            np.where(at < 2.0, a * at ** 3 - 5.0 * a * at ** 2 + 8.0 * a * at - 4.0 * a, 0.0),
+        )
+        return w
+    if method == "cubicspline":
+        # cubic B-spline (smoothing, GDAL GRA_CubicSpline)
+        return np.where(
+            at <= 1.0,
+            (4.0 - 6.0 * at ** 2 + 3.0 * at ** 3) / 6.0,
+            np.where(at < 2.0, (2.0 - at) ** 3 / 6.0, 0.0),
+        )
+    if method == "lanczos":
+        # Lanczos windowed sinc, a = 3 (GDAL GRA_Lanczos)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            w = np.where(
+                at < 3.0, np.sinc(t) * np.sinc(t / 3.0), 0.0
+            )
+        return w
+    raise ValueError(method)
+
+
+_KERNEL_TAPS = {"cubic": 2, "cubicspline": 2, "lanczos": 3}
+
+
 def warp_plane(
     plane: np.ndarray,
     img_bounds: tuple,
     xs: np.ndarray,
     ys: np.ndarray,
     resampling: str,
+    x_edges: np.ndarray | None = None,
+    y_edges: np.ndarray | None = None,
 ) -> np.ndarray:
     """Resample one image band onto target cell centers (vectorized numpy).
 
-    ``xs``/``ys`` are 1-D target cell-center coordinate vectors in the image's
-    SRS; returns (len(ys), len(xs)) float64 with NaN outside the footprint.
-    near = integer gather (exact); bilinear = 4-neighbor weighted gather with
-    edge clamping (src/warp.cpp:159-182 algorithm selection).
+    ``xs``/``ys`` are target cell-center coordinates in the image's SRS —
+    either 1-D axis vectors (separable view SRS; output (len(ys), len(xs)))
+    or 2-D grids of identical shape (non-separable SRS, e.g. a UTM view
+    over 4326 footprints; output = that shape). NaN outside the footprint.
+
+    Point kernels (POINT_RESAMPLERS): near = integer gather (exact);
+    bilinear / cubic / cubicspline / lanczos = separable 2/4/6-tap weighted
+    gathers with edge clamping and NaN-aware weight renormalization
+    (src/warp.cpp:159-182 algorithm selection). Aggregating kernels
+    (AGG_RESAMPLERS) pool the source pixels whose centers fall inside each
+    target cell — see warp_plane_agg (1-D axes only).
     """
+    if resampling in AGG_RESAMPLERS:
+        return warp_plane_agg(plane, img_bounds, xs, ys, resampling, x_edges, y_edges)
     ileft, iright, ibottom, itop = img_bounds
     h, w = plane.shape
     pdx = (iright - ileft) / w
     pdy = (itop - ibottom) / h
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    two_d = xs.ndim == 2
     fx = (xs - ileft) / pdx  # continuous col coordinate (0..w)
     fy = (itop - ys) / pdy   # continuous row coordinate (0..h)
-    out = np.full((len(ys), len(xs)), np.nan)
+    out_shape = fx.shape if two_d else (len(ys), len(xs))
+    out = np.full(out_shape, np.nan)
     inside_x = (fx >= 0) & (fx < w)
     inside_y = (fy >= 0) & (fy < h)
-    if not inside_x.any() or not inside_y.any():
+    mask = (inside_x & inside_y) if two_d else np.outer(inside_y, inside_x)
+    if not mask.any():
         return out
     if resampling == "near":
         cx = np.floor(fx).astype(np.int64).clip(0, w - 1)
         cy = np.floor(fy).astype(np.int64).clip(0, h - 1)
-        vals = plane[np.ix_(cy, cx)].astype(np.float64)
-        mask = np.outer(inside_y, inside_x)
+        vals = plane[cy, cx].astype(np.float64) if two_d else plane[np.ix_(cy, cx)].astype(np.float64)
         out[mask] = vals[mask]
         return out
     if resampling == "bilinear":
@@ -116,17 +172,158 @@ def warp_plane(
         x0c = x0.clip(0, w - 1); x1c = (x0 + 1).clip(0, w - 1)
         y0c = y0.clip(0, h - 1); y1c = (y0 + 1).clip(0, h - 1)
         p = plane.astype(np.float64)
-        v00 = p[np.ix_(y0c, x0c)]
-        v01 = p[np.ix_(y0c, x1c)]
-        v10 = p[np.ix_(y1c, x0c)]
-        v11 = p[np.ix_(y1c, x1c)]
-        WX = wx[None, :]
-        WY = wy[:, None]
+        if two_d:
+            v00 = p[y0c, x0c]; v01 = p[y0c, x1c]
+            v10 = p[y1c, x0c]; v11 = p[y1c, x1c]
+            WX, WY = wx, wy
+        else:
+            v00 = p[np.ix_(y0c, x0c)]; v01 = p[np.ix_(y0c, x1c)]
+            v10 = p[np.ix_(y1c, x0c)]; v11 = p[np.ix_(y1c, x1c)]
+            WX = wx[None, :]; WY = wy[:, None]
         vals = (v00 * (1 - WX) + v01 * WX) * (1 - WY) + (v10 * (1 - WX) + v11 * WX) * WY
-        mask = np.outer(inside_y, inside_x)
+        out[mask] = vals[mask]
+        return out
+    if resampling in _KERNEL_TAPS:
+        taps = _KERNEL_TAPS[resampling]
+        gx = fx - 0.5
+        gy = fy - 0.5
+        x0 = np.floor(gx).astype(np.int64)
+        y0 = np.floor(gy).astype(np.int64)
+        p = plane.astype(np.float64)
+        acc = np.zeros(out_shape)
+        wsum = np.zeros(out_shape)
+        for dy in range(1 - taps, taps + 1):
+            wy_k = _sep_kernel_weights(gy - (y0 + dy), resampling)
+            yc = (y0 + dy).clip(0, h - 1)
+            for dx in range(1 - taps, taps + 1):
+                wx_k = _sep_kernel_weights(gx - (x0 + dx), resampling)
+                xc = (x0 + dx).clip(0, w - 1)
+                if two_d:
+                    wgt = wy_k * wx_k
+                    acc += wgt * p[yc, xc]
+                    wsum += wgt
+                else:
+                    wgt = wy_k[:, None] * wx_k[None, :]
+                    acc += wgt * p[np.ix_(yc, xc)]
+                    wsum += wgt
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vals = acc / wsum  # renormalize (edge-clamped taps reuse pixels)
         out[mask] = vals[mask]
         return out
     raise ValueError(f"unknown resampling {resampling!r}")
+
+
+def warp_plane_agg(
+    plane: np.ndarray,
+    img_bounds: tuple,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    resampling: str,
+    x_edges: np.ndarray | None = None,
+    y_edges: np.ndarray | None = None,
+) -> np.ndarray:
+    """Aggregating resamplers (average/mode/min/max/med/q1/q3,
+    src/warp.cpp:167-182): each target cell pools every SOURCE pixel whose
+    center lies inside the cell's rectangle [x_edge_j, x_edge_{j+1}) x
+    (y_edge_{i+1}, y_edge_i] — the correct family when the target grid is
+    coarser than the image. 1-D axis vectors only (separable view SRS; a
+    non-separable target cell is not a rectangle in image space — GDAL
+    approximates there, we refuse loudly). ``x_edges`` (len nx+1, ascending)
+    / ``y_edges`` (len ny+1, DESCENDING like ys) default to midpoints of the
+    center vectors. Cells whose rectangle contains no source pixel center
+    fall back to the nearest-neighbor gather; cells whose CENTER is outside
+    the footprint are NaN (same inside rule as 'near'). Quantiles are
+    numpy 'linear' (type-7, matching reduce_time's percentile semantics);
+    mode ties break to the SMALLEST value (deterministic).
+
+    Fully vectorized: source pixels bucket to target cells by searchsorted,
+    then one lexsort + segmented reduction — no per-cell Python loop."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if xs.ndim != 1 or ys.ndim != 1:
+        raise ValueError(
+            f"aggregating resampler {resampling!r} requires a separable view "
+            f"SRS (1-D axes); use a point resampler for non-separable views"
+        )
+    ileft, iright, ibottom, itop = img_bounds
+    h, w = plane.shape
+    pdx = (iright - ileft) / w
+    pdy = (itop - ibottom) / h
+    nx, ny = len(xs), len(ys)
+    if x_edges is None:
+        dxs = xs[1] - xs[0] if nx > 1 else pdx
+        x_edges = np.concatenate([[xs[0] - dxs / 2.0], (xs[:-1] + xs[1:]) / 2.0 if nx > 1 else [], [xs[-1] + dxs / 2.0]])
+    if y_edges is None:
+        dys = ys[0] - ys[1] if ny > 1 else pdy
+        y_edges = np.concatenate([[ys[0] + dys / 2.0], (ys[:-1] + ys[1:]) / 2.0 if ny > 1 else [], [ys[-1] - dys / 2.0]])
+    out = np.full((ny, nx), np.nan)
+    # source pixel centers in map coords
+    src_x = ileft + (np.arange(w) + 0.5) * pdx
+    src_y = itop - (np.arange(h) + 0.5) * pdy
+    # bucket source centers to target cells: x in [edge_j, edge_{j+1}),
+    # y in (edge_{i+1}, edge_i] (edges descend with the row axis)
+    tx = np.searchsorted(x_edges, src_x, side="right") - 1      # (w,)
+    ty = len(y_edges) - 1 - np.searchsorted(y_edges[::-1], src_y, side="left")
+    okx = (tx >= 0) & (tx < nx)
+    oky = (ty >= 0) & (ty < ny)
+    p = plane.astype(np.float64)
+    jj = np.nonzero(okx)[0]
+    ii = np.nonzero(oky)[0]
+    if len(jj) and len(ii):
+        ci = (ty[ii][:, None] * nx + tx[jj][None, :]).ravel()
+        vals = p[np.ix_(ii, jj)].ravel()
+        keep = ~np.isnan(vals)
+        ci, vals = ci[keep], vals[keep]
+    else:
+        ci = np.empty(0, dtype=np.int64)
+        vals = np.empty(0)
+    if len(ci):
+        order = np.lexsort((vals, ci))
+        ci_s, v_s = ci[order], vals[order]
+        cells, starts = np.unique(ci_s, return_index=True)
+        counts = np.diff(np.append(starts, len(ci_s)))
+        if resampling == "average":
+            res = np.add.reduceat(v_s, starts) / counts
+        elif resampling == "min":
+            res = v_s[starts]
+        elif resampling == "max":
+            res = v_s[starts + counts - 1]
+        elif resampling in ("med", "q1", "q3"):
+            q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[resampling]
+            pos = q * (counts - 1)
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            hi = np.minimum(lo + 1, counts - 1)
+            res = v_s[starts + lo] * (1.0 - frac) + v_s[starts + hi] * frac
+        elif resampling == "mode":
+            # runs of equal values within a cell (values sorted per cell)
+            newrun = np.ones(len(v_s), dtype=bool)
+            newrun[1:] = (v_s[1:] != v_s[:-1]) | (ci_s[1:] != ci_s[:-1])
+            rstart = np.nonzero(newrun)[0]
+            rlen = np.diff(np.append(rstart, len(v_s)))
+            rcell = ci_s[rstart]
+            rval = v_s[rstart]
+            # winner per cell = max count, ties -> smallest value (stable:
+            # runs already value-ascending within a cell)
+            ro = np.lexsort((rval, -rlen, rcell))
+            rc_s = rcell[ro]
+            first = np.ones(len(rc_s), dtype=bool)
+            first[1:] = rc_s[1:] != rc_s[:-1]
+            cells = rc_s[first]
+            res = rval[ro][first]
+        else:
+            raise ValueError(f"unknown aggregating resampler {resampling!r}")
+        out.ravel()[cells] = res
+    # coverage + nearest fallback for covered-but-empty cells
+    inside = np.outer(
+        (ys > ibottom) & (ys <= itop), (xs >= ileft) & (xs < iright)
+    )
+    empty = inside & np.isnan(out)
+    if empty.any():
+        near = warp_plane(plane, img_bounds, xs, ys, "near")
+        out[empty] = near[empty]
+    out[~inside] = np.nan
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -350,9 +547,26 @@ def build_cells(
         xs = view.left + (np.arange(ix0, ix1) + 0.5) * view.dx
         ys = view.top - (np.arange(iy0, iy1) + 0.5) * view.dy
         # footprints/pixels live in EPSG:4326; sample at the cell centers
-        # expressed in 4326 (warp.cpp's SRS transform step — mercator is
-        # separable so the 1-D axis vectors transform independently)
-        xs, ys = _srs.axis_to_wgs84(xs, ys, view.srs)
+        # expressed in 4326 (warp.cpp's SRS transform step). Separable SRS
+        # (4326/3857): 1-D axis vectors transform independently. Non-
+        # separable (UTM): 2-D lon/lat grids, per-cell membership masks.
+        separable = _srs.is_separable(view.srs)
+        if separable:
+            xs, ys = _srs.axis_to_wgs84(xs, ys, view.srs)
+            x_edges, y_edges = _srs.axis_to_wgs84(
+                view.left + np.arange(ix0, ix1 + 1) * view.dx,
+                view.top - np.arange(iy0, iy1 + 1) * view.dy,
+                view.srs,
+            )
+            LON = LAT = None
+        else:
+            if resampling in AGG_RESAMPLERS:
+                raise ValueError(
+                    f"aggregating resampler {resampling!r} needs a separable "
+                    f"view SRS (cells are not rectangles in 4326)"
+                )
+            LON, LAT = _srs.grid_to_wgs84(xs, ys, view.srs)
+            x_edges = y_edges = None
 
         # reference (image_id, descriptor) order, numerically: sort by
         # (len, id) — equals numeric order for fixed-prefix decimal ids of
@@ -378,35 +592,59 @@ def build_cells(
             if itl < 0 or itl >= nt_c:
                 continue  # src/image_collection_cube.cpp:412-414
             img_bounds = (a_l[k], a_r[k], a_b[k], a_t[k])
-            if value_fn is not None:
-                # 'near'-coverage of a constant plane reduces to the cell
-                # rectangle cx∈[left,right), cy∈(bottom,top] — no raster math
-                vals = value_fn(a_id[k])
-                jx = np.nonzero((xs >= a_l[k]) & (xs < a_r[k]))[0]
-                jy = np.nonzero((ys > a_b[k]) & (ys <= a_t[k]))[0]
-                planes = np.full((nb, ny_c, nx_c), np.nan)
-                if len(jx) and len(jy):
-                    y0, y1 = jy[0], jy[-1] + 1
-                    x0, x1 = jx[0], jx[-1] + 1
-                    for b in range(nb):
-                        planes[b, y0:y1, x0:x1] = vals[b]
-            else:
-                # restrict the warp to the footprint's cell sub-window: cells
+            planes = np.full((nb, ny_c, nx_c), np.nan)
+            if separable:
+                # restrict work to the footprint's cell sub-window: cells
                 # with centers outside [left,right)x(bottom,top] can never
-                # receive a value, so warping the full chunk plane per image
-                # is O(chunk_area) waste (the reference crops the VRT the
-                # same way, src/image_collection_cube.cpp:456-470)
+                # receive a value, so touching the full chunk plane per
+                # image is O(chunk_area) waste (the reference crops the VRT
+                # the same way, src/image_collection_cube.cpp:456-470)
                 jx = np.nonzero((xs >= a_l[k]) & (xs < a_r[k]))[0]
                 jy = np.nonzero((ys > a_b[k]) & (ys <= a_t[k]))[0]
-                planes = np.full((nb, ny_c, nx_c), np.nan)
                 if len(jx) and len(jy):
                     y0, y1 = jy[0], jy[-1] + 1
                     x0, x1 = jx[0], jx[-1] + 1
-                    raw = decode_fn(a_bytes[k], a_fmt[k])
-                    for b in range(nb):
-                        planes[b, y0:y1, x0:x1] = warp_plane(
-                            raw[:, :, b], img_bounds, xs[x0:x1], ys[y0:y1], resampling
-                        )
+                    if value_fn is not None:
+                        # 'near'-coverage of a constant plane reduces to the
+                        # covered cell rectangle — no raster math
+                        vals = value_fn(a_id[k])
+                        for b in range(nb):
+                            planes[b, y0:y1, x0:x1] = vals[b]
+                    else:
+                        raw = decode_fn(a_bytes[k], a_fmt[k])
+                        for b in range(nb):
+                            planes[b, y0:y1, x0:x1] = warp_plane(
+                                raw[:, :, b], img_bounds,
+                                xs[x0:x1], ys[y0:y1], resampling,
+                                **(
+                                    {"x_edges": x_edges[x0:x1 + 1],
+                                     "y_edges": y_edges[y0:y1 + 1]}
+                                    if resampling in AGG_RESAMPLERS else {}
+                                ),
+                            )
+            else:
+                # non-separable view SRS: 2-D membership mask, then a 2-D
+                # gather restricted to the mask's bounding window
+                m2 = (LON >= a_l[k]) & (LON < a_r[k]) & (LAT > a_b[k]) & (LAT <= a_t[k])
+                if m2.any():
+                    myy, mxx = np.nonzero(m2)
+                    y0, y1 = myy.min(), myy.max() + 1
+                    x0, x1 = mxx.min(), mxx.max() + 1
+                    if value_fn is not None:
+                        vals = value_fn(a_id[k])
+                        for b in range(nb):
+                            planes[b][m2] = vals[b]
+                    else:
+                        raw = decode_fn(a_bytes[k], a_fmt[k])
+                        sub = np.full((y1 - y0, x1 - x0), np.nan)
+                        for b in range(nb):
+                            sub[:] = warp_plane(
+                                raw[:, :, b], img_bounds,
+                                LON[y0:y1, x0:x1], LAT[y0:y1, x0:x1], resampling,
+                            )
+                            win = planes[b, y0:y1, x0:x1]
+                            wm = m2[y0:y1, x0:x1]
+                            win[wm] = sub[wm]
             if mask is not None:
                 m = mask.apply(planes)
                 planes[:, m] = np.nan
@@ -539,7 +777,12 @@ def build_cells_long(
     def scan(batches):
         from .. import srs as _srs
 
-        merc = _srs.normalize(view.srs) == "EPSG:3857"
+        srs_n = _srs.normalize(view.srs)
+        separable = _srs.is_separable(srs_n)
+        if not separable and resampling in AGG_RESAMPLERS:
+            raise ValueError(
+                f"aggregating resampler {resampling!r} needs a separable view SRS"
+            )
         for pdf in batches:
             out_it, out_iy, out_ix, out_id = [], [], [], []
             out_v = [[] for _ in range(nb)]
@@ -549,14 +792,33 @@ def build_cells_long(
             a_b = pdf["bottom"].to_numpy()
             a_t = pdf["top"].to_numpy()
             a_id = pdf["image_id"].to_numpy()
-            if merc:
+            if srs_n == "EPSG:3857":
                 # footprint bbox -> view coords for the cell-window math
+                # (separable + monotonic: corners map exactly)
                 v_l = _srs.lon_to_x(a_l)
                 v_r = _srs.lon_to_x(a_r)
                 v_b = _srs.lat_to_y(a_b)
                 v_t = _srs.lat_to_y(a_t)
-            else:
+            elif separable:
                 v_l, v_r, v_b, v_t = a_l, a_r, a_b, a_t
+            else:
+                # non-separable (UTM): CONSERVATIVE view-coord bbox from the
+                # 4 corners + 4 edge midpoints of every footprint (one
+                # vectorized transform per batch), padded by one view cell +
+                # the TM chord-sagitta bound; the per-cell 2-D membership
+                # mask below refines exactly, so over-coverage only costs a
+                # few extra masked cells
+                mx_ = (a_l + a_r) / 2.0
+                my_ = (a_b + a_t) / 2.0
+                pls = np.stack([a_l, a_l, a_r, a_r, mx_, mx_, a_l, a_r])
+                pbs = np.stack([a_b, a_t, a_b, a_t, a_b, a_t, my_, my_])
+                px, py = _srs.from_wgs84(pls, pbs, srs_n)
+                pad_x = view.dx + 0.01 * (px.max(axis=0) - px.min(axis=0))
+                pad_y = view.dy + 0.01 * (py.max(axis=0) - py.min(axis=0))
+                v_l = px.min(axis=0) - pad_x
+                v_r = px.max(axis=0) + pad_x
+                v_b = py.min(axis=0) - pad_y
+                v_t = py.max(axis=0) + pad_y
             if value_fn is None:
                 a_bytes = pdf["bytes"].to_numpy()
                 a_fmt = pdf["fmt"].to_numpy()
@@ -564,48 +826,77 @@ def build_cells_long(
                 itg = view.slot_index_of(pd.Timestamp(a_ts[k]).to_pydatetime())
                 if itg < 0 or itg >= view.nt:
                     continue
-                # covered global cell window (centers inside the footprint)
-                ix0 = max(0, int(np.ceil((v_l[k] - view.left) / view.dx - 0.5)))
-                ix1 = min(view.nx, int(np.floor((v_r[k] - view.left) / view.dx - 0.5)) + 1)
-                iy0 = max(0, int(np.ceil((view.top - v_t[k]) / view.dy - 0.5)))
-                iy1 = min(view.ny, int(np.floor((view.top - v_b[k]) / view.dy - 0.5)) + 1)
+                # covered global cell window (centers inside the footprint;
+                # for non-separable SRS this window is conservative)
+                if separable:
+                    ix0 = max(0, int(np.ceil((v_l[k] - view.left) / view.dx - 0.5)))
+                    ix1 = min(view.nx, int(np.floor((v_r[k] - view.left) / view.dx - 0.5)) + 1)
+                    iy0 = max(0, int(np.ceil((view.top - v_t[k]) / view.dy - 0.5)))
+                    iy1 = min(view.ny, int(np.floor((view.top - v_b[k]) / view.dy - 0.5)) + 1)
+                else:
+                    ix0 = max(0, int(np.floor((v_l[k] - view.left) / view.dx)))
+                    ix1 = min(view.nx, int(np.ceil((v_r[k] - view.left) / view.dx)))
+                    iy0 = max(0, int(np.floor((view.top - v_t[k]) / view.dy)))
+                    iy1 = min(view.ny, int(np.ceil((view.top - v_b[k]) / view.dy)))
                 if ix1 <= ix0 or iy1 <= iy0:
                     continue
                 xs = view.left + (np.arange(ix0, ix1) + 0.5) * view.dx
                 ys = view.top - (np.arange(iy0, iy1) + 0.5) * view.dy
-                xs, ys = _srs.axis_to_wgs84(xs, ys, view.srs)
-                # guard float edges: centers must be strictly covered (in 4326,
-                # matching the warp's own inside test exactly)
-                mx = (xs >= a_l[k]) & (xs < a_r[k])
-                my = (ys > a_b[k]) & (ys <= a_t[k])
-                if not (mx.any() and my.any()):
-                    continue
-                if not mx.all():
-                    xs = xs[mx]
-                    sel = np.nonzero(mx)[0]
-                    ix0 = ix0 + sel[0]
-                    ix1 = ix0 + len(sel)
-                if not my.all():
-                    ys = ys[my]
-                    sel = np.nonzero(my)[0]
-                    iy0 = iy0 + sel[0]
-                    iy1 = iy0 + len(sel)
+                m2 = None
+                if separable:
+                    xs, ys = _srs.axis_to_wgs84(xs, ys, view.srs)
+                    # guard float edges: centers must be strictly covered (in
+                    # 4326, matching the warp's own inside test exactly)
+                    mx = (xs >= a_l[k]) & (xs < a_r[k])
+                    my = (ys > a_b[k]) & (ys <= a_t[k])
+                    if not (mx.any() and my.any()):
+                        continue
+                    if not mx.all():
+                        xs = xs[mx]
+                        sel = np.nonzero(mx)[0]
+                        ix0 = ix0 + sel[0]
+                        ix1 = ix0 + len(sel)
+                    if not my.all():
+                        ys = ys[my]
+                        sel = np.nonzero(my)[0]
+                        iy0 = iy0 + sel[0]
+                        iy1 = iy0 + len(sel)
+                else:
+                    LON, LAT = _srs.grid_to_wgs84(xs, ys, view.srs)
+                    m2 = (LON >= a_l[k]) & (LON < a_r[k]) & (LAT > a_b[k]) & (LAT <= a_t[k])
+                    if not m2.any():
+                        continue
+                    xs, ys = LON, LAT  # 2-D coords for the warp gather
                 if value_fn is not None:
                     vals = value_fn(a_id[k])
+                    shape = m2.shape if m2 is not None else (len(ys), len(xs))
                     planes = np.stack(
-                        [np.full((len(ys), len(xs)), vals[b]) for b in range(nb)]
+                        [np.full(shape, vals[b]) for b in range(nb)]
                     )
                 else:
                     raw = decode_fn(a_bytes[k], a_fmt[k])
+                    kw = {}
+                    if resampling in AGG_RESAMPLERS:
+                        kw = {
+                            "x_edges": _srs.axis_to_wgs84(
+                                view.left + np.arange(ix0, ix1 + 1) * view.dx,
+                                np.empty(0), view.srs)[0],
+                            "y_edges": _srs.axis_to_wgs84(
+                                np.empty(0),
+                                view.top - np.arange(iy0, iy1 + 1) * view.dy,
+                                view.srs)[1],
+                        }
                     planes = np.stack(
                         [
                             warp_plane(
                                 raw[:, :, b], (a_l[k], a_r[k], a_b[k], a_t[k]),
-                                xs, ys, resampling,
+                                xs, ys, resampling, **kw,
                             )
                             for b in range(nb)
                         ]
                     )
+                if m2 is not None:
+                    planes[:, ~m2] = np.nan
                 if mask is not None:
                     planes[:, mask.apply(planes)] = np.nan
                 keep = ~np.isnan(planes).all(axis=0)

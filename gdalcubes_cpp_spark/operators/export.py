@@ -65,7 +65,10 @@ def write_packed(cube: Cube, path: str, packing: Packing, mode: str = "overwrite
                 nodata = float(hi)
             p = F.round((c - F.lit(float(offset))) / F.lit(float(scale)))
             p = F.least(F.greatest(p, F.lit(float(lo))), F.lit(float(hi)))
-            packed = F.coalesce(p, F.lit(float(nodata))).cast(sql_type)
+            # NULL must stay NULL through the clip: Spark's least/greatest
+            # SKIP nulls (greatest(NULL, 0) = 0), which would silently pack
+            # nodata cells as the clip floor
+            packed = F.when(c.isNull(), F.lit(float(nodata))).otherwise(p).cast(sql_type)
         cols.append(packed.alias(b))
         meta["packing"]["bands"].append(
             {"band": b, "scale": scale, "offset": offset, "nodata": nodata}

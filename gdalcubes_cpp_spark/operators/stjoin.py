@@ -78,15 +78,19 @@ def chunks_df(spark: SparkSession, grid: ChunkGrid) -> DataFrame:
     # a non-4326 view transforms its chunk rectangles to 4326 for the join
     # predicate, as the reference transforms the query rect
     # (src/image_collection.cpp:1326). Mercator is monotonic/axis-aligned,
-    # so corners map to corners — native column math, no UDF.
+    # so corners map to corners — native column math, no UDF. Non-separable
+    # SRS (UTM) get a CONSERVATIVE 4326 bbox below (the chunk kernel's
+    # per-cell inside test keeps the result exact; extra joined images
+    # contribute no cells).
     from .. import srs as _srs
 
-    if _srs.normalize(v.srs) == "EPSG:3857":
+    srs_n = _srs.normalize(v.srs)
+    if srs_n == "EPSG:3857":
         ch_left = _srs.col_x_to_lon(ch_left)
         ch_right = _srs.col_x_to_lon(ch_right)
         ch_bottom = _srs.col_y_to_lat(ch_bottom)
         ch_top = _srs.col_y_to_lat(ch_top)
-    return df.select(
+    out = df.select(
         "chunk_id",
         ch_left.alias("ch_left"),
         ch_right.alias("ch_right"),
@@ -96,6 +100,22 @@ def chunks_df(spark: SparkSession, grid: ChunkGrid) -> DataFrame:
         t_end.alias("ch_t_end"),
         it0.cast("int").alias("ch_it0"),
     )
+    if not _srs.is_separable(srs_n):
+        import pandas as pd
+
+        def to4326(batches):
+            for pdf in batches:
+                l, r, b, t = [], [], [], []
+                for _, row in pdf.iterrows():
+                    lo0, lo1, la0, la1 = _srs.bbox_to_wgs84(
+                        row["ch_left"], row["ch_right"],
+                        row["ch_bottom"], row["ch_top"], srs_n,
+                    )
+                    l.append(lo0); r.append(lo1); b.append(la0); t.append(la1)
+                yield pdf.assign(ch_left=l, ch_right=r, ch_bottom=b, ch_top=t)
+
+        out = out.mapInPandas(to4326, schema=out.schema)
+    return out
 
 
 def _time_at(it, v):

@@ -59,12 +59,17 @@ def simple_cube(spark: SparkSession, records, view: CubeView, bands=("B1", "B2")
     from ..operators.build import build_cube
     from ..synth import SCHEMA_DDL
 
+    def _ts(t):
+        import pandas as pd
+
+        return pd.Timestamp(t).to_pydatetime()  # Spark rejects pd.Timestamp
+
     df = spark.createDataFrame(
         [
             (
                 r["image_id"], r["bytes"], r["w"], r["h"], r.get("fmt", "png"),
                 r.get("caption", ""), r.get("phash", 0), r["left"], r["right"],
-                r["bottom"], r["top"], r["ts"], r.get("srs", "EPSG:4326"),
+                r["bottom"], r["top"], _ts(r["ts"]), r.get("srs", "EPSG:4326"),
             )
             for r in records
         ],

@@ -1,24 +1,62 @@
-"""Spatial reference support: EPSG:4326 <-> EPSG:3857 (spherical web
-mercator), pure formulas (pyproj/GDAL unavailable in this container).
+"""Spatial reference support, pure formulas (pyproj/GDAL unavailable).
 
 The reference supports arbitrary SRS through GDAL with a cached transform
-(src/warp.cpp:33-55); footprints are always stored in EPSG:4326
-(src/image_collection.cpp:309-326) and query rectangles are transformed to
-4326 for the find_range_st predicate (src/image_collection.cpp:1326).
-We implement the same protocol for the two SRS that cover the synthetic
-workload; the transform interface is the extension point for real PROJ.
+(src/warp.cpp:33-55; src/view.h:703-711 accepts EPSG/WKT/proj4); footprints
+are always stored in EPSG:4326 (src/image_collection.cpp:309-326) and query
+rectangles are transformed to 4326 for the find_range_st predicate
+(src/image_collection.cpp:1326). We implement the same protocol for the SRS
+families that cover real workloads:
 
-Web mercator is separable (x depends only on lon, y only on lat) and
-monotonic, which the warp kernels exploit: 1-D axis vectors transform
-independently.
+- EPSG:4326            identity (separable)
+- EPSG:3857            spherical web mercator (separable: x<->lon, y<->lat
+                       independent) — 1-D axis vectors transform alone
+- EPSG:326xx / 327xx   UTM zones on the WGS84 ellipsoid (NON-separable:
+                       lon depends on both x and y) via the transverse-
+                       Mercator series of Snyder 1987 (USGS PP 1395,
+                       eq. 8-9..8-25), vectorized numpy, ~mm accuracy
+                       in-zone — the reference's flagship products are
+                       UTM-zone rasters (formats/Sentinel2_L2A.json)
+
+Non-separable SRS force the warp kernels onto 2-D coordinate grids
+(grid_to_wgs84) and conservative bbox transforms (densified edge sampling,
+bbox_to_wgs84) — the per-cell inside test stays exact, the join predicate
+only needs to be a superset.
+
+tm_inverse_sql() emits the SAME inverse series as ANSI SQL with the SAME
+operation order, so a SQL engine (DuckDB oracle / Spark SQL) reproduces the
+numpy cell-center coordinates to within libm ulps; driver queries built on
+it keep footprint edges on a coarse decimal grid so ulp-level disagreement
+can never flip a coverage decision (margin asserted in tests).
 """
 
 from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import Column, functions as F
 
 R = 6378137.0  # WGS84 spherical radius used by EPSG:3857
+
+# WGS84 ellipsoid (UTM)
+A_WGS84 = 6378137.0
+F_WGS84 = 1.0 / 298.257223563
+E2 = F_WGS84 * (2.0 - F_WGS84)
+EP2 = E2 / (1.0 - E2)
+K0 = 0.9996
+FE = 500000.0
+FN_SOUTH = 10000000.0
+
+# meridian-arc series coefficients (Snyder eq. 3-21)
+_C0 = 1.0 - E2 / 4.0 - 3.0 * E2 ** 2 / 64.0 - 5.0 * E2 ** 3 / 256.0
+_C2 = 3.0 * E2 / 8.0 + 3.0 * E2 ** 2 / 32.0 + 45.0 * E2 ** 3 / 1024.0
+_C4 = 15.0 * E2 ** 2 / 256.0 + 45.0 * E2 ** 3 / 1024.0
+_C6 = 35.0 * E2 ** 3 / 3072.0
+_E1 = (1.0 - math.sqrt(1.0 - E2)) / (1.0 + math.sqrt(1.0 - E2))
+
+_UTM_RE = re.compile(r"^EPSG:32([67])(\d\d)$")
 
 
 def normalize(srs: str) -> str:
@@ -27,10 +65,35 @@ def normalize(srs: str) -> str:
         return "EPSG:4326"
     if s in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
         return "EPSG:3857"
-    raise ValueError(f"unsupported SRS {srs!r} (supported: EPSG:4326, EPSG:3857)")
+    m = _UTM_RE.match(s)
+    if m:
+        zone = int(m.group(2))
+        if 1 <= zone <= 60:
+            return s
+    raise ValueError(
+        f"unsupported SRS {srs!r} (supported: EPSG:4326, EPSG:3857, "
+        f"EPSG:326xx/327xx UTM zones)"
+    )
 
 
-# -- numpy (kernel-side) -----------------------------------------------------
+def is_separable(srs: str) -> bool:
+    """True iff x depends only on lon and y only on lat (1-D axis transforms
+    suffice); UTM is non-separable (meridian convergence)."""
+    return normalize(srs) in ("EPSG:4326", "EPSG:3857")
+
+
+def utm_params(srs: str):
+    """(lon0_degrees, false_northing) of a UTM code, or None."""
+    m = _UTM_RE.match(normalize(srs))
+    if not m:
+        return None
+    zone = int(m.group(2))
+    lon0 = -183.0 + 6.0 * zone
+    fn = FN_SOUTH if m.group(1) == "7" else 0.0
+    return lon0, fn
+
+
+# -- web mercator (numpy, kernel-side) ----------------------------------------
 
 def lon_to_x(lon):
     return np.radians(np.asarray(lon, dtype=np.float64)) * R
@@ -49,17 +112,217 @@ def y_to_lat(y):
     return np.degrees(2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / R)) - np.pi / 2.0)
 
 
+# -- transverse Mercator / UTM (numpy; Snyder 1987 eq. 8-9..8-25) -------------
+
+def tm_forward(lon, lat, lon0: float, fn: float = 0.0):
+    """(lon, lat) degrees -> UTM (x, y) meters. Vectorized; broadcastable."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    sinp = np.sin(phi)
+    cosp = np.cos(phi)
+    tanp = np.tan(phi)
+    N = A_WGS84 / np.sqrt(1.0 - E2 * sinp * sinp)
+    T = tanp * tanp
+    C = EP2 * cosp * cosp
+    Aa = cosp * lam
+    M = A_WGS84 * (
+        _C0 * phi - _C2 * np.sin(2.0 * phi) + _C4 * np.sin(4.0 * phi) - _C6 * np.sin(6.0 * phi)
+    )
+    x = FE + K0 * N * (
+        Aa
+        + (1.0 - T + C) * Aa ** 3 / 6.0
+        + (5.0 - 18.0 * T + T * T + 72.0 * C - 58.0 * EP2) * Aa ** 5 / 120.0
+    )
+    y = fn + K0 * (
+        M
+        + N * tanp * (
+            Aa * Aa / 2.0
+            + (5.0 - T + 9.0 * C + 4.0 * C * C) * Aa ** 4 / 24.0
+            + (61.0 - 58.0 * T + T * T + 600.0 * C - 330.0 * EP2) * Aa ** 6 / 720.0
+        )
+    )
+    return x, y
+
+
+def tm_inverse(x, y, lon0: float, fn: float = 0.0):
+    """UTM (x, y) meters -> (lon, lat) degrees. Vectorized; broadcastable.
+
+    Operation order mirrors tm_inverse_sql EXACTLY — keep the two in sync
+    (cross-engine cell-center equality is how the driver oracle works)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    M = (y - fn) / K0
+    mu = M / (A_WGS84 * _C0)
+    phi1 = (
+        mu
+        + (3.0 * _E1 / 2.0 - 27.0 * _E1 ** 3 / 32.0) * np.sin(2.0 * mu)
+        + (21.0 * _E1 ** 2 / 16.0 - 55.0 * _E1 ** 4 / 32.0) * np.sin(4.0 * mu)
+        + (151.0 * _E1 ** 3 / 96.0) * np.sin(6.0 * mu)
+        + (1097.0 * _E1 ** 4 / 512.0) * np.sin(8.0 * mu)
+    )
+    sin1 = np.sin(phi1)
+    cos1 = np.cos(phi1)
+    tan1 = np.tan(phi1)
+    C1 = EP2 * cos1 * cos1
+    T1 = tan1 * tan1
+    N1 = A_WGS84 / np.sqrt(1.0 - E2 * sin1 * sin1)
+    R1 = A_WGS84 * (1.0 - E2) / (1.0 - E2 * sin1 * sin1) ** 1.5
+    D = (x - FE) / (N1 * K0)
+    lat = np.degrees(
+        phi1
+        - (N1 * tan1 / R1) * (
+            D * D / 2.0
+            - (5.0 + 3.0 * T1 + 10.0 * C1 - 4.0 * C1 * C1 - 9.0 * EP2) * D ** 4 / 24.0
+            + (61.0 + 90.0 * T1 + 298.0 * C1 + 45.0 * T1 * T1 - 252.0 * EP2 - 3.0 * C1 * C1)
+            * D ** 6 / 720.0
+        )
+    )
+    lon = lon0 + np.degrees(
+        (
+            D
+            - (1.0 + 2.0 * T1 + C1) * D ** 3 / 6.0
+            + (5.0 - 2.0 * C1 + 28.0 * T1 - 3.0 * C1 * C1 + 8.0 * EP2 + 24.0 * T1 * T1)
+            * D ** 5 / 120.0
+        )
+        / cos1
+    )
+    return lon, lat
+
+
+def _flit(v: float) -> str:
+    """Float literal in E-notation — parsed as DOUBLE (not DECIMAL) by both
+    DuckDB and Spark SQL; 17 significant digits round-trip float64."""
+    return f"{float(v):.17e}"
+
+
+def tm_inverse_sql(x_expr: str, y_expr: str, lon0: float, fn: float = 0.0):
+    """(lon_sql, lat_sql) ANSI-SQL strings computing tm_inverse(x, y) with
+    the SAME operation order — runnable in DuckDB and Spark SQL. The
+    expressions reference ``x_expr``/``y_expr`` verbatim (pass column names
+    or sub-expressions)."""
+    L = _flit
+    a = L(A_WGS84)
+    deg = L(180.0 / math.pi)
+    mu = f"((({y_expr}) - {L(fn)}) / {L(K0)} / ({a} * {L(_C0)}))"
+    phi1 = (
+        f"({mu} + {L(3.0 * _E1 / 2.0 - 27.0 * _E1 ** 3 / 32.0)} * sin(2.0 * {mu})"
+        f" + {L(21.0 * _E1 ** 2 / 16.0 - 55.0 * _E1 ** 4 / 32.0)} * sin(4.0 * {mu})"
+        f" + {L(151.0 * _E1 ** 3 / 96.0)} * sin(6.0 * {mu})"
+        f" + {L(1097.0 * _E1 ** 4 / 512.0)} * sin(8.0 * {mu}))"
+    )
+    c1 = f"({L(EP2)} * cos({phi1}) * cos({phi1}))"
+    t1 = f"(tan({phi1}) * tan({phi1}))"
+    n1 = f"({a} / sqrt(1.0 - {L(E2)} * sin({phi1}) * sin({phi1})))"
+    r1 = f"({a} * {L(1.0 - E2)} / pow(1.0 - {L(E2)} * sin({phi1}) * sin({phi1}), 1.5))"
+    d = f"((({x_expr}) - {L(FE)}) / ({n1} * {L(K0)}))"
+    lat = (
+        f"(({phi1} - ({n1} * tan({phi1}) / {r1}) * ({d} * {d} / 2.0"
+        f" - (5.0 + 3.0 * {t1} + 10.0 * {c1} - 4.0 * {c1} * {c1} - 9.0 * {L(EP2)})"
+        f" * pow({d}, 4) / 24.0"
+        f" + (61.0 + 90.0 * {t1} + 298.0 * {c1} + 45.0 * {t1} * {t1}"
+        f" - {L(252.0 * EP2)} - 3.0 * {c1} * {c1}) * pow({d}, 6) / 720.0)) * {deg})"
+    )
+    lon = (
+        f"({L(lon0)} + (({d} - (1.0 + 2.0 * {t1} + {c1}) * pow({d}, 3) / 6.0"
+        f" + (5.0 - 2.0 * {c1} + 28.0 * {t1} - 3.0 * {c1} * {c1} + {L(8.0 * EP2)}"
+        f" + 24.0 * {t1} * {t1}) * pow({d}, 5) / 120.0) / cos({phi1})) * {deg})"
+    )
+    return lon, lat
+
+
+# -- generic transform surface -------------------------------------------------
+
 def axis_to_wgs84(xs: np.ndarray, ys: np.ndarray, srs: str):
-    """1-D axis vectors in ``srs`` -> (lon, lat) vectors."""
-    if normalize(srs) == "EPSG:4326":
+    """1-D axis vectors in a SEPARABLE ``srs`` -> (lon, lat) vectors."""
+    s = normalize(srs)
+    if s == "EPSG:4326":
         return xs, ys
-    return x_to_lon(xs), y_to_lat(ys)
+    if s == "EPSG:3857":
+        return x_to_lon(xs), y_to_lat(ys)
+    raise ValueError(f"{srs} is not separable; use grid_to_wgs84")
 
 
-def bbox_to_wgs84(left, right, bottom, top, srs: str):
-    if normalize(srs) == "EPSG:4326":
+def grid_to_wgs84(xs: np.ndarray, ys: np.ndarray, srs: str):
+    """1-D axis vectors -> 2-D (LON, LAT) grids of shape (len(ys), len(xs)),
+    valid for any supported SRS (the non-separable warp path)."""
+    s = normalize(srs)
+    if is_separable(s):
+        lon, lat = axis_to_wgs84(xs, ys, s)
+        return np.broadcast_to(lon[None, :], (len(ys), len(xs))), np.broadcast_to(
+            lat[:, None], (len(ys), len(xs))
+        )
+    lon0, fn = utm_params(s)
+    X = np.broadcast_to(np.asarray(xs, dtype=np.float64)[None, :], (len(ys), len(xs)))
+    Y = np.broadcast_to(np.asarray(ys, dtype=np.float64)[:, None], (len(ys), len(xs)))
+    return tm_inverse(X, Y, lon0, fn)
+
+
+def from_wgs84(lon, lat, srs: str):
+    """(lon, lat) -> coords in ``srs`` (vectorized)."""
+    s = normalize(srs)
+    if s == "EPSG:4326":
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    if s == "EPSG:3857":
+        return lon_to_x(lon), lat_to_y(lat)
+    lon0, fn = utm_params(s)
+    return tm_forward(lon, lat, lon0, fn)
+
+
+def bbox_to_wgs84(left, right, bottom, top, srs: str, n_samples: int = 9):
+    """Conservative 4326 bbox of a rectangle in ``srs``.
+
+    Separable SRS: corners map to corners (exact). Non-separable: sample
+    ``n_samples`` points per edge, take extremes, pad by the max adjacent
+    sample gap — a superset bbox (the per-cell inside test downstream stays
+    exact; the reference transforms the query rect the same way,
+    src/image_collection.cpp:1326)."""
+    s = normalize(srs)
+    if s == "EPSG:4326":
         return left, right, bottom, top
-    return float(x_to_lon(left)), float(x_to_lon(right)), float(y_to_lat(bottom)), float(y_to_lat(top))
+    if s == "EPSG:3857":
+        return float(x_to_lon(left)), float(x_to_lon(right)), float(y_to_lat(bottom)), float(y_to_lat(top))
+    lon0, fn = utm_params(s)
+    t = np.linspace(0.0, 1.0, n_samples)
+    xs = left + (right - left) * t
+    ys = bottom + (top - bottom) * t
+    ex = np.concatenate([xs, xs, np.full_like(ys, left), np.full_like(ys, right)])
+    ey = np.concatenate([np.full_like(xs, bottom), np.full_like(xs, top), ys, ys])
+    lon, lat = tm_inverse(ex, ey, lon0, fn)
+    # pad by the curvature bound: between two edge samples the extremum can
+    # exceed the sampled max by at most ~the sample spread; one full gap is
+    # a safe over-estimate at these scales
+    pad_lon = (lon.max() - lon.min()) / max(n_samples - 1, 1)
+    pad_lat = (lat.max() - lat.min()) / max(n_samples - 1, 1)
+    return (
+        float(lon.min() - pad_lon),
+        float(lon.max() + pad_lon),
+        float(lat.min() - pad_lat),
+        float(lat.max() + pad_lat),
+    )
+
+
+def bbox_from_wgs84(left, right, bottom, top, srs: str, n_samples: int = 9):
+    """Conservative ``srs`` bbox of a 4326 rectangle (densified edges +
+    one-gap pad; exact for separable SRS)."""
+    s = normalize(srs)
+    if is_separable(s):
+        x0, y0 = from_wgs84(left, bottom, s)
+        x1, y1 = from_wgs84(right, top, s)
+        return float(x0), float(x1), float(y0), float(y1)
+    t = np.linspace(0.0, 1.0, n_samples)
+    lons = left + (right - left) * t
+    lats = bottom + (top - bottom) * t
+    el = np.concatenate([lons, lons, np.full_like(lats, left), np.full_like(lats, right)])
+    eb = np.concatenate([np.full_like(lons, bottom), np.full_like(lons, top), lats, lats])
+    x, y = from_wgs84(el, eb, s)
+    pad_x = (x.max() - x.min()) / max(n_samples - 1, 1)
+    pad_y = (y.max() - y.min()) / max(n_samples - 1, 1)
+    return (
+        float(x.min() - pad_x),
+        float(x.max() + pad_x),
+        float(y.min() - pad_y),
+        float(y.max() + pad_y),
+    )
 
 
 # -- Spark column expressions (join-side, JVM) -------------------------------

@@ -207,7 +207,10 @@ AGG_METHODS = (
     "none", "min", "max", "mean", "median", "first", "last",
     "count_images", "count_values",
 )  # src/view.h:41-100
-RESAMPLING_METHODS = ("near", "bilinear")  # required subset of src/view.h:111-124
+RESAMPLING_METHODS = (
+    "near", "bilinear", "cubic", "cubicspline", "lanczos",
+    "average", "mode", "min", "max", "med", "q1", "q3",
+)  # full set of src/view.h:111-124 / src/warp.cpp:159-182
 
 
 @dataclass(frozen=True)

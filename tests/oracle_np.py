@@ -41,6 +41,14 @@ def dense_cube(pdf, view, resampling="near", aggregation="mean", nb=2):
         nx_c = bd["ix1"] - bd["ix0"]
         xs = v.left + (np.arange(bd["ix0"], bd["ix1"]) + 0.5) * v.dx
         ys = v.top - (np.arange(bd["iy0"], bd["iy1"]) + 0.5) * v.dy
+        from gdalcubes_cpp_spark.operators.build import AGG_RESAMPLERS
+
+        wkw = {}
+        if resampling in AGG_RESAMPLERS:
+            wkw = {
+                "x_edges": v.left + np.arange(bd["ix0"], bd["ix1"] + 1) * v.dx,
+                "y_edges": v.top - np.arange(bd["iy0"], bd["iy1"] + 1) * v.dy,
+            }
         shape = (nb, nt_c, ny_c, nx_c)
         sums = np.zeros(shape)
         cnts = np.zeros(shape)
@@ -56,7 +64,7 @@ def dense_cube(pdf, view, resampling="near", aggregation="mean", nb=2):
                     warp_plane(
                         raw[:, :, b],
                         (r["left"], r["right"], r["bottom"], r["top"]),
-                        xs, ys, resampling,
+                        xs, ys, resampling, **wkw,
                     )
                     for b in range(nb)
                 ]
