@@ -1507,3 +1507,73 @@ def reduce_space_udf_spread(spark, sf_dir):
 
     c = _formula_cube(spark).reduce_space_udf(spread, ["B1_spread"])
     return c.df.select("it", "B1_spread")
+
+
+# ------------------------------------------------- collection_format ingest
+
+_S2_SUFFIXES = ["B01_60m", "B02_10m", "B03_10m", "B08_10m", "SCL_20m"]
+
+_S2_LISTING_SQL = """
+  SELECT '/data/S2A_MSIL2A_' || strftime(o_orderdate, '%Y%m%dT%H%M%S')
+         || '_N0214_R065_T33UVP_' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
+         || '.SAFE/GRANULE/IMG_DATA/T33UVP_'
+         || strftime(o_orderdate, '%Y%m%dT%H%M%S') || '_'
+         || (CASE o_orderkey % 5 WHEN 0 THEN 'B01_60m' WHEN 1 THEN 'B02_10m'
+             WHEN 2 THEN 'B03_10m' WHEN 3 THEN 'B08_10m' ELSE 'SCL_20m' END)
+         || '.jp2' AS path, o_orderkey, o_orderdate
+  FROM orders
+  UNION ALL
+  SELECT '/data/junk_' || CAST(o_orderkey AS VARCHAR) || '.txt' AS path,
+         o_orderkey, o_orderdate
+  FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
+def _s2_listing(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    dt = F.date_format("o_orderdate", "yyyyMMdd'T'HHmmss")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _S2_SUFFIXES]), (k % 5 + 1).cast("int")
+    )
+    good = o.select(
+        F.concat(
+            F.lit("/data/S2A_MSIL2A_"), dt, F.lit("_N0214_R065_T33UVP_"),
+            F.lpad(k.cast("string"), 10, "0"),
+            F.lit(".SAFE/GRANULE/IMG_DATA/T33UVP_"), dt, F.lit("_"), suffix,
+            F.lit(".jp2"),
+        ).alias("path")
+    )
+    junk = o.filter(k % 11 == 0).select(
+        F.concat(F.lit("/data/junk_"), k.cast("string"), F.lit(".txt")).alias("path")
+    )
+    return good.unionAll(junk)
+
+
+@q(
+    "format_ingest",
+    f"""
+WITH listing AS ({_S2_LISTING_SQL})
+SELECT 'S2A_MSIL2A_' || strftime(o_orderdate, '%Y%m%dT%H%M%S')
+       || '_N0214_R065_T33UVP_' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
+       AS image_id,
+       o_orderdate AS ts,
+       CASE o_orderkey % 5 WHEN 0 THEN 'B01' WHEN 1 THEN 'B02'
+            WHEN 2 THEN 'B03' WHEN 3 THEN 'B08' ELSE 'SCL' END AS band,
+       path,
+       CASE WHEN o_orderkey % 5 = 4 THEN NULL ELSE 0.0 END AS nodata,
+       CASE WHEN o_orderkey % 5 = 4 THEN 1.0 ELSE 0.0001 END AS scale
+FROM listing WHERE path LIKE '%.jp2'
+""",
+)
+def format_ingest(spark, sf_dir):
+    """collection_format ingest (src/collection_format.h:36-74,
+    src/image_collection.cpp:155-430): a Sentinel-2 L2A file listing parses
+    to the (image_id, ts, band, path, nodata, scale) collection relation
+    via pure regexp_extract/rlike/to_timestamp columns; junk paths drop at
+    the global pattern. The oracle rebuilds the expected relation
+    CONSTRUCTIVELY (no regex), so the regex extraction itself is what's
+    being verified."""
+    from .sources.formats import ingest_listing
+
+    return ingest_listing(_s2_listing(spark, sf_dir), "Sentinel2_L2A")

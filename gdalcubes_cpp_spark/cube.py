@@ -365,13 +365,33 @@ class Cube:
 
     def _densify_time(self) -> DataFrame:
         """Expand each (iy, ix) pixel to all nt slices (nulls where absent) —
-        needed by window/fill ops whose frames count slices, not rows."""
+        needed by window/fill ops whose frames count slices, not rows
+        (output rows must exist at absent cells whose window sees values).
+
+        ONE shuffle: groupBy(iy, ix) packs each pixel's series into an
+        it->bands map, then explode+lookup rebuilds the dense series. The
+        downstream Window partitionBy(iy, ix) REUSES this hash partitioning
+        (no second exchange) — vs the previous distinct + re-join, which
+        cost two extra shuffles of the full table (r1 VERDICT #4)."""
         v = self.view
-        pixels = self.df.select("iy", "ix").distinct()
-        ts = pixels.select(
-            "iy", "ix", F.explode(F.sequence(F.lit(0), F.lit(v.nt - 1))).alias("it")
-        ).select(F.col("it").cast("int").alias("it"), "iy", "ix")
-        return ts.join(self.df, KEY, "left")
+        packed = self.df.groupBy("iy", "ix").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("it"),
+                        F.struct(*[F.col(f"`{b}`") for b in self.bands]).alias("v"),
+                    )
+                )
+            ).alias("_m")
+        )
+        return packed.select(
+            "iy", "ix",
+            F.explode(F.sequence(F.lit(0), F.lit(v.nt - 1))).alias("_it"),
+            "_m",
+        ).select(
+            F.col("_it").cast("int").alias("it"), "iy", "ix",
+            *[F.col("_m")[F.col("_it")][b].alias(b) for b in self.bands],
+        )
 
     def fill_time(self, method: str = "linear") -> "Cube":
         """fill_time (src/fill_time.h:23-28, methods src/fill_time.cpp:137-150):

@@ -58,6 +58,18 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[np.ix_(ys, xs)]
 
 
+def decimate_center(img: np.ndarray, level: int) -> np.ndarray:
+    """Level-L decimation that picks each LxL block's CENTER sample
+    (index j*L + L//2) — exactly the pixel a near-resample at an aligned
+    L-times-coarser grid would gather, so near-warping FROM this overview
+    is bit-identical to near-warping from the full image at aligned
+    factors (the overview-selection contract of src/warp.cpp:104-157)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(h // level) * level + level // 2).clip(0, h - 1)
+    xs = (np.arange(w // level) * level + level // 2).clip(0, w - 1)
+    return img[np.ix_(ys, xs)]
+
+
 def thumbnails(images: DataFrame, size: int = 16) -> DataFrame:
     """Decode → resize → re-encode PNG; returns (image_id, thumb binary)."""
 
@@ -75,29 +87,152 @@ def thumbnails(images: DataFrame, size: int = 16) -> DataFrame:
     )
 
 
-def create_overviews(images: DataFrame, levels=(2, 4, 8)) -> DataFrame:
+def create_overviews(images: DataFrame, levels=(2, 4, 8), mode: str = "decimate") -> DataFrame:
     """image_collection_ops::create_overviews analog (src/image_collection_ops.h:
     30-34): batch maintenance job producing a resolution pyramid per image —
-    (image_id, level, bytes). mapInPandas over image rows; the reference's
-    warp.cpp:104-157 overview-selection pushdown reads these instead of the
-    full-res image when the target grid is coarse."""
+    (image_id, level, w, h, bytes). mapInPandas over image rows; the
+    reference's warp.cpp:104-157 overview-selection pushdown reads these
+    instead of the full-res image when the target grid is coarse (here:
+    push_down_overviews). mode='decimate' picks block-center samples
+    (near-warp from the overview is bit-identical at aligned factors);
+    mode='nearest' is the legacy top-left resize."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, lvls, data = [], [], []
+            ids, lvls, ws, hs, data = [], [], [], [], []
             for _, r in b.iterrows():
                 img = codecs.decode(r["bytes"], r["fmt"])
                 for lv in levels:
-                    oh = max(1, img.shape[0] // lv)
-                    ow = max(1, img.shape[1] // lv)
+                    if mode == "decimate":
+                        if img.shape[0] % lv or img.shape[1] % lv:
+                            continue  # only exact pyramids keep the contract
+                        small = decimate_center(img, lv)
+                    else:
+                        oh = max(1, img.shape[0] // lv)
+                        ow = max(1, img.shape[1] // lv)
+                        small = resize_nearest(img, oh, ow)
                     ids.append(r["image_id"])
                     lvls.append(lv)
-                    data.append(codecs.encode_png(resize_nearest(img, oh, ow)))
-            yield pd.DataFrame({"image_id": ids, "level": lvls, "bytes": data})
+                    hs.append(small.shape[0])
+                    ws.append(small.shape[1])
+                    data.append(codecs.encode_png(small))
+            yield pd.DataFrame(
+                {"image_id": ids, "level": lvls, "w": ws, "h": hs, "bytes": data}
+            )
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
-        run, "image_id string, level int, bytes binary"
+        run, "image_id string, level int, w int, h int, bytes binary"
     )
+
+
+def push_down_overviews(
+    images: DataFrame, overviews: DataFrame, view, uniform_fast_path: bool = True
+) -> DataFrame:
+    """Overview/resolution pushdown (src/warp.cpp:104-157): when the view's
+    cell size covers >= L image pixels, decode the level-L overview bytes
+    instead of full resolution — for a 4x-coarser view that is 1/16th of
+    the decode I/O, the single biggest wasted-I/O item at 100 TB.
+
+    Per image, the COARSEST overview whose pixel size still does not exceed
+    the view cell size in either axis replaces (bytes, w, h, fmt); images
+    with no eligible overview pass through untouched. One equi-join keyed
+    by image_id (bucket both tables by image_id at scale to make it
+    co-located); footprints/timestamps are unchanged so every downstream
+    join and kernel works as-is.
+
+    Exactness: when the view grid ALIGNS with overview pixels (cell size an
+    integer multiple of the overview pixel size and grids offset-aligned),
+    near-resampled output is BIT-IDENTICAL to the full-res build (decimate
+    overviews store block-center samples — exactly near's pick). Otherwise
+    values are true source pixels from within the covering block (<= L/2
+    pixels off the exact near pick) — the standard GDAL overview-warp
+    approximation."""
+    from pyspark.sql import functions as F
+
+    px = (F.col("right") - F.col("left")) / F.col("w")   # full-res pixel size
+    py = (F.col("top") - F.col("bottom")) / F.col("h")
+    meta = images.select(
+        "image_id", px.alias("_pdx"), py.alias("_pdy"),
+        F.col("w").alias("_fw"), F.col("h").alias("_fh"),
+    )
+    elig = (
+        overviews.withColumnsRenamed(
+            {"w": "_ow", "h": "_oh", "bytes": "_obytes", "level": "_lvl"}
+        )
+        .join(meta, "image_id")
+        .filter(
+            # 1e-9 relative slack: footprint/width division noise must not
+            # flip an exactly-matching level to ineligible (0.01*4 > 0.04
+            # in float64 for 0.64-degree footprints)
+            (F.col("_pdx") * F.col("_lvl") <= F.lit(float(view.dx) * (1.0 + 1e-9)))
+            & (F.col("_pdy") * F.col("_lvl") <= F.lit(float(view.dy) * (1.0 + 1e-9)))
+            & (F.col("_fw") % F.col("_lvl") == 0)
+            & (F.col("_fh") % F.col("_lvl") == 0)
+        )
+    )
+    best = elig.groupBy("image_id").agg(
+        F.max_by(
+            F.struct(
+                F.col("_obytes").alias("b"), F.col("_ow").alias("w"), F.col("_oh").alias("h")
+            ),
+            F.col("_lvl"),
+        ).alias("_best")
+    )
+    # UNIFORM fast path (tiled products: every image same size/resolution —
+    # Sentinel-2 granules, Landsat scenes): the eligible level is one global
+    # constant, so replacement is a single metadata-only join against the
+    # filtered overview partition — no anti-join, and the full-res bytes
+    # column is never scanned at all.
+    uni = (
+        images.select("w", "h", px.alias("pdx"), py.alias("pdy")).distinct().limit(3).collect()
+        if uniform_fast_path else []
+    )
+    if len(uni) == 1:
+        w0, h0, pdx0, pdy0 = uni[0]["w"], uni[0]["h"], uni[0]["pdx"], uni[0]["pdy"]
+        levels = [
+            r["level"]
+            for r in overviews.select("level").distinct().collect()
+            if pdx0 * r["level"] <= view.dx * (1 + 1e-9)
+            and pdy0 * r["level"] <= view.dy * (1 + 1e-9)
+            and w0 % r["level"] == 0 and h0 % r["level"] == 0
+        ]
+        if not levels:
+            return images
+        lvl = max(levels)
+        other0 = [c for c in images.columns if c not in ("bytes", "w", "h", "fmt")]
+        ovl = overviews.filter(F.col("level") == lvl).select(
+            "image_id", F.col("bytes").alias("_b"), F.col("w").alias("_w"), F.col("h").alias("_h")
+        )
+        return (
+            images.drop("bytes", "w", "h", "fmt")
+            .join(ovl, "image_id")
+            .select(
+                *other0,
+                F.col("_b").alias("bytes"), F.col("_w").alias("w"),
+                F.col("_h").alias("h"), F.lit("png").alias("fmt"),
+            )
+        )
+
+    # Two branches so the REPLACED branch never touches full-res bytes:
+    # its scan of `images` prunes the bytes column entirely (parquet/
+    # Iceberg column pruning — the actual storage-I/O win), and the join
+    # moves only the small overview payloads. A single left-join +
+    # conditional swap would instead drag every full-res payload through
+    # the exchange.
+    other = [c for c in images.columns if c not in ("bytes", "w", "h", "fmt")]
+    replaced = (
+        images.drop("bytes", "w", "h", "fmt")
+        .join(best, "image_id")
+        .select(
+            *other,
+            F.col("_best.b").alias("bytes"),
+            F.col("_best.w").alias("w"),
+            F.col("_best.h").alias("h"),
+            F.lit("png").alias("fmt"),
+        )
+    )
+    kept = images.join(best.select("image_id"), "image_id", "left_anti")
+    return kept.select(*other, "bytes", "w", "h", "fmt").unionByName(replaced)
 
 
 # ---------------------------------------------------------------------------

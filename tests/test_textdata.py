@@ -196,9 +196,69 @@ def test_create_overviews(spark):
     for _, r in ov.iterrows():
         full = codecs.decode(pdf.loc[r["image_id"], "bytes"], pdf.loc[r["image_id"], "fmt"])
         small = codecs.decode_png(bytes(r["bytes"]))
-        assert small.shape[0] == full.shape[0] // r["level"]
-        # nearest-downsampled pixels are exact gathers from the full image
-        assert small[0, 0, 0] == full[0, 0, 0]
+        lv = r["level"]
+        assert small.shape[0] == full.shape[0] // lv
+        assert (r["w"], r["h"]) == (small.shape[1], small.shape[0])
+        # decimate mode picks each block's CENTER sample (exact gather)
+        assert small[0, 0, 0] == full[lv // 2, lv // 2, 0]
+
+
+def test_overview_pushdown_bit_identical(spark):
+    """push_down_overviews (src/warp.cpp:104-157 analog): a 4x-coarser view
+    built from level-4 overview bytes is BIT-IDENTICAL to the full-res
+    build under near resampling at aligned factors, while decoding ~1/16th
+    of the bytes."""
+    import numpy as np
+
+    from gdalcubes_cpp_spark import synth
+    from gdalcubes_cpp_spark.operators.build import build_cube
+    from gdalcubes_cpp_spark.view import CubeView
+
+    pdf = synth.images_pdf(150)
+    # keep only 64-px images (pixel 0.01 deg): at view.dx = 0.04 they pick
+    # level 4 whose overview pixel EQUALS the cell — aligned factors. Other
+    # sizes give non-dividing overview pixels where near picks are
+    # approximate (documented GDAL-style overview semantics).
+    pdf = pdf[(pdf["w"] == 64) & (pdf["h"] == 64)].reset_index(drop=True)
+    assert len(pdf) >= 4
+    # footprints on the 0.32-deg grid: every image spans 0.64 deg
+    pdf["left"] = np.round(-12.0 + (np.arange(len(pdf)) % 8) * 0.32, 2)
+    pdf["right"] = pdf["left"] + 0.64
+    pdf["bottom"] = np.round(18.0 + (np.arange(len(pdf)) % 6) * 0.32, 2)
+    pdf["top"] = pdf["bottom"] + 0.64
+    imgs = spark.createDataFrame(pdf).cache()
+    ov = image.create_overviews(imgs, levels=(2, 4)).cache()
+
+    # phase the view so every cell center lands in the MIDDLE of a level-4
+    # block on both axes: (view_left - img_left)/pdx ≡ 0.5 and
+    # (img_top - view_top)/pdx ≡ 0.5 (mod 4) — near's pick then equals the
+    # stored block-center sample and sits mid-pixel (float-robust)
+    v = CubeView.create(
+        left=-11.995, right=-8.995, bottom=18.035, top=21.035, nx=75, ny=75,
+        t0="2020-01-01", t1="2020-12-31", dt="P2M",
+        aggregation="mean", resampling="near", chunk_size=(3, 25, 25),
+    )
+    full = build_cube(imgs, v).collect_dense()
+    pushed_imgs = image.push_down_overviews(imgs, ov, v).cache()
+    pushed = build_cube(pushed_imgs, v).collect_dense()
+    assert (np.isnan(full) == np.isnan(pushed)).all()
+    m = np.isfinite(full)
+    assert m.any() and (full[m] == pushed[m]).all()
+
+    # the general (mixed-size) branch produces the identical table
+    gen = image.push_down_overviews(imgs, ov, v, uniform_fast_path=False)
+    pushed2 = build_cube(gen, v).collect_dense()
+    assert (np.isnan(full) == np.isnan(pushed2)).all()
+    assert (full[m] == pushed2[m]).all()
+
+    # decoded-bytes economy: pushed payloads are much smaller
+    orig_bytes = imgs.select(F.sum(F.length("bytes"))).collect()[0][0]
+    push_bytes = pushed_imgs.select(F.sum(F.length("bytes"))).collect()[0][0]
+    assert push_bytes < orig_bytes / 3
+
+    # level selection: every image got SOME overview (all sizes divisible)
+    n_replaced = pushed_imgs.filter(F.col("fmt") == "png").count()
+    assert n_replaced == len(pdf)
 
 
 def test_lsh_mega_bucket_capped(spark):
