@@ -24,8 +24,10 @@ N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
 
 BENCH_QUERIES = [
     "stjoin_rows", "cube_mean", "cube_median", "cube_count_images",
+    "cube_utm_mean", "cube_mask_value", "format_ingest",
     "reduce_time_exact", "reduce_time_stats", "window_time_mean",
     "fill_time_linear", "aggregate_time", "aggregate_space",
+    "apply_time_udf_cumsum", "apply_pixel_udf_poly",
     "query_points", "zonal_statistics", "extract_geom",
     "doc_stats", "doc_exact_dups", "doc_minhash", "doc_lsh_jaccard",
     "doc_simhash", "ann_topk", "ann_knn_join", "ann_dup_pairs",

@@ -23,7 +23,7 @@ N = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "1600000"))
 LO, HI = 4, 16  # both within physical cores: the 32 vCPUs are 16 cores x2 SMT,
 # so 8->32 conflates parallelism with hyperthread efficiency (~0.78 hardware
 # ceiling measured with a pure-CPU spin test); 4->16 is the clean N->4N proxy
-REPS = 2
+REPS = 3
 TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "5"))
 
 CHILD = r"""

@@ -1577,3 +1577,45 @@ def format_ingest(spark, sf_dir):
     from .sources.formats import ingest_listing
 
     return ingest_listing(_s2_listing(spark, sf_dir), "Sentinel2_L2A")
+
+
+@q("cube_mask_band_decode", None)  # rows-only: real decode + separate mask band
+def cube_mask_band_decode(spark, sf_dir):
+    """Per-image SEPARATE mask band (src/image_collection_cube.cpp:519-579,
+    the 'SCL masks the data bands' pattern): the mask channel is warped
+    NEAREST regardless of the data resampling, then masks B1/B2. Synth
+    2-channel images: channel 1 doubles as the mask (values 0-9 masked) —
+    pixel exactness pytest-gated (test_band_mask_scl_pattern)."""
+    from .operators.build import BandMask, build_cube
+    from .synth import images_df
+
+    v = CubeView.create(
+        left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=40, ny=40,
+        t0="2020-01-01", t1="2020-12-31", dt="P2M",
+        aggregation="mean", resampling="near", chunk_size=(3, 20, 20),
+    )
+    imgs = images_df(spark, 300)
+    cube = build_cube(imgs, v, bands=("B1",), mask=BandMask(channel=1, vmin=0, vmax=9))
+    return cube.reduce_time([("mean", "B1"), ("count", "B1")]).df
+
+
+@q(
+    "netcdf_roundtrip",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, iy, ix, B1, B2 FROM cells
+WHERE B1 IS NOT NULL OR B2 IS NOT NULL
+""",
+)
+def netcdf_roundtrip(spark, sf_dir):
+    """Single-file netCDF-3 classic container roundtrip (src/cube.cpp:736
+    write_netcdf_file + src/ncdf_cube.h:48-50 re-read) — pure-python CDF-1
+    writer/reader (sources/netcdf3.py), values byte-exact through the
+    container."""
+    import tempfile
+
+    from .sources.netcdf3 import read_netcdf_cube, write_netcdf
+
+    path = tempfile.mktemp(suffix=".nc", prefix="gcs_")
+    write_netcdf(_formula_cube(spark), path)
+    return read_netcdf_cube(spark, path).df

@@ -170,11 +170,33 @@ class Cube:
         )
         return self._with(df, view=nv)
 
-    def crop_map(self, left, right, bottom, top, t0=None, t1=None) -> "Cube":
-        """crop by map coords + datetimes, snapped outward (src/crop.h:50-79)."""
+    def crop_map(self, left, right, bottom, top, t0=None, t1=None,
+                 snap: str = "near") -> "Cube":
+        """crop by map coords + datetimes with the reference's three snap
+        modes (src/crop.h:98-123): continuous index bounds
+        x_min=(left-ref.left)/dx, x_max=-1+(right-ref.left)/dx, then
+        'near'=round (default, like the reference), 'in'=ceil/floor
+        (shrink), 'out'=floor/ceil (grow)."""
+        import math as _m
+
         v = self.view
-        ix0, ix1 = max(0, v.ix_of(left)), min(v.nx, v.ix_of(right) + 1)
-        iy0, iy1 = max(0, v.iy_of(top)), min(v.ny, v.iy_of(bottom) + 1)
+        x_min = (left - v.left) / v.dx
+        x_max = -1.0 + (right - v.left) / v.dx
+        y_min = (v.top - top) / v.dy
+        y_max = -1.0 + (v.top - bottom) / v.dy
+        def _cround(a):  # C++ std::round = half away from zero (not banker's)
+            return int(_m.floor(a + 0.5)) if a >= 0 else int(_m.ceil(a - 0.5))
+
+        if snap == "near":
+            f_lo, f_hi = _cround, _cround
+        elif snap == "in":
+            f_lo, f_hi = lambda a: int(_m.ceil(a)), lambda a: int(_m.floor(a))
+        elif snap == "out":
+            f_lo, f_hi = lambda a: int(_m.floor(a)), lambda a: int(_m.ceil(a))
+        else:
+            raise ValueError('snap must be one of "near", "in", "out"')
+        ix0, ix1 = max(0, f_lo(x_min)), min(v.nx, f_hi(x_max) + 1)
+        iy0, iy1 = max(0, f_lo(y_min)), min(v.ny, f_hi(y_max) + 1)
         itr = None
         if t0 is not None:
             it0 = max(0, v.time_index_of(t0))

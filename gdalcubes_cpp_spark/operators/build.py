@@ -74,6 +74,34 @@ class RangeMask:
         return ~m if self.invert else m
 
 
+class BandMask:
+    """Per-image SEPARATE mask band (src/image_collection_cube.cpp:519-579):
+    a dedicated channel of the image (e.g. Sentinel-2 SCL) is warped with
+    NEAREST — always, regardless of the view's data resampling, as the
+    reference does — and data cells whose warped mask value matches become
+    nodata in every data band. Match by value set OR inclusive range;
+    ``invert`` flips the rule. NaN mask cells (outside the footprint) never
+    mask (the data there is NaN already)."""
+
+    def __init__(self, channel: int, values=None, vmin: float | None = None,
+                 vmax: float | None = None, invert: bool = False):
+        if (values is None) == (vmin is None or vmax is None):
+            raise ValueError("BandMask needs either values or (vmin, vmax)")
+        self.channel = channel
+        self.values = None if values is None else np.asarray(list(values))
+        self.vmin, self.vmax, self.invert = vmin, vmax, invert
+
+    def test(self, mask_plane: np.ndarray) -> np.ndarray:
+        if self.values is not None:
+            m = np.isin(mask_plane, self.values)
+        else:
+            with np.errstate(invalid="ignore"):
+                m = (mask_plane >= self.vmin) & (mask_plane <= self.vmax)
+        if self.invert:
+            m = ~m & ~np.isnan(mask_plane)
+        return m
+
+
 # resampling method registry (src/warp.cpp:159-182, enum src/view.h:111-124)
 # point kernels gather at the target cell CENTER; aggregating kernels pool
 # every source pixel whose center falls inside the target cell's footprint
@@ -532,6 +560,8 @@ def build_cells(
     grid = ChunkGrid(view)
     nb = len(bands)
     resampling = view.resampling
+    if isinstance(mask, BandMask) and value_fn is not None:
+        raise ValueError("BandMask needs decoded channels (no value_fn path)")
     agg_method = agg_override or view.aggregation
     out_bands = (
         [f"{b}_psum" for b in bands] + [f"{b}_pcnt" for b in bands]
@@ -622,6 +652,12 @@ def build_cells(
                                     if resampling in AGG_RESAMPLERS else {}
                                 ),
                             )
+                        if isinstance(mask, BandMask):
+                            mp = warp_plane(
+                                raw[:, :, mask.channel], img_bounds,
+                                xs[x0:x1], ys[y0:y1], "near",
+                            )
+                            planes[:, y0:y1, x0:x1][:, mask.test(mp)] = np.nan
             else:
                 # non-separable view SRS: 2-D membership mask, then a 2-D
                 # gather restricted to the mask's bounding window
@@ -645,7 +681,13 @@ def build_cells(
                             win = planes[b, y0:y1, x0:x1]
                             wm = m2[y0:y1, x0:x1]
                             win[wm] = sub[wm]
-            if mask is not None:
+                        if isinstance(mask, BandMask):
+                            mp = warp_plane(
+                                raw[:, :, mask.channel], img_bounds,
+                                LON[y0:y1, x0:x1], LAT[y0:y1, x0:x1], "near",
+                            )
+                            planes[:, y0:y1, x0:x1][:, mask.test(mp)] = np.nan
+            if mask is not None and not isinstance(mask, BandMask):
                 m = mask.apply(planes)
                 planes[:, m] = np.nan
             agg.update(planes, itl)
@@ -767,6 +809,8 @@ def build_cells_long(
     agg = view.aggregation
     if agg not in _LONG_AGGS:
         raise ValueError(f"cell-long strategy supports {sorted(_LONG_AGGS)}")
+    if isinstance(mask, BandMask) and value_fn is not None:
+        raise ValueError("BandMask needs decoded channels (no value_fn path)")
     nb = len(bands)
     resampling = view.resampling
 
@@ -895,9 +939,15 @@ def build_cells_long(
                             for b in range(nb)
                         ]
                     )
+                    if isinstance(mask, BandMask):
+                        mp = warp_plane(
+                            raw[:, :, mask.channel], (a_l[k], a_r[k], a_b[k], a_t[k]),
+                            xs, ys, "near",
+                        )
+                        planes[:, mask.test(mp)] = np.nan
                 if m2 is not None:
                     planes[:, ~m2] = np.nan
-                if mask is not None:
+                if mask is not None and not isinstance(mask, BandMask):
                     planes[:, mask.apply(planes)] = np.nan
                 keep = ~np.isnan(planes).all(axis=0)
                 if not keep.any():

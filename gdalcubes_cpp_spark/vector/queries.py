@@ -192,7 +192,7 @@ def filter_geom(cube: Cube, wkt: str) -> Cube:
         raise ValueError("filter_geom needs a POLYGON")
     left, right, bottom, top = geom.wkt_bbox(wkt)
     v = cube.view
-    cropped = cube.crop_map(left, right, bottom, top)
+    cropped = cube.crop_map(left, right, bottom, top, snap="out")
     nv = cropped.view
 
     @F.pandas_udf("boolean")

@@ -1,0 +1,67 @@
+"""netCDF-3 classic (CDF-1) container export — spec-conformance primitives
+vs hand-computed bytes, byte-structure invariants, and a full cube
+roundtrip (the reference's write_netcdf_file / ncdf_cube pair,
+src/cube.cpp:736, src/ncdf_cube.h:48-50)."""
+
+import struct
+
+import numpy as np
+
+from gdalcubes_cpp_spark.sources import netcdf3 as nc3
+
+
+def test_primitives_hand_bytes():
+    # name encoding: int32 length + bytes + zero pad to 4
+    assert nc3._name("x") == b"\x00\x00\x00\x01x\x00\x00\x00"
+    assert nc3._name("time") == b"\x00\x00\x00\x04time"
+    # char attribute: nelems + chars + pad
+    assert nc3._att_values(nc3.NC_CHAR, "abc") == b"\x00\x00\x00\x03abc\x00"
+    # double attribute: big-endian IEEE754
+    got = nc3._att_values(nc3.NC_DOUBLE, [1.5])
+    assert got == b"\x00\x00\x00\x01" + struct.pack(">d", 1.5)
+    # absent attribute list = two zero words
+    assert nc3._att_list([]) == b"\x00" * 8
+    # tagged attribute list
+    al = nc3._att_list([("u", nc3.NC_CHAR, "m")])
+    assert al.startswith(struct.pack(">ii", nc3.NC_ATTRIBUTE, 1))
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    from gdalcubes_cpp_spark.sources.collection import formula_cube
+    from gdalcubes_cpp_spark.sources.netcdf3 import read_netcdf, read_netcdf_cube, write_netcdf
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(left=0.0, right=8.0, bottom=0.0, top=6.0, nx=8, ny=6,
+                        t0="2020-01-01", nt=4, dt="P1D", chunk_size=(2, 3, 4))
+    cube = formula_cube(spark, v, {
+        "B1": "CASE WHEN (it + iy + ix) % 5 = 0 THEN NULL ELSE CAST(it*3 + iy + ix AS DOUBLE) END",
+        "B2": "CAST(it + iy*2 + ix AS DOUBLE)",
+    })
+    path = str(tmp_path / "cube.nc")
+    write_netcdf(cube, path)
+
+    # byte-structure invariants
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"CDF\x01"
+    nc = read_netcdf(path)
+    assert nc["dims"] == {"time": 4, "y": 6, "x": 8}
+    assert nc["gatts"]["srs"] == "EPSG:4326"
+    assert nc["vars"]["B1"].shape == (4, 6, 8)
+    # coordinate vars: cell centers / offset seconds
+    assert np.allclose(nc["vars"]["x"], np.arange(8) + 0.5)
+    assert np.allclose(nc["vars"]["y"], 6.0 - (np.arange(6) + 0.5))
+    assert np.allclose(nc["vars"]["time"], np.arange(4) * 86400.0)
+    # values == the cube, NaN for nodata
+    want = cube.collect_dense()
+    assert np.array_equal(np.isnan(nc["vars"]["B1"]), np.isnan(want[0]))
+    m = np.isfinite(want[0])
+    assert (nc["vars"]["B1"][m] == want[0][m]).all()
+
+    # full Cube roundtrip through the container
+    back = read_netcdf_cube(spark, path)
+    assert back.view.shape == v.shape and back.bands == ("B1", "B2")
+    got = back.collect_dense()
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    mm = np.isfinite(want)
+    assert (got[mm] == want[mm]).all()
+

@@ -460,3 +460,27 @@ def test_reduce_space_udf(spark, dense):
     assert np.allclose(got[0, m, 0, 0], want[m], atol=0)
 
 
+
+
+def test_crop_map_snap_modes(spark, dense):
+    """crop_map snap modes near/in/out (src/crop.h:98-123): continuous index
+    bounds x_min=(left-ref.left)/dx, x_max=-1+(right-ref.left)/dx; near =
+    half-away-from-zero round, in = ceil/floor, out = floor/ceil."""
+    c, v = cube_from_dense(spark, dense)
+    # view: left=0, dx=1 -> left=1.3, right=3.2 gives x_min=1.3, x_max=2.2
+    left, right = 1.3, 3.2
+    bottom, top = float(v.bottom), float(v.top)
+    out = c.crop_map(left, right, bottom, top, snap="out")
+    near = c.crop_map(left, right, bottom, top, snap="near")
+    inn = c.crop_map(left, right, bottom, top, snap="in")
+    # near: [round(1.3), round(2.2)] = [1, 2]; in: [2, 2]; out: [1, 3]
+    assert (near.view.nx, inn.view.nx, out.view.nx) == (2, 1, 3)
+    assert near.view.left == 1.0 and inn.view.left == 2.0 and out.view.left == 1.0
+    # default is the reference's default: near
+    assert c.crop_map(left, right, bottom, top).view.nx == 2
+    # values survive the crop (spot check against the dense array)
+    got = near.collect_dense()
+    want = dense[:, :, :, 1:3]
+    m = np.isfinite(want)
+    assert (m == np.isfinite(got)).all()
+    assert np.allclose(got[m], want[m], atol=0)

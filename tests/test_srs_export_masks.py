@@ -138,3 +138,74 @@ def test_stjoin_3857_methods_agree(spark):
                for r in stjoin.assignment(images, g, method="cells").collect())
     assert len(a) > 50
     assert a == b
+
+
+def test_band_mask_scl_pattern(spark):
+    """Per-image SEPARATE mask band (src/image_collection_cube.cpp:519-579):
+    channel 2 plays the SCL role — its NEAREST-warped values in {3, 8} mask
+    the data bands B1/B2 (channels 0/1). Both build strategies vs a numpy
+    oracle that warps the mask band independently."""
+    import numpy as np
+    import pandas as pd
+
+    from gdalcubes_cpp_spark import codecs
+    from gdalcubes_cpp_spark.operators.build import BandMask, build_cube, warp_plane
+    from gdalcubes_cpp_spark.view import CubeView
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for k in range(12):
+        h = w = 16
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0] = rng.randint(10, 250, (h, w))
+        img[:, :, 1] = rng.randint(10, 250, (h, w))
+        img[:, :, 2] = rng.randint(0, 10, (h, w))  # "SCL" classes 0..9
+        l = round(float(rng.uniform(0, 4)), 2)
+        b = round(float(rng.uniform(0, 4)), 2)
+        rows.append(dict(
+            image_id=f"m{k:04d}", bytes=codecs.encode_png(img), w=w, h=h,
+            fmt="png", left=l, right=l + 2.0, bottom=b, top=b + 2.0,
+            ts=pd.Timestamp("2020-01-10") + pd.Timedelta(days=k),
+        ))
+    pdf = pd.DataFrame(rows)
+    imgs = spark.createDataFrame(pdf)
+    v = CubeView.create(
+        left=0.0, right=6.0, bottom=0.0, top=6.0, nx=24, ny=24,
+        t0="2020-01-01", nt=1, dt="P1M", aggregation="mean",
+        resampling="bilinear", chunk_size=(1, 12, 12),
+    )
+    bm = BandMask(channel=2, values=[3, 8])
+    outs = {}
+    for strategy in ("chunk_kernel", "cell_long"):
+        outs[strategy] = build_cube(imgs, v, bands=("B1", "B2"), mask=bm,
+                                    strategy=strategy).collect_dense()
+    a, b_ = outs["chunk_kernel"], outs["cell_long"]
+    assert (np.isnan(a) == np.isnan(b_)).all()
+    m = np.isfinite(a)
+    assert m.any() and np.allclose(a[m], b_[m], atol=1e-12)
+
+    # numpy oracle: bilinear data warp + NEAREST mask warp per image
+    xs = v.left + (np.arange(v.nx) + 0.5) * v.dx
+    ys = v.top - (np.arange(v.ny) + 0.5) * v.dy
+    sums = np.zeros((2, 1, v.ny, v.nx)); cnts = np.zeros_like(sums)
+    for _, r in pdf.sort_values("image_id").iterrows():
+        raw = codecs.decode(r["bytes"], r["fmt"])
+        bounds = (r["left"], r["right"], r["bottom"], r["top"])
+        mp = warp_plane(raw[:, :, 2], bounds, xs, ys, "near")
+        bad = np.isin(mp, [3, 8])
+        for bd in range(2):
+            p = warp_plane(raw[:, :, bd], bounds, xs, ys, "bilinear")
+            p[bad] = np.nan
+            mm = ~np.isnan(p)
+            sums[bd, 0][mm] += p[mm]; cnts[bd, 0][mm] += 1
+    with np.errstate(invalid="ignore"):
+        want = sums / cnts
+    assert (np.isnan(a) == np.isnan(want)).all()
+    mo = np.isfinite(want)
+    assert np.allclose(a[mo], want[mo], atol=1e-9)
+
+    # value_fn path must refuse loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        build_cube(imgs, v, bands=("B1",), mask=bm, value_fn=lambda i: (1.0,))
