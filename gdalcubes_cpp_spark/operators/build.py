@@ -827,6 +827,16 @@ def build_cells_long(
             raise ValueError(
                 f"aggregating resampler {resampling!r} needs a separable view SRS"
             )
+        LON_full = LAT_full = None
+        if not separable and view.nx * view.ny <= 16_000_000:
+            # ONE inverse transform of the whole view grid per task (a few
+            # MB up to ~4k x 4k), then slice per image — vs re-running the
+            # TM series on every image's window (150k images x 200 cells
+            # was 30s of pure per-image numpy overhead). Larger views fall
+            # back to per-window transforms.
+            xs_f = view.left + (np.arange(view.nx) + 0.5) * view.dx
+            ys_f = view.top - (np.arange(view.ny) + 0.5) * view.dy
+            LON_full, LAT_full = _srs.grid_to_wgs84(xs_f, ys_f, view.srs)
         for pdf in batches:
             out_it, out_iy, out_ix, out_id = [], [], [], []
             out_v = [[] for _ in range(nb)]
@@ -906,7 +916,11 @@ def build_cells_long(
                         iy0 = iy0 + sel[0]
                         iy1 = iy0 + len(sel)
                 else:
-                    LON, LAT = _srs.grid_to_wgs84(xs, ys, view.srs)
+                    if LON_full is not None:
+                        LON = LON_full[iy0:iy1, ix0:ix1]
+                        LAT = LAT_full[iy0:iy1, ix0:ix1]
+                    else:
+                        LON, LAT = _srs.grid_to_wgs84(xs, ys, view.srs)
                     m2 = (LON >= a_l[k]) & (LON < a_r[k]) & (LAT > a_b[k]) & (LAT <= a_t[k])
                     if not m2.any():
                         continue
@@ -984,7 +998,16 @@ def build_cells_long(
     schema = "it int, iy int, ix int, image_id string, " + ", ".join(
         f"`v_{b}` double" for b in bands
     )
-    contrib = images.select(*cols).mapInPandas(scan, schema=schema)
+    src = images.select(*cols)
+    # parallelism floor: a small metadata-derived input (one tiny parquet
+    # file -> 1-3 scan tasks) would serialize the whole decode/warp stage.
+    # Repartition ONLY then — large inputs keep scan locality and the
+    # no-bytes-shuffle property (they arrive with many partitions).
+    nparts = src.rdd.getNumPartitions()
+    target = src.sparkSession.sparkContext.defaultParallelism
+    if nparts * 4 < target:
+        src = src.repartition(target)
+    contrib = src.mapInPandas(scan, schema=schema)
 
     aggs = []
     for b in bands:

