@@ -1619,3 +1619,35 @@ def netcdf_roundtrip(spark, sf_dir):
     path = tempfile.mktemp(suffix=".nc", prefix="gcs_")
     write_netcdf(_formula_cube(spark), path)
     return read_netcdf_cube(spark, path).df
+
+
+@q(
+    "ann_knn_join_ivf",
+    f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM b WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q_id, b.vec_id AS b_id,
+         list_dot_product(b.v, qs.qv)
+           / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(qs.qv, qs.qv))) AS cos
+  FROM qs JOIN b ON b.vec_id <> qs.q_id
+)
+SELECT q_id, b_id, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, b_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, b_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def ann_knn_join_ivf(spark, sf_dir):
+    """BIG-BIG kNN join via trained-IVF bucket equi-join (functions/ann.py
+    knn_join_ivf) — no broadcast of either side. Run with nprobe = nlist,
+    where the decomposition is EXACT, so the plain exact-kNN SQL is a true
+    oracle; the approximate nprobe<nlist recall path is pytest-gated
+    (test_knn_join_ivf_big_big)."""
+    from .functions.ann import kmeans_centroids, knn_join_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = kmeans_centroids(emb, nlist=8, seed=7)
+    out = knn_join_ivf(queries, emb, k=3, centroids=cents, nprobe=8)
+    return out.select("q_id", "b_id", "rank")

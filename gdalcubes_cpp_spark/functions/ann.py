@@ -109,6 +109,52 @@ def ivf_topk(
     return cosine_topk(cand, query, k, "vec_id", "embedding")
 
 
+def knn_join_ivf(
+    queries: DataFrame, base: DataFrame, k: int = 5,
+    centroids: list | None = None, nlist: int = 16, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """BIG-BIG approximate kNN join — the scale path knn_join_bruteforce
+    lacks (its broadcast query side caps at driver memory). FAISS-IVF
+    decomposition as a relational plan: both sides assign to a trained
+    coarse quantizer; each QUERY replicates to its nprobe nearest buckets
+    (bounded fan-out), the join is a plain equi-join on centroid id, and a
+    per-query window keeps the global top-k. Pair count = |Q|·nprobe·
+    (bucket size), never |Q|·|B|; skewed buckets split by AQE. Recall
+    grows with nprobe (exact when nprobe = nlist)."""
+    if centroids is None:
+        centroids = kmeans_centroids(base, nlist, id_col=id_col, vec_col=vec_col)
+    cents = F.array(*[
+        F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(float(x)) for x in c]).alias("cv"))
+        for i, c in enumerate(centroids)
+    ])
+    b = ivf_assign(base, centroids, id_col, vec_col).select(
+        F.col("vec_id").alias("b_id"),
+        _as_double_array(F.col("embedding")).alias("b_vec"),
+        "centroid",
+    ).withColumn("b_norm", _norm(F.col("b_vec")))
+    qv = _as_double_array(F.col(vec_col))
+    scored_cents = F.transform(
+        cents, lambda s: F.struct(cosine(qv, s["cv"]).alias("cos"), s["cid"].alias("cid"))
+    )
+    top_cents = F.slice(F.reverse(F.array_sort(scored_cents)), 1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), qv.alias("q_vec"),
+        F.explode(F.transform(top_cents, lambda s: s["cid"])).alias("centroid"),
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
+    scored = q.join(b, "centroid").filter(F.col("q_id") != F.col("b_id")).select(
+        "q_id", "b_id",
+        (_dot(F.col("q_vec"), F.col("b_vec")) / (F.col("q_norm") * F.col("b_norm"))).alias("cos"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        # a base vector can sit in several probed buckets of the same query
+        # only if ids collide — centroid assignment is unique, so no dedup
+    )
+
+
 def cosine_pairs_bruteforce(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",

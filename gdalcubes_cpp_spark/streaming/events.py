@@ -1,0 +1,137 @@
+"""Structured-Streaming event aggregation: watermarked tumbling windows
+(append mode — only FINALIZED windows emit, late data beyond the watermark
+drops) and a custom stateful sessionization operator via
+applyInPandasWithState.
+
+The reference has no streaming at all (its 'streaming' is chunk→subprocess
+piping, src/stream.cpp); these are the Spark-native capabilities a
+continuously-fed event/telemetry table needs next to the batch
+events_tumbling query (benchqueries.py) and the incremental cube ingestion
+(streaming/ingest.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EVENT_DDL = "event_id long, ts timestamp, event_type string, value double"
+
+
+def windowed_event_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sink: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """File-source event stream -> watermarked tumbling-window aggregates.
+
+    Append output mode: a window row is written exactly once, when the
+    watermark (max event time seen minus ``watermark``) passes the window
+    end — late events within the watermark still update state before
+    emission; later ones are DROPPED (bounded state, the contract that
+    keeps a 10^12-row stream's state finite). Returns the StreamingQuery.
+    """
+    stream = spark.readStream.schema(EVENT_DDL).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum("value").alias("vsum"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "vmin", "vmax", "vsum")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+SESSION_SCHEMA = (
+    "event_type string, session_start timestamp, session_end timestamp, n_events long"
+)
+_STATE_SCHEMA = "start long, last long, n long"
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sink: str,
+    checkpoint: str,
+    gap_minutes: int = 30,
+):
+    """Custom STATEFUL operator via applyInPandasWithState: per event_type
+    sessionization — consecutive events closer than ``gap_minutes`` fuse
+    into one session; a processing-time timeout flushes the open session.
+    State per key is three scalars (start, last, count) — bounded.
+
+    Emits CLOSED sessions only. This is the applyInPandasWithState shape
+    (user state dataclass + timeout) that arbitrary stateful cube/event
+    operators plug into."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "event_type": [key[0]],
+                "session_start": [pd.Timestamp(start, unit="s")],
+                "session_end": [pd.Timestamp(last, unit="s")],
+                "n_events": [n],
+            })
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(t.timestamp()) for t in pdf["ts"])
+        ts.sort()
+        out = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts[0], ts[0], 0
+        for t in ts:
+            if t - last > gap:
+                out.append((start, last, n))
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(gap * 1000)
+        import pandas as pd
+
+        yield pd.DataFrame({
+            "event_type": [key[0]] * len(out),
+            "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in out],
+            "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in out],
+            "n_events": [n_ for _, _, n_ in out],
+        })
+
+    stream = spark.readStream.schema(EVENT_DDL).parquet(input_dir)
+    sessions = stream.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

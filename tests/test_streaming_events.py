@@ -1,0 +1,78 @@
+"""Watermarked windowed event streaming (append mode, late-data drop) and
+the applyInPandasWithState sessionization operator."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdalcubes_cpp_spark.streaming.events import (
+    sessionize_stream,
+    windowed_event_stream,
+)
+
+
+def _write(spark, path, rows, mode):
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+    spark.createDataFrame(pdf).write.mode(mode).parquet(path)
+
+
+def test_watermarked_windows_and_late_drop(spark, tmp_path):
+    in_dir, sink, cp = (str(tmp_path / d) for d in ("in", "sink", "cp"))
+    T = pd.Timestamp("2024-01-01 10:00:00")
+    h = pd.Timedelta(hours=1)
+    m = pd.Timedelta(minutes=1)
+    batch1 = [
+        (1, T + 10 * m, "a", 1.0),
+        (2, T + 20 * m, "a", 2.0),
+        (3, T + h + 5 * m, "a", 3.0),
+        (4, T + 3 * h + 59 * m, "a", 4.0),  # advances watermark to 11:59
+    ]
+    _write(spark, in_dir, batch1, "overwrite")
+    q = windowed_event_stream(spark, in_dir, sink, cp, watermark="2 hours")
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(sink).toPandas()
+    # only the [10:00, 11:00) window is finalized (ends 11:00 <= 11:59)
+    assert set(out1["ws"]) == {T}
+    assert out1[out1["ws"] == T]["n"].iloc[0] == 2
+
+    batch2 = [
+        (5, T + 15 * m, "a", 99.0),        # LATE beyond watermark -> dropped
+        (6, T + 6 * h, "a", 5.0),          # advances watermark to 14:00
+    ]
+    _write(spark, in_dir, batch2, "append")
+    q2 = windowed_event_stream(spark, in_dir, sink, cp, watermark="2 hours")
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(sink).toPandas().sort_values("ws").reset_index(drop=True)
+    # the 10:00 window emitted ONCE, count still 2 (late row dropped)
+    w10 = out2[out2["ws"] == T]
+    assert len(w10) == 1 and w10["n"].iloc[0] == 2
+    # 11:00 and 13:00 windows now finalized
+    assert T + h in set(out2["ws"])
+    assert T + 3 * h in set(out2["ws"])
+
+
+def test_sessionize_stream(spark, tmp_path):
+    in_dir, sink, cp = (str(tmp_path / d) for d in ("in", "sink", "cp"))
+    T = pd.Timestamp("2024-01-01 08:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # type 'a': two sessions separated by > 30 min
+        (1, T, "a", 1.0),
+        (2, T + 10 * m, "a", 1.0),
+        (3, T + 20 * m, "a", 1.0),
+        (4, T + 90 * m, "a", 1.0),
+        (5, T + 95 * m, "a", 1.0),
+        # type 'b': one session
+        (6, T + 5 * m, "b", 1.0),
+        (7, T + 6 * m, "b", 1.0),
+    ]
+    _write(spark, in_dir, rows, "overwrite")
+    q = sessionize_stream(spark, in_dir, sink, cp, gap_minutes=30)
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink).toPandas()
+    # only CLOSED sessions emit: a's first session (3 events, 08:00-08:20);
+    # a's second and b's only session stay open in state
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["event_type"] == "a" and r["n_events"] == 3
+    assert r["session_start"] == T and r["session_end"] == T + 20 * m

@@ -300,3 +300,39 @@ def test_lsh_mega_bucket_capped(spark):
     a = sorted(map(tuple, lsh_candidates(small, k=4, bands=4, max_bucket=None).collect()))
     b = sorted(map(tuple, lsh_candidates(small, k=4, bands=4, max_bucket=4096).collect()))
     assert a == b
+
+
+def test_knn_join_ivf_big_big(spark):
+    """Big-big approximate kNN join: no broadcast of either side, equi-join
+    on trained IVF buckets, per-query top-k. On clustered data with
+    nprobe=2 of 4, recall vs the exact join stays high; with nprobe=nlist
+    it is EXACT."""
+    rng = np.random.RandomState(5)
+    protos = rng.randn(4, 12) * 4
+    M = np.vstack([protos[c] + rng.randn(120, 12) * 0.15 for c in range(4)])
+    pdf = pd.DataFrame({"vec_id": range(len(M)),
+                        "embedding": [list(map(float, v)) for v in M]})
+    base = spark.createDataFrame(pdf).cache()
+    queries = spark.createDataFrame(pdf.iloc[::10].reset_index(drop=True)).cache()
+
+    exact = ann.knn_join_bruteforce(queries, base, k=5).toPandas()
+    cents = ann.kmeans_centroids(base, nlist=4, seed=3)
+    approx = ann.knn_join_ivf(queries, base, k=5, centroids=cents, nprobe=2).toPandas()
+    # per-query recall
+    recs = []
+    for qid, grp in exact.groupby("q_id"):
+        e = set(grp["b_id"])
+        a = set(approx[approx["q_id"] == qid]["b_id"])
+        recs.append(len(e & a) / len(e))
+    assert np.mean(recs) >= 0.9, np.mean(recs)
+
+    # nprobe = nlist -> exact equality
+    full = ann.knn_join_ivf(queries, base, k=5, centroids=cents, nprobe=4).toPandas()
+    a = exact.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    b = full.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert (a[["q_id", "b_id", "rank"]].values == b[["q_id", "b_id", "rank"]].values).all()
+
+    # plan: no broadcast-nested-loop, no cartesian — a hash equi-join
+    plan = ann.knn_join_ivf(queries, base, k=5, centroids=cents).\
+        _jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
