@@ -1651,3 +1651,17 @@ def ann_knn_join_ivf(spark, sf_dir):
     cents = kmeans_centroids(emb, nlist=8, seed=7)
     out = knn_join_ivf(queries, emb, k=3, centroids=cents, nprobe=8)
     return out.select("q_id", "b_id", "rank")
+
+
+@q("ann_rp_lsh_pairs", None)  # rows-only: probabilistic candidate generation
+def ann_rp_lsh_pairs(spark, sf_dir):
+    """Random-hyperplane LSH cosine near-dup pairs (functions/ann.py
+    rp_lsh_pairs): banded sign-signature equi-join with mega-bucket caps,
+    exact cosine verify. Output precision is exact (the filter), recall is
+    probabilistic — pytest-gated subset/recall checks (test_rp_lsh_pairs)."""
+    from .functions.ann import rp_lsh_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return rp_lsh_pairs(emb, threshold=0.4, n_bits=16, bands=8).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cos_r")
+    )

@@ -109,6 +109,76 @@ def ivf_topk(
     return cosine_topk(cand, query, k, "vec_id", "embedding")
 
 
+def rp_lsh_signatures(
+    emb: DataFrame, n_bits: int = 16, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign) signatures: bit j = sign(v . h_j) with
+    deterministic seeded hyperplanes — P[bits agree] = 1 - theta/pi
+    (Charikar 2002). One Arrow GEMM pass; returns (vec_id, rp_sig long)."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(emb.select(vec_col).first()[0])
+    H = np.random.RandomState(seed).randn(n_bits, dim)
+
+    def sig(batches):
+        for b in batches:
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            bits = (M @ H.T) > 0  # (n, n_bits)
+            vals = (bits.astype(np.uint64) << np.arange(n_bits, dtype=np.uint64)).sum(axis=1)
+            yield pd.DataFrame({"vec_id": b[id_col].to_numpy(), "rp_sig": vals.astype(np.int64)})
+
+    return emb.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        sig, "vec_id long, rp_sig long"
+    )
+
+
+def rp_lsh_pairs(
+    emb: DataFrame, threshold: float = 0.9, n_bits: int = 16, bands: int = 4,
+    seed: int = 7, max_bucket: int | None = 4096,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH banding: the
+    n_bits sign signature splits into ``bands`` sub-keys; vectors sharing
+    any sub-key become candidates (banded equi-join with the same
+    representative-capped mega-bucket handling as MinHash-LSH), then the
+    EXACT cosine filters. Complementary to cosine_near_dup_pairs (IVF):
+    LSH recall is distribution-free (no quantizer training), IVF buckets
+    are tighter on clustered data."""
+    from .dedup import _capped_bucket_pairs
+
+    r = n_bits // bands
+    if r * bands != n_bits:
+        raise ValueError("n_bits must be divisible by bands")
+    sig = rp_lsh_signatures(emb, n_bits, seed, id_col, vec_col)
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    banded = sig.join(vecs, "vec_id").select(
+        F.col("vec_id").alias("doc_id"), "v", "nrm",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bd).alias("band"),
+                F.shiftright(F.col("rp_sig"), bd * r)
+                .bitwiseAND(F.lit((1 << r) - 1)).alias("sub"),
+            )
+            for bd in range(bands)
+        ])).alias("bk"),
+    ).select("doc_id", "v", "nrm", F.col("bk.band").alias("band"), F.col("bk.sub").alias("sub"))
+    cand = _capped_bucket_pairs(
+        banded, ["band", "sub"], max_bucket, extra_cols=["v", "nrm"]
+    ).groupBy("doc_a", "doc_b").agg(
+        F.first("v_a").alias("v_a"), F.first("nrm_a").alias("nrm_a"),
+        F.first("v_b").alias("v_b"), F.first("nrm_b").alias("nrm_b"),
+    )
+    out = cand.select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"),
+        (_dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias("cos"),
+    )
+    return out.filter(F.col("cos") >= threshold)
+
+
 def knn_join_ivf(
     queries: DataFrame, base: DataFrame, k: int = 5,
     centroids: list | None = None, nlist: int = 16, nprobe: int = 2,

@@ -336,3 +336,30 @@ def test_knn_join_ivf_big_big(spark):
     plan = ann.knn_join_ivf(queries, base, k=5, centroids=cents).\
         _jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_rp_lsh_pairs(spark):
+    """Random-hyperplane LSH cosine near-dups: planted near-duplicate pairs
+    (cos ~0.99) are recovered; orthogonal-ish vectors are not candidates;
+    the exact cosine filter guarantees precision = 1."""
+    rng = np.random.RandomState(8)
+    base = rng.randn(40, 24)
+    vecs, ids = [], []
+    for i, v in enumerate(base):
+        vecs.append(v)
+        ids.append(2 * i)
+        vecs.append(v + rng.randn(24) * 0.03)  # near-duplicate of 2i
+        ids.append(2 * i + 1)
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]})
+    emb = spark.createDataFrame(pdf).cache()
+    out = ann.rp_lsh_pairs(emb, threshold=0.95, n_bits=16, bands=4).toPandas()
+    got = {(int(a), int(b)) for a, b in out[["vec_a", "vec_b"]].values}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, recall
+    # precision from the exact filter: every returned pair really is >= thr
+    assert (out["cos"] >= 0.95).all()
+    # vs exact bruteforce at the same threshold: LSH output is a subset
+    exact = ann.cosine_pairs_bruteforce(emb, threshold=0.95).toPandas()
+    exact_pairs = {(int(a), int(b)) for a, b in exact[["vec_a", "vec_b"]].values}
+    assert got <= exact_pairs
