@@ -24,12 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gdalcubes_cpp_spark.benchqueries import REGISTRY
+from gdalcubes_cpp_spark.benchqueries import DEFS, REGISTRY
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    fn, _ = REGISTRY["cube_real_decode"]
+    fn, _ = DEFS["cube_real_decode"]
     return _with_session_defaults(fn)(spark, "/root/testdata/sf0.001")
 
 

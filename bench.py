@@ -86,7 +86,7 @@ def warmup(spark) -> None:
 
 
 def main() -> None:
-    from gdalcubes_cpp_spark.benchqueries import REGISTRY
+    from gdalcubes_cpp_spark.benchqueries import DEFS
     from gdalcubes_cpp_spark.session import get_spark
 
     spark = get_spark(app="gdalcubes-bench", cores=CPUS,
@@ -109,7 +109,7 @@ def main() -> None:
     timings["images_pipeline"] = round(pipeline_s, 3)
 
     for name in BENCH_QUERIES:
-        fn, _sql = REGISTRY[name]
+        fn, _sql = DEFS[name]
         t0 = time.time()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
