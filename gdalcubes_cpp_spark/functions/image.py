@@ -146,8 +146,23 @@ def push_down_overviews(
     overviews store block-center samples — exactly near's pick). Otherwise
     values are true source pixels from within the covering block (<= L/2
     pixels off the exact near pick) — the standard GDAL overview-warp
-    approximation."""
+    approximation.
+
+    SRS guard (r2 ADVICE): eligibility compares image pixel sizes derived
+    from 4326-degree footprints against view.dx/dy, so it is only sound
+    when the view is itself in EPSG:4326. For any other view SRS (UTM
+    meters vs degrees: every level would look eligible and the build would
+    silently warp from over-coarse overviews) the collection passes
+    through untouched — full-resolution decode, no resolution loss."""
     from pyspark.sql import functions as F
+
+    from .. import srs as _srs
+
+    try:
+        if _srs.normalize(getattr(view, "srs", "EPSG:4326")) != "EPSG:4326":
+            return images
+    except ValueError:
+        return images
 
     px = (F.col("right") - F.col("left")) / F.col("w")   # full-res pixel size
     py = (F.col("top") - F.col("bottom")) / F.col("h")
@@ -203,15 +218,29 @@ def push_down_overviews(
         ovl = overviews.filter(F.col("level") == lvl).select(
             "image_id", F.col("bytes").alias("_b"), F.col("w").alias("_w"), F.col("h").alias("_h")
         )
-        return (
-            images.drop("bytes", "w", "h", "fmt")
-            .join(ovl, "image_id")
-            .select(
-                *other0,
-                F.col("_b").alias("bytes"), F.col("_w").alias("w"),
-                F.col("_h").alias("h"), F.lit("png").alias("fmt"),
-            )
+        # r2 ADVICE: the inner join would silently DROP any image whose
+        # level-lvl overview row is missing (failed decode, overviews job
+        # lagging ingest). Metadata-only probe first — image_id columns
+        # only, no bytes scanned; if every image has the row (the healthy
+        # steady state), keep the pure metadata-swap fast path, else fall
+        # through to the general path, which passes unmatched images
+        # through via left_anti + union.
+        n_missing = (
+            images.select("image_id")
+            .join(ovl.select("image_id"), "image_id", "left_anti")
+            .limit(1)
+            .count()
         )
+        if n_missing == 0:
+            return (
+                images.drop("bytes", "w", "h", "fmt")
+                .join(ovl, "image_id")
+                .select(
+                    *other0,
+                    F.col("_b").alias("bytes"), F.col("_w").alias("w"),
+                    F.col("_h").alias("h"), F.lit("png").alias("fmt"),
+                )
+            )
 
     # Two branches so the REPLACED branch never touches full-res bytes:
     # its scan of `images` prunes the bytes column entirely (parquet/

@@ -208,7 +208,19 @@ def warp_plane(
             v00 = p[np.ix_(y0c, x0c)]; v01 = p[np.ix_(y0c, x1c)]
             v10 = p[np.ix_(y1c, x0c)]; v11 = p[np.ix_(y1c, x1c)]
             WX = wx[None, :]; WY = wy[:, None]
-        vals = (v00 * (1 - WX) + v01 * WX) * (1 - WY) + (v10 * (1 - WX) + v11 * WX) * WY
+        # NaN-aware: nodata taps drop out and the remaining weights
+        # renormalize (GDAL nodata-masked bilinear); all-NaN support -> NaN
+        acc = np.zeros(out_shape)
+        wsum = np.zeros(out_shape)
+        for v, wgt in (
+            (v00, (1 - WX) * (1 - WY)), (v01, WX * (1 - WY)),
+            (v10, (1 - WX) * WY), (v11, WX * WY),
+        ):
+            valid = ~np.isnan(v)
+            acc += np.where(valid, wgt * v, 0.0)
+            wsum += wgt * valid
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vals = acc / wsum
         out[mask] = vals[mask]
         return out
     if resampling in _KERNEL_TAPS:
@@ -226,16 +238,19 @@ def warp_plane(
             for dx in range(1 - taps, taps + 1):
                 wx_k = _sep_kernel_weights(gx - (x0 + dx), resampling)
                 xc = (x0 + dx).clip(0, w - 1)
-                if two_d:
-                    wgt = wy_k * wx_k
-                    acc += wgt * p[yc, xc]
-                    wsum += wgt
-                else:
-                    wgt = wy_k[:, None] * wx_k[None, :]
-                    acc += wgt * p[np.ix_(yc, xc)]
-                    wsum += wgt
+                pv = p[yc, xc] if two_d else p[np.ix_(yc, xc)]
+                wgt = (wy_k * wx_k) if two_d else (wy_k[:, None] * wx_k[None, :])
+                # NaN-aware renormalization (r2 ADVICE): a nodata source
+                # pixel contributes neither value nor weight, instead of
+                # poisoning every output cell its kernel support touches
+                valid = ~np.isnan(pv)
+                acc += np.where(valid, wgt * pv, 0.0)
+                wsum += wgt * valid
         with np.errstate(invalid="ignore", divide="ignore"):
-            vals = acc / wsum  # renormalize (edge-clamped taps reuse pixels)
+            # renormalize (edge clamp + NaN drop-out); a negligible surviving
+            # weight mass (all meaningful taps were nodata — float residue
+            # like sinc(1.0)=4e-17 may remain) is nodata, not noise/0
+            vals = np.where(np.abs(wsum) > 1e-6, acc / wsum, np.nan)
         out[mask] = vals[mask]
         return out
     raise ValueError(f"unknown resampling {resampling!r}")

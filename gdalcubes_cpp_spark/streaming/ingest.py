@@ -13,11 +13,18 @@ partial-state aggregation — never recovered as mean*count, which is not
 bit-exact in IEEE754; min/max → running extreme; count_* → running count).
 
 Exactly-once: foreachBatch is at-least-once (a microbatch can replay after a
-failure that committed the sink write but not the checkpoint), so the sink
-persists the last merged ``batch_id`` and the fold SKIPS batches already
-merged. State writes are versioned (``state_v{N}`` directories) with an
-atomically-replaced ``manifest.json`` pointer — a crash mid-write leaves the
-previous version intact and readable.
+failure that committed the sink write but not the checkpoint), so the sink's
+``manifest.json`` records the PROCESSED SOURCE FILES and the fold drops
+already-merged files from a replayed batch. Keying on files instead of the
+raw batch_id (r2 ADVICE) makes the dedup sound across checkpoint loss:
+after a wiped checkpoint Structured Streaming restarts batch ids at 0 and
+re-bundles old+new files into one batch — a batch_id skip would silently
+discard the NEW files, a file filter merges exactly them. State writes are
+versioned (``state_v{N}`` directories) with an atomically-replaced
+``manifest.json`` pointer — a crash mid-write leaves the previous version
+intact and readable. At production scale, compact the manifest's file list
+periodically (e.g. roll files older than the source's maxFileAge into a
+watermark entry); the list is one path string per ingested FILE, not row.
 """
 
 from __future__ import annotations
@@ -51,13 +58,15 @@ def _read_manifest(sink: str) -> dict | None:
         return None
 
 
-def _write_manifest(sink: str, version: int, batch_id: int) -> None:
+def _write_manifest(sink: str, version: int, batch_id: int, files) -> None:
     """Atomic pointer update: tmp file + os.replace (POSIX atomic rename)."""
     os.makedirs(sink, exist_ok=True)
     path = os.path.join(sink, _MANIFEST)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"version": version, "last_batch_id": batch_id}, f)
+        json.dump(
+            {"version": version, "last_batch_id": batch_id, "files": sorted(files)}, f
+        )
     os.replace(tmp, path)
 
 
@@ -114,8 +123,21 @@ def incremental_build(
         if batch_df.isEmpty():
             return
         man = _read_manifest(sink)
-        if man is not None and batch_id <= man["last_batch_id"]:
-            return  # replayed microbatch — already merged, skip (exactly-once)
+        # exactly-once by SOURCE FILE (r2 ADVICE): drop already-merged files
+        # from this batch; merge whatever is genuinely new. Sound across
+        # both microbatch replay AND checkpoint loss (where batch ids reset
+        # to 0 and old+new files can arrive bundled in one batch).
+        done = set(man.get("files", ())) if man is not None else set()
+        batch_files = {
+            r[0] for r in batch_df.select(F.input_file_name()).distinct().collect()
+        }
+        new_files = batch_files - done
+        if not new_files:
+            return  # pure replay — everything already merged, skip
+        if new_files != batch_files:
+            batch_df = batch_df.filter(
+                F.input_file_name().isin([str(f) for f in new_files])
+            )
         joined = st_join(batch_df, grid)
 
         def nn(col, name):  # kernel emits NaN for band-absent cells; merge
@@ -145,7 +167,7 @@ def incremental_build(
             acc = spark.read.parquet(_state_dir(sink, man["version"]))
             merged = _merge_states(acc, delta, keys, agg)
         merged.write.mode("overwrite").parquet(_state_dir(sink, next_version))
-        _write_manifest(sink, next_version, batch_id)  # atomic commit point
+        _write_manifest(sink, next_version, batch_id, done | new_files)  # atomic commit
 
     return (
         stream.writeStream.foreachBatch(fold)

@@ -124,6 +124,22 @@ def test_streaming_incremental_build(spark, tmp_path):
     m2 = np.isfinite(got)
     assert (got2[m2] == got[m2]).all()
 
+    # -- checkpoint loss with NEW files bundled into the replayed batch
+    # (r2 ADVICE): after rm -rf checkpoint, batch 0 re-lists ALL files —
+    # the 2 already-merged parquet writes plus a fresh one. The file-keyed
+    # manifest must merge exactly the new file (a batch_id skip would
+    # silently drop it; a full merge would double-count the old ones).
+    pdf_all = synth.images_pdf(150)
+    spark.createDataFrame(pdf_all.iloc[120:]).write.mode("append").parquet(in_dir)
+    shutil.rmtree(cp)
+    q4 = incremental_build(spark, in_dir, v, sink, cp)
+    q4.awaitTermination(120)
+    got3 = finalize_state(spark, sink, v).collect_dense()
+    want3 = build_cube(spark.createDataFrame(pdf_all), v).collect_dense()
+    assert (np.isnan(got3) == np.isnan(want3)).all()
+    m3 = np.isfinite(want3)
+    assert np.allclose(got3[m3], want3[m3], atol=1e-9)
+
 
 def test_read_chunks_partition_pruning(spark, tmp_path):
     """A cropped re-read must prune chunk partitions at the file-source level

@@ -168,3 +168,31 @@ def test_build_cubic_resampling_exact(spark):
     got = build_cube(imgs, v).collect_dense()
     want = oracle_np.dense_cube(pdf, v, resampling="cubic", aggregation="mean")
     oracle_np.assert_dense_equal(got, want)
+
+
+def test_nan_taps_renormalize(plane):
+    """r2 ADVICE: a single nodata (NaN) source pixel must drop out of the
+    kernel support with its weight (GDAL nodata-masked resampling), not
+    poison every output cell the kernel touches."""
+    p = plane.astype(float).copy()
+    p[8, 8] = np.nan
+    xs = np.arange(16) + 0.5        # one target per source pixel, centered
+    ys = 16.0 - (np.arange(16) + 0.5)
+    for method in ("bilinear", "cubic", "cubicspline", "lanczos"):
+        got = warp_plane(p, BOUNDS, xs, ys, method)
+        clean = warp_plane(plane.astype(float), BOUNDS, xs, ys, method)
+        # away from the NaN pixel: identical to the clean warp
+        far = np.ones_like(got, dtype=bool)
+        far[4:12, 4:12] = False
+        assert np.allclose(got[far], clean[far], equal_nan=True), method
+        # near the NaN pixel: finite (renormalized from the valid taps)...
+        neigh = got[7:10, 7:10]
+        if method == "cubicspline":
+            assert np.isfinite(neigh).all(), method
+        else:
+            # ...except exactly AT it for interpolating kernels, where the
+            # sole non-zero-weight tap IS the NaN pixel -> all-invalid -> NaN
+            assert np.isnan(got[8, 8]), method
+            off = np.ones((3, 3), dtype=bool)
+            off[1, 1] = False
+            assert np.isfinite(neigh[off]).all(), method

@@ -363,3 +363,57 @@ def test_rp_lsh_pairs(spark):
     exact = ann.cosine_pairs_bruteforce(emb, threshold=0.95).toPandas()
     exact_pairs = {(int(a), int(b)) for a, b in exact[["vec_a", "vec_b"]].values}
     assert got <= exact_pairs
+
+
+def test_overview_pushdown_missing_row_passthrough(spark):
+    """r2 ADVICE: the uniform fast path must NOT silently drop an image
+    whose overview row is missing (failed decode / overviews job lagging
+    ingest) — such images pass through at full resolution."""
+    from gdalcubes_cpp_spark import synth
+    from gdalcubes_cpp_spark.view import CubeView
+
+    pdf = synth.images_pdf(80)
+    pdf = pdf[(pdf["w"] == 64) & (pdf["h"] == 64)].reset_index(drop=True)
+    imgs = spark.createDataFrame(pdf).cache()
+    ov = image.create_overviews(imgs, levels=(2, 4))
+    # drop the overview rows of 2 images entirely (lagging overviews job)
+    victims = [r["image_id"] for r in imgs.limit(2).collect()]
+    ov_partial = ov.filter(~F.col("image_id").isin(victims)).cache()
+
+    v = CubeView.create(
+        left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=100, ny=100,
+        t0="2020-01-01", t1="2020-12-31", dt="P2M",
+        aggregation="mean", resampling="near", chunk_size=(3, 50, 50),
+    )
+    for fast in (True, False):
+        pushed = image.push_down_overviews(imgs, ov_partial, v, uniform_fast_path=fast)
+        assert pushed.count() == imgs.count(), f"fast={fast}: images dropped"
+        kept = pushed.filter(F.col("image_id").isin(victims))
+        rows = {r["image_id"]: r for r in kept.collect()}
+        assert set(rows) == set(victims)
+        for r in rows.values():  # untouched full-res payload
+            assert r["w"] == 64 and r["h"] == 64
+
+
+def test_overview_pushdown_non_4326_view_untouched(spark):
+    """r2 ADVICE: eligibility compares 4326-degree pixel sizes against the
+    view cell size, which is only meaningful for a 4326 view. A UTM-meters
+    view (where every level would bogusly look eligible) must pass the
+    collection through untouched."""
+    from gdalcubes_cpp_spark import synth
+    from gdalcubes_cpp_spark.view import CubeView
+
+    pdf = synth.images_pdf(40)
+    pdf = pdf[(pdf["w"] == 64) & (pdf["h"] == 64)].reset_index(drop=True)
+    imgs = spark.createDataFrame(pdf)
+    ov = image.create_overviews(imgs, levels=(2, 4))
+    v_utm = CubeView.create(
+        srs="EPSG:32633", left=350000.0, right=650000.0,
+        bottom=5090000.0, top=5430000.0, nx=30, ny=34,
+        t0="2020-01-01", nt=4, dt="P3M",
+        aggregation="mean", resampling="near", chunk_size=(4, 17, 15),
+    )
+    pushed = image.push_down_overviews(imgs, ov, v_utm)
+    got = {r["image_id"]: (r["w"], r["h"]) for r in pushed.select("image_id", "w", "h").collect()}
+    want = {r["image_id"]: (r["w"], r["h"]) for r in imgs.select("image_id", "w", "h").collect()}
+    assert got == want  # untouched: no over-coarse overview substitution
