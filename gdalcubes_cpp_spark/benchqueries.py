@@ -756,12 +756,17 @@ FROM cand JOIN ss sa ON cand.doc_a = sa.doc_id
 )
 def doc_lsh_jaccard(spark, sf_dir):
     """MinHash-LSH candidates (k=4, r=1 banding) + exact n-gram Jaccard
-    verify (functions/dedup.py lsh_candidates + ngram_jaccard)."""
-    from .functions.dedup import lsh_candidates, ngram_jaccard
+    verify (functions/dedup.py lsh_candidates + ngram_jaccard). One shared,
+    persisted minhash_profile pass feeds banding AND verify (r2 VERDICT #4:
+    the shingle normalization used to run twice)."""
+    from pyspark import StorageLevel
+
+    from .functions.dedup import lsh_candidates, minhash_profile, ngram_jaccard
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cand = lsh_candidates(docs, k=4, bands=4)
-    jac = ngram_jaccard(docs, cand.select("doc_a", "doc_b"))
+    prof = minhash_profile(docs, k=4).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidates(docs, k=4, bands=4, sig=prof)
+    jac = ngram_jaccard(docs, cand.select("doc_a", "doc_b"), sets=prof)
     return jac.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 

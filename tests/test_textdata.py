@@ -417,3 +417,66 @@ def test_overview_pushdown_non_4326_view_untouched(spark):
     got = {r["image_id"]: (r["w"], r["h"]) for r in pushed.select("image_id", "w", "h").collect()}
     want = {r["image_id"]: (r["w"], r["h"]) for r in imgs.select("image_id", "w", "h").collect()}
     assert got == want  # untouched: no over-coarse overview substitution
+
+
+def test_kmeans_sampled_training(spark):
+    """r2 VERDICT #2: kmeans_centroids caps its training input by default —
+    the trained quantizer from a seeded sample still separates clustered
+    data perfectly (bucket balance + nprobe=1 recall as with full training)."""
+    rng = np.random.RandomState(13)
+    protos = rng.randn(4, 12) * 4
+    M = np.vstack([protos[c] + rng.randn(150, 12) * 0.1 for c in range(4)])
+    pdf = pd.DataFrame({"vec_id": range(len(M)),
+                        "embedding": [list(map(float, v)) for v in M]})
+    emb = spark.createDataFrame(pdf).cache()
+    # force the sampling path: cap far below the table size
+    cents = ann.kmeans_centroids(emb, nlist=4, seed=11, max_train_rows=200)
+    sizes = sorted(
+        r["count"] for r in ann.ivf_assign(emb, cents).groupBy("centroid").count().collect()
+    )
+    assert sizes == [150] * 4  # sampled training still finds the 4 clusters
+    # determinism: same seed + cap -> identical centroids
+    cents2 = ann.kmeans_centroids(emb, nlist=4, seed=11, max_train_rows=200)
+    assert np.allclose(np.array(cents), np.array(cents2))
+
+
+def test_ivf_topk_materialized_assignment(emb):
+    """r2 VERDICT #3: one materialized ivf_assign serves many top-k queries
+    with results identical to per-query assignment."""
+    from pyspark import StorageLevel
+
+    e = emb.limit(300).cache()
+    cents = ann.deterministic_centroids(e, nlist=8)
+    assigned = ann.ivf_assign(e, cents).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()  # materialize once
+    rows = e.orderBy("vec_id").limit(3).collect()
+    for r in rows:
+        q = list(map(float, r["embedding"]))
+        a = ann.ivf_topk(e, q, cents, k=5, nprobe=3).collect()
+        b = ann.ivf_topk(e, q, cents, k=5, nprobe=3, assigned=assigned).collect()
+        assert [(x["vec_id"], round(x["cos"], 9)) for x in a] == \
+               [(x["vec_id"], round(x["cos"], 9)) for x in b]
+
+
+def test_rp_lsh_dim_param(emb):
+    """dim passed explicitly == dim probed (no builder-side action)."""
+    e = emb.limit(100).cache()
+    d = len(e.first()["embedding"])
+    a = ann.rp_lsh_signatures(e, n_bits=16, dim=d).orderBy("vec_id").collect()
+    b = ann.rp_lsh_signatures(e, n_bits=16).orderBy("vec_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_minhash_profile_matches_separate_passes(spark):
+    """The fused profile pass == separate minhash_signature + shingle_sets."""
+    from gdalcubes_cpp_spark.functions.dedup import (
+        minhash_profile, minhash_signature, shingle_sets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120).cache()
+    prof = minhash_profile(docs, k=4).orderBy("doc_id").toPandas()
+    sig = minhash_signature(docs, k=4).orderBy("doc_id").toPandas()
+    sets = shingle_sets(docs).orderBy("doc_id").toPandas()
+    for i in range(4):
+        assert (prof[f"mh_{i}"] == sig[f"mh_{i}"]).all()
+    assert all(list(a) == list(b) for a, b in zip(prof["sh"], sets["sh"]))
