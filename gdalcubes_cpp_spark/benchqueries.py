@@ -1065,6 +1065,99 @@ def cube_utm_mean(spark, sf_dir):
     ).df
 
 
+# ------------------------------------------------- polar-stereographic cube
+
+# EPSG:3031 view over the Antarctic coast: 24x24 cells of 25 km. Origin
+# chosen so every cell center's inverse-projected lon/lat stays >= 1e-6 deg
+# away from the 0.01-deg grid all footprint edges sit on (margin asserted
+# in tests/test_srs_polar.py) — cross-engine libm noise (~1e-14 deg) can
+# never flip a coverage decision.
+V_POLAR = CubeView.create(
+    srs="EPSG:3031", left=-401234.0, right=198766.0,
+    bottom=1302345.0, top=1902345.0, nx=24, ny=24,
+    t0="1995-01-01", nt=27, dt="P3M",
+    aggregation="mean", resampling="near", chunk_size=(9, 12, 12),
+)
+
+POLAR_IMG_SQL = """
+  SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS image_id,
+         -20.0 + (o_orderkey * 7919 % 2900) / 100.0 AS left,
+         -20.0 + (o_orderkey * 7919 % 2900) / 100.0
+           + 0.5 + (o_orderkey * 104729 % 150) / 100.0 AS right,
+         -80.0 + (o_orderkey * 6271 % 800) / 100.0 AS bottom,
+         -80.0 + (o_orderkey * 6271 % 800) / 100.0
+           + 0.3 + (o_orderkey * 7127 % 100) / 100.0 AS top,
+         o_orderdate AS ts,
+         CAST(o_orderkey % 97 AS DOUBLE) AS val1,
+         CAST(o_orderkey % 89 AS DOUBLE) AS val2
+  FROM orders
+"""
+
+
+def images_meta_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    left = F.lit(-20.0) + (k * 7919 % 2900) / 100.0
+    bottom = F.lit(-80.0) + (k * 6271 % 800) / 100.0
+    return o.select(
+        F.lpad(k.cast("string"), 10, "0").alias("image_id"),
+        left.alias("left"),
+        (left + 0.5 + (k * 104729 % 150) / 100.0).alias("right"),
+        bottom.alias("bottom"),
+        (bottom + 0.3 + (k * 7127 % 100) / 100.0).alias("top"),
+        F.col("o_orderdate").alias("ts"),
+        (k % 97).cast("double").alias("val1"),
+        (k % 89).cast("double").alias("val2"),
+        F.lit(16).alias("w"), F.lit(16).alias("h"),
+    )
+
+
+def _polar_cells_sql(v: CubeView) -> str:
+    """(it, iy, ix, cx=lon, cy=lat) of every cell center: EPSG:3031 coords
+    by exact arithmetic, then the inverse polar-stereographic series of
+    srs.ps_inverse_sql — the SAME operation order as the numpy kernel."""
+    from . import srs as _srs
+
+    p = _srs._POLAR[_srs.normalize(v.srs)]
+    x_sql = f"({_srs._flit(v.left)} + (x.ix + 0.5) * {_srs._flit(v.dx)})"
+    y_sql = f"({_srs._flit(v.top)} - (y.iy + 0.5) * {_srs._flit(v.dy)})"
+    lon_sql, lat_sql = _srs.ps_inverse_sql(x_sql, y_sql, p)
+    return f"""
+  SELECT CAST(t.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         {lon_sql} AS cx, {lat_sql} AS cy
+  FROM range({v.nt}) t(it), range({v.ny}) y(iy), range({v.nx}) x(ix)
+"""
+
+
+@q(
+    "cube_polar_mean",
+    f"""
+WITH img AS ({POLAR_IMG_SQL}),
+cells AS ({_polar_cells_sql(V_POLAR)}),
+cov AS (
+  SELECT cells.it, cells.iy, cells.ix, img.val1, img.val2
+  FROM cells JOIN img
+    ON {_COVER_SQL}
+   AND cells.it = {_it_sql(V_POLAR)}
+)
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_polar_mean(spark, sf_dir):
+    """Cube build in a POLAR view: EPSG:3031 (WGS84 Antarctic Polar
+    Stereographic, Snyder 1987 §21 variant B) over 4326 footprints — the
+    polar-product analog of the reference's any-GDAL-SRS warp
+    (src/warp.cpp:33-55, src/view.h:703-711). The kernel samples cell
+    centers through the numpy inverse series; the oracle replays the
+    identical series in SQL (srs.ps_inverse_sql)."""
+    from .operators.build import build_cube
+
+    return build_cube(
+        images_meta_polar(spark, sf_dir), V_POLAR, bands=("B1", "B2"), value_fn=_value_fn
+    ).df
+
+
 @q("cube_average_decode", None)  # rows-only: real decode + aggregating resampler
 def cube_average_decode(spark, sf_dir):
     """Real decode through the 'average' AGGREGATING resampler (the
@@ -1870,6 +1963,7 @@ _WINDOW_ORACLED = [
     "cube_counts",
     "cube_mask_value_range",
     "cube_utm_mean",
+    "cube_polar_mean",
     # derived operators
     "reduce_time_full",
     "reduce_space",

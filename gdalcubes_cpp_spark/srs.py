@@ -59,12 +59,60 @@ _E1 = (1.0 - math.sqrt(1.0 - E2)) / (1.0 + math.sqrt(1.0 - E2))
 _UTM_RE = re.compile(r"^EPSG:32([67])(\d\d)$")
 
 
+@dataclass(frozen=True)
+class PolarPS:
+    """Polar stereographic variant B (EPSG method 9829; Snyder 1987 §21):
+    standard-parallel form on the WGS84 ellipsoid."""
+
+    lat_ts: float  # latitude of standard parallel (deg, signed)
+    lon0: float    # longitude of origin (deg)
+    fe: float
+    fn: float
+    south: bool
+
+
+@dataclass(frozen=True)
+class LaeaParams:
+    """Lambert azimuthal equal-area, ellipsoidal (EPSG method 9820;
+    Snyder 1987 §24) — EPSG:3035 is the ESA/EEA European grid."""
+
+    lat0: float
+    lon0: float
+    fe: float
+    fn: float
+    a: float
+    e2: float
+
+
+# GRS80 ellipsoid (EPSG:3035 datum ETRS89); differs from WGS84 only in the
+# 12th significant digit of the flattening
+_F_GRS80 = 1.0 / 298.257222101
+_E2_GRS80 = _F_GRS80 * (2.0 - _F_GRS80)
+
+_POLAR = {
+    # WGS84 Antarctic Polar Stereographic (the EPSG registry parameters)
+    "EPSG:3031": PolarPS(lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0, south=True),
+    # NSIDC Sea Ice Polar Stereographic North
+    "EPSG:3413": PolarPS(lat_ts=70.0, lon0=-45.0, fe=0.0, fn=0.0, south=False),
+}
+
+_LAEA = {
+    # ETRS89-extended / LAEA Europe (the ESA CCI / EEA reference grid)
+    "EPSG:3035": LaeaParams(
+        lat0=52.0, lon0=10.0, fe=4321000.0, fn=3210000.0,
+        a=6378137.0, e2=_E2_GRS80,
+    ),
+}
+
+
 def normalize(srs: str) -> str:
     s = srs.strip().upper().replace(" ", "")
     if s in ("EPSG:4326", "WGS84", "CRS84"):
         return "EPSG:4326"
     if s in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
         return "EPSG:3857"
+    if s in _POLAR or s in _LAEA:
+        return s
     m = _UTM_RE.match(s)
     if m:
         zone = int(m.group(2))
@@ -72,13 +120,14 @@ def normalize(srs: str) -> str:
             return s
     raise ValueError(
         f"unsupported SRS {srs!r} (supported: EPSG:4326, EPSG:3857, "
-        f"EPSG:326xx/327xx UTM zones)"
+        f"EPSG:326xx/327xx UTM zones, EPSG:3031/3413 polar stereographic, "
+        f"EPSG:3035 LAEA Europe)"
     )
 
 
 def is_separable(srs: str) -> bool:
     """True iff x depends only on lon and y only on lat (1-D axis transforms
-    suffice); UTM is non-separable (meridian convergence)."""
+    suffice); UTM/polar/LAEA are non-separable."""
     return normalize(srs) in ("EPSG:4326", "EPSG:3857")
 
 
@@ -230,6 +279,193 @@ def tm_inverse_sql(x_expr: str, y_expr: str, lon0: float, fn: float = 0.0):
     return lon, lat
 
 
+# -- polar stereographic variant B (numpy; Snyder 1987 §21, EPSG 9829) --------
+
+_E = math.sqrt(E2)
+# sqrt((1+e)^(1+e) (1-e)^(1-e)) — the ellipsoidal stereographic constant
+_CPOL = math.sqrt((1.0 + _E) ** (1.0 + _E) * (1.0 - _E) ** (1.0 - _E))
+_HALF_PI = math.pi / 2.0
+
+# inverse conformal-latitude series (Snyder eq. 3-5)
+_X2 = E2 / 2.0 + 5.0 * E2 ** 2 / 24.0 + E2 ** 3 / 12.0 + 13.0 * E2 ** 4 / 360.0
+_X4 = 7.0 * E2 ** 2 / 48.0 + 29.0 * E2 ** 3 / 240.0 + 811.0 * E2 ** 4 / 11520.0
+_X6 = 7.0 * E2 ** 3 / 120.0 + 81.0 * E2 ** 4 / 1120.0
+_X8 = 4279.0 * E2 ** 4 / 161280.0
+
+
+def _ps_t(phi: np.ndarray, south: bool) -> np.ndarray:
+    """Isometric-latitude factor t (Snyder eq. 15-9 / 21-27)."""
+    es = _E * np.sin(phi)
+    if south:
+        return np.tan(np.pi / 4.0 + phi / 2.0) / ((1.0 + es) / (1.0 - es)) ** (_E / 2.0)
+    return np.tan(np.pi / 4.0 - phi / 2.0) * ((1.0 + es) / (1.0 - es)) ** (_E / 2.0)
+
+
+def _ps_k0(p: PolarPS) -> float:
+    """Implied scale at the pole from the standard parallel (variant B)."""
+    phi_f = math.radians(p.lat_ts)
+    es = _E * math.sin(phi_f)
+    m_f = math.cos(phi_f) / math.sqrt(1.0 - es * es)
+    t_f = float(_ps_t(np.asarray(phi_f), p.south))
+    return m_f * _CPOL / (2.0 * t_f)
+
+
+def ps_forward(lon, lat, p: PolarPS):
+    """(lon, lat) degrees -> polar-stereographic (x, y) meters (vectorized)."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p.lon0)
+    k0 = _ps_k0(p)
+    rho = 2.0 * A_WGS84 * k0 * _ps_t(phi, p.south) / _CPOL
+    x = p.fe + rho * np.sin(lam)
+    y = p.fn + (rho * np.cos(lam) if p.south else -rho * np.cos(lam))
+    return x, y
+
+
+def ps_inverse(x, y, p: PolarPS):
+    """Polar-stereographic (x, y) meters -> (lon, lat) degrees.
+
+    Operation order mirrors ps_inverse_sql EXACTLY (same scalar literals,
+    same expression tree) — cross-engine cell-center equality is how the
+    driver oracle replays the kernel in SQL."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    s = _CPOL / (2.0 * A_WGS84 * _ps_k0(p))  # one scalar, shared with SQL
+    dx = x - p.fe
+    dy = y - p.fn
+    rho = np.sqrt(dx * dx + dy * dy)
+    tp = rho * s
+    if p.south:
+        chi = 2.0 * np.arctan(tp) - _HALF_PI
+        lam = np.arctan2(dx, dy)
+    else:
+        chi = _HALF_PI - 2.0 * np.arctan(tp)
+        lam = np.arctan2(dx, -dy)
+    phi = (
+        chi + _X2 * np.sin(2.0 * chi) + _X4 * np.sin(4.0 * chi)
+        + _X6 * np.sin(6.0 * chi) + _X8 * np.sin(8.0 * chi)
+    )
+    return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def ps_inverse_sql(x_expr: str, y_expr: str, p: PolarPS):
+    """(lon_sql, lat_sql) ANSI-SQL mirror of ps_inverse — same operation
+    order, E-notation DOUBLE literals (runnable in DuckDB and Spark SQL)."""
+    L = _flit
+    s = _CPOL / (2.0 * A_WGS84 * _ps_k0(p))
+    dx = f"(({x_expr}) - {L(p.fe)})"
+    dy = f"(({y_expr}) - {L(p.fn)})"
+    rho = f"sqrt({dx} * {dx} + {dy} * {dy})"
+    tp = f"({rho} * {L(s)})"
+    if p.south:
+        chi = f"(2.0 * atan({tp}) - {L(_HALF_PI)})"
+        lam = f"atan2({dx}, {dy})"
+    else:
+        chi = f"({L(_HALF_PI)} - 2.0 * atan({tp}))"
+        lam = f"atan2({dx}, -{dy})"
+    deg = L(180.0 / math.pi)
+    lat = (
+        f"(({chi} + {L(_X2)} * sin(2.0 * {chi}) + {L(_X4)} * sin(4.0 * {chi})"
+        f" + {L(_X6)} * sin(6.0 * {chi}) + {L(_X8)} * sin(8.0 * {chi})) * {deg})"
+    )
+    lon = f"({L(p.lon0)} + {lam} * {deg})"
+    return lon, lat
+
+
+# -- Lambert azimuthal equal-area (numpy; Snyder 1987 §24, EPSG 9820) ---------
+
+def _laea_q(phi, e: float, e2: float):
+    es = e * np.sin(phi)
+    return (1.0 - e2) * (
+        np.sin(phi) / (1.0 - e2 * np.sin(phi) ** 2)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
+    )
+
+
+def _laea_consts(p: LaeaParams):
+    e = math.sqrt(p.e2)
+    qp = float(_laea_q(np.asarray(_HALF_PI), e, p.e2))
+    phi0 = math.radians(p.lat0)
+    q0 = float(_laea_q(np.asarray(phi0), e, p.e2))
+    beta1 = math.asin(q0 / qp)
+    rq = p.a * math.sqrt(qp / 2.0)
+    m1 = math.cos(phi0) / math.sqrt(1.0 - p.e2 * math.sin(phi0) ** 2)
+    d = p.a * m1 / (rq * math.cos(beta1))
+    return e, qp, beta1, rq, d
+
+
+def laea_forward(lon, lat, p: LaeaParams):
+    """(lon, lat) degrees -> LAEA (x, y) meters (vectorized)."""
+    e, qp, beta1, rq, d = _laea_consts(p)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p.lon0)
+    beta = np.arcsin(np.clip(_laea_q(phi, e, p.e2) / qp, -1.0, 1.0))
+    b = rq * np.sqrt(
+        2.0 / (1.0 + math.sin(beta1) * np.sin(beta)
+               + math.cos(beta1) * np.cos(beta) * np.cos(lam))
+    )
+    x = p.fe + b * d * np.cos(beta) * np.sin(lam)
+    y = p.fn + (b / d) * (
+        math.cos(beta1) * np.sin(beta) - math.sin(beta1) * np.cos(beta) * np.cos(lam)
+    )
+    return x, y
+
+
+def laea_inverse(x, y, p: LaeaParams):
+    """LAEA (x, y) meters -> (lon, lat) degrees (vectorized); authalic-
+    latitude series inverse (Snyder eq. 3-18)."""
+    e, qp, beta1, rq, d = _laea_consts(p)
+    e2 = p.e2
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    xp = (x - p.fe) / d
+    yp = (y - p.fn) * d
+    rho = np.sqrt(xp * xp + yp * yp)
+    with np.errstate(invalid="ignore"):
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+        betap = np.arcsin(np.clip(
+            np.cos(ce) * math.sin(beta1)
+            + np.where(rho > 0, yp * np.sin(ce) * math.cos(beta1) / np.where(rho > 0, rho, 1.0), 0.0),
+            -1.0, 1.0,
+        ))
+    lam = np.arctan2(
+        xp * np.sin(ce),
+        rho * math.cos(beta1) * np.cos(ce) - yp * math.sin(beta1) * np.sin(ce),
+    )
+    phi = (
+        betap
+        + (e2 / 3.0 + 31.0 * e2 ** 2 / 180.0 + 517.0 * e2 ** 3 / 5040.0) * np.sin(2.0 * betap)
+        + (23.0 * e2 ** 2 / 360.0 + 251.0 * e2 ** 3 / 3780.0) * np.sin(4.0 * betap)
+        + (761.0 * e2 ** 3 / 45360.0) * np.sin(6.0 * betap)
+    )
+    lat = np.degrees(phi)
+    lon = p.lon0 + np.degrees(lam)
+    # exactly at the projection origin the direction is undefined: (lat0, lon0)
+    at0 = rho == 0.0
+    if np.any(at0):
+        lat = np.where(at0, p.lat0, lat)
+        lon = np.where(at0, p.lon0, lon)
+    return lon, lat
+
+
+def _nonsep_inverse(x, y, s: str):
+    """Dispatch (x, y in srs) -> (lon, lat) for non-separable SRS."""
+    if s in _POLAR:
+        return ps_inverse(x, y, _POLAR[s])
+    if s in _LAEA:
+        return laea_inverse(x, y, _LAEA[s])
+    lon0, fn = utm_params(s)
+    return tm_inverse(x, y, lon0, fn)
+
+
+def _nonsep_forward(lon, lat, s: str):
+    if s in _POLAR:
+        return ps_forward(lon, lat, _POLAR[s])
+    if s in _LAEA:
+        return laea_forward(lon, lat, _LAEA[s])
+    lon0, fn = utm_params(s)
+    return tm_forward(lon, lat, lon0, fn)
+
+
 # -- generic transform surface -------------------------------------------------
 
 def axis_to_wgs84(xs: np.ndarray, ys: np.ndarray, srs: str):
@@ -251,10 +487,9 @@ def grid_to_wgs84(xs: np.ndarray, ys: np.ndarray, srs: str):
         return np.broadcast_to(lon[None, :], (len(ys), len(xs))), np.broadcast_to(
             lat[:, None], (len(ys), len(xs))
         )
-    lon0, fn = utm_params(s)
     X = np.broadcast_to(np.asarray(xs, dtype=np.float64)[None, :], (len(ys), len(xs)))
     Y = np.broadcast_to(np.asarray(ys, dtype=np.float64)[:, None], (len(ys), len(xs)))
-    return tm_inverse(X, Y, lon0, fn)
+    return _nonsep_inverse(X, Y, s)
 
 
 def from_wgs84(lon, lat, srs: str):
@@ -264,8 +499,7 @@ def from_wgs84(lon, lat, srs: str):
         return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
     if s == "EPSG:3857":
         return lon_to_x(lon), lat_to_y(lat)
-    lon0, fn = utm_params(s)
-    return tm_forward(lon, lat, lon0, fn)
+    return _nonsep_forward(lon, lat, s)
 
 
 def bbox_to_wgs84(left, right, bottom, top, srs: str, n_samples: int = 9):
@@ -281,13 +515,25 @@ def bbox_to_wgs84(left, right, bottom, top, srs: str, n_samples: int = 9):
         return left, right, bottom, top
     if s == "EPSG:3857":
         return float(x_to_lon(left)), float(x_to_lon(right)), float(y_to_lat(bottom)), float(y_to_lat(top))
-    lon0, fn = utm_params(s)
+    if s in _POLAR and (left <= _POLAR[s].fe <= right) and (bottom <= _POLAR[s].fn <= top):
+        # rectangle contains the pole: every longitude occurs; latitudes
+        # reach the pole itself (edge sampling would miss both)
+        p = _POLAR[s]
+        t = np.linspace(0.0, 1.0, n_samples)
+        xs = left + (right - left) * t
+        ys = bottom + (top - bottom) * t
+        ex = np.concatenate([xs, xs, np.full_like(ys, left), np.full_like(ys, right)])
+        ey = np.concatenate([np.full_like(xs, bottom), np.full_like(xs, top), ys, ys])
+        _, lat = ps_inverse(ex, ey, p)
+        if p.south:
+            return -180.0, 180.0, -90.0, float(lat.max())
+        return -180.0, 180.0, float(lat.min()), 90.0
     t = np.linspace(0.0, 1.0, n_samples)
     xs = left + (right - left) * t
     ys = bottom + (top - bottom) * t
     ex = np.concatenate([xs, xs, np.full_like(ys, left), np.full_like(ys, right)])
     ey = np.concatenate([np.full_like(xs, bottom), np.full_like(xs, top), ys, ys])
-    lon, lat = tm_inverse(ex, ey, lon0, fn)
+    lon, lat = _nonsep_inverse(ex, ey, s)
     # pad by the curvature bound: between two edge samples the extremum can
     # exceed the sampled max by at most ~the sample spread; one full gap is
     # a safe over-estimate at these scales
