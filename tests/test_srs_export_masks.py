@@ -209,3 +209,135 @@ def test_band_mask_scl_pattern(spark):
 
     with _pt.raises(ValueError):
         build_cube(imgs, v, bands=("B1",), mask=bm, value_fn=lambda i: (1.0,))
+
+
+def test_file_mask_separate_file(spark):
+    """Separate-FILE mask band at a DIFFERENT resolution than the data
+    (src/image_collection_cube.cpp:519-579 with its own gdalref descriptor
+    — the real Sentinel-2 layout: SCL at 20 m vs data at 10 m). The mask
+    table left-joins on image_id; the mask plane decodes from its own
+    bytes (its own w/h) and warps NEAREST; images without a mask row pass
+    through unmasked. Both build strategies vs a numpy oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from gdalcubes_cpp_spark import codecs
+    from gdalcubes_cpp_spark.operators.build import FileMask, build_cube, warp_plane
+    from gdalcubes_cpp_spark.view import CubeView
+
+    rng = np.random.RandomState(23)
+    rows, mrows = [], []
+    for k in range(14):
+        h = w = 16
+        img = np.zeros((h, w, 2), dtype=np.uint8)
+        img[:, :, 0] = rng.randint(10, 250, (h, w))
+        img[:, :, 1] = rng.randint(10, 250, (h, w))
+        l = round(float(rng.uniform(0, 4)), 2)
+        b = round(float(rng.uniform(0, 4)), 2)
+        rows.append(dict(
+            image_id=f"f{k:04d}", bytes=codecs.encode_png(img), w=w, h=h,
+            fmt="png", left=l, right=l + 2.0, bottom=b, top=b + 2.0,
+            ts=pd.Timestamp("2020-01-10") + pd.Timedelta(days=k),
+        ))
+        if k < 10:  # the last 4 images have NO mask file (lagging job)
+            mp = rng.randint(0, 10, (h // 4, w // 4)).astype(np.uint8)  # 4x coarser
+            mrows.append(dict(image_id=f"f{k:04d}", bytes=codecs.encode_png(mp), fmt="png"))
+    pdf, mpdf = pd.DataFrame(rows), pd.DataFrame(mrows)
+    imgs = spark.createDataFrame(pdf)
+    mtab = spark.createDataFrame(mpdf)
+    v = CubeView.create(
+        left=0.0, right=6.0, bottom=0.0, top=6.0, nx=24, ny=24,
+        t0="2020-01-01", nt=1, dt="P1M", aggregation="mean",
+        resampling="bilinear", chunk_size=(1, 12, 12),
+    )
+    fm = FileMask(values=[3, 8])
+    outs = {}
+    for strategy in ("chunk_kernel", "cell_long"):
+        outs[strategy] = build_cube(
+            imgs, v, bands=("B1", "B2"), mask=fm, mask_table=mtab,
+            strategy=strategy,
+        ).collect_dense()
+    a, b_ = outs["chunk_kernel"], outs["cell_long"]
+    assert (np.isnan(a) == np.isnan(b_)).all()
+    m = np.isfinite(a)
+    assert m.any() and np.allclose(a[m], b_[m], atol=1e-12)
+
+    # numpy oracle: bilinear data warp + NEAREST mask warp FROM ITS OWN
+    # (coarser) pixel grid; unmatched images unmasked
+    xs = v.left + (np.arange(v.nx) + 0.5) * v.dx
+    ys = v.top - (np.arange(v.ny) + 0.5) * v.dy
+    mask_by_id = {r["image_id"]: r["bytes"] for _, r in mpdf.iterrows()}
+    sums = np.zeros((2, 1, v.ny, v.nx)); cnts = np.zeros_like(sums)
+    for _, r in pdf.iterrows():
+        raw = codecs.decode(r["bytes"], r["fmt"])
+        bounds = (r["left"], r["right"], r["bottom"], r["top"])
+        bad = None
+        if r["image_id"] in mask_by_id:
+            mraw = codecs.decode(mask_by_id[r["image_id"]], "png")
+            mp = warp_plane(mraw[:, :, 0], bounds, xs, ys, "near")
+            bad = np.isin(mp, [3, 8])
+        for bd in range(2):
+            p = warp_plane(raw[:, :, bd], bounds, xs, ys, "bilinear")
+            if bad is not None:
+                p[bad] = np.nan
+            mm = ~np.isnan(p)
+            sums[bd, 0][mm] += p[mm]; cnts[bd, 0][mm] += 1
+    with np.errstate(invalid="ignore"):
+        want = sums / cnts
+    assert (np.isnan(a) == np.isnan(want)).all()
+    mo = np.isfinite(want)
+    assert mo.any() and np.allclose(a[mo], want[mo], atol=1e-9)
+    # masking actually bit: some cells differ from the unmasked build
+    plain = build_cube(imgs, v, bands=("B1", "B2"), strategy="chunk_kernel").collect_dense()
+    assert np.isnan(a).sum() != np.isnan(plain).sum() or not np.allclose(
+        a[np.isfinite(a) & np.isfinite(plain)], plain[np.isfinite(a) & np.isfinite(plain)]
+    )
+
+    # guard: FileMask without mask_table refuses loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        build_cube(imgs, v, bands=("B1",), mask=fm)
+
+
+def test_file_mask_metadata_value(spark):
+    """FileMask metadata path (the cube_mask_file driver query's shape):
+    a mask_value column models a constant mask plane — matching images
+    contribute nothing, exactly like filtering them out."""
+    import pandas as pd
+
+    from gdalcubes_cpp_spark.benchqueries import V_ENG, _value_fn, images_meta
+    from gdalcubes_cpp_spark.operators.build import FileMask, build_cube
+
+    sf = "/root/testdata/sf0.001"
+    imgs = images_meta(spark, sf)
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    k = F.col("o_orderkey")
+    mtab = o.select(
+        F.lpad(k.cast("string"), 10, "0").alias("image_id"),
+        (k % 101).cast("double").alias("mask_value"),
+    )
+    fm = FileMask(vmin=20.0, vmax=60.0)
+    for strategy in ("chunk_kernel", "cell_long", "salted"):
+        got = build_cube(
+            imgs, V_ENG, bands=("B1", "B2"), value_fn=_value_fn,
+            mask=fm, mask_table=mtab, strategy=strategy,
+        ).df.toPandas().sort_values(["it", "iy", "ix"]).reset_index(drop=True)
+        want = build_cube(
+            imgs.filter(~((k.isNull()) | False)).join(
+                o.select(F.lpad(k.cast("string"), 10, "0").alias("image_id"),
+                         (k % 101).alias("mv")), "image_id"
+            ).filter(~F.col("mv").between(20, 60)).drop("mv"),
+            V_ENG, bands=("B1", "B2"), value_fn=_value_fn, strategy=strategy,
+        ).df.toPandas().sort_values(["it", "iy", "ix"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got[["it", "iy", "ix"]].values == want[["it", "iy", "ix"]].values).all()
+        import numpy as np
+
+        for c in ("B1", "B2"):
+            ga, wa = got[c].to_numpy(), want[c].to_numpy()
+            assert ((np.isnan(ga) == np.isnan(wa)) | ~np.isnan(ga)).all()
+            mm = ~np.isnan(ga)
+            assert np.allclose(ga[mm], wa[mm], atol=1e-12)
