@@ -1782,6 +1782,29 @@ def netcdf_roundtrip(spark, sf_dir):
 
 
 @q(
+    "geotiff_roundtrip",
+    f"""
+WITH cells AS ({_CELLS_F_SQL})
+SELECT it, iy, ix, B1, B2 FROM cells
+WHERE B1 IS NOT NULL OR B2 IS NOT NULL
+""",
+)
+def geotiff_roundtrip(spark, sf_dir):
+    """GeoTIFF container roundtrip (src/cube.cpp:116 write_tif_collection +
+    re-read): one uncompressed band-sequential float64 GeoTIFF per time
+    slice with ModelPixelScale/ModelTiepoint + GeoKeyDirectory, written and
+    re-read by the pure-python spec implementation (sources/geotiff.py) —
+    values byte-exact through the container."""
+    import tempfile
+
+    from .sources.geotiff import read_gtiff_cube, write_gtiff
+
+    path = tempfile.mkdtemp(prefix="gcs_gtiff_")
+    write_gtiff(_formula_cube(spark), path)
+    return read_gtiff_cube(spark, path).df
+
+
+@q(
     "ann_knn_join_ivf",
     f"""
 WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2033,6 +2056,7 @@ _WINDOW_ORACLED = [
     # sources / sinks
     "format_ingest",
     "netcdf_roundtrip",
+    "geotiff_roundtrip",
     "packed_roundtrip",
     "cube_write_reread",
     # documents / embeddings / events / relational

@@ -1,0 +1,252 @@
+"""Pure-python GeoTIFF export/import — the chunk-merged GTiff interop the
+reference writes via GDAL (src/cube.cpp:116 write_tif_collection, doc
+src/cube.h:772-805: one multiband GeoTIFF per time slice).
+
+No GDAL/libtiff exists in this container, so both the writer and the
+verifying reader are implemented here from the public specs (TIFF 6.0,
+Adobe 1992; OGC GeoTIFF 1.1). Scope matches the reference's default
+export (uncompressed; compression/overviews are GDAL creation options):
+
+  - little-endian classic TIFF, one file per time slice
+  - float64 samples, PlanarConfiguration=2 (band-sequential planes),
+    one strip per plane, SampleFormat=IEEE float, NaN = nodata
+  - georeferencing via ModelPixelScaleTag + ModelTiepointTag and a
+    GeoKeyDirectory carrying the EPSG code (geographic 4326 → GTModelType
+    Geographic + GeographicTypeGeoKey; any other EPSG → Projected +
+    ProjectedCSTypeGeoKey), GTRasterType = PixelIsArea
+  - ImageDescription holds the CubeView JSON + band names + slice index,
+    so a cube round-trips through the container without sidecars
+
+A GeoTIFF slice is a gather like the reference's (it assembles each
+slice's chunks in one process, src/cube.cpp:116-210); the per-slice write
+here collects one time slice at a time. For distributed exports use
+Cube.write_chunks (parquet) — this module is the interop shim.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import numpy as np
+
+# TIFF field types
+T_ASCII = 2
+T_SHORT = 3
+T_LONG = 4
+T_DOUBLE = 12
+
+_TYPE_SIZE = {T_ASCII: 1, T_SHORT: 2, T_LONG: 4, T_DOUBLE: 8}
+_TYPE_FMT = {T_SHORT: "<H", T_LONG: "<I", T_DOUBLE: "<d"}
+
+# tags
+TAG_WIDTH = 256
+TAG_LENGTH = 257
+TAG_BITS = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_DESCRIPTION = 270
+TAG_STRIP_OFFSETS = 273
+TAG_SPP = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_COUNTS = 279
+TAG_PLANAR = 284
+TAG_SAMPLE_FORMAT = 339
+TAG_MODEL_PIXEL_SCALE = 33550
+TAG_MODEL_TIEPOINT = 33922
+TAG_GEO_KEYS = 34735
+
+# GeoKey ids
+GK_MODEL_TYPE = 1024      # 1 = projected, 2 = geographic
+GK_RASTER_TYPE = 1025     # 1 = PixelIsArea
+GK_GEOGRAPHIC_TYPE = 2048
+GK_PROJECTED_CS_TYPE = 3072
+
+
+def _pack_values(ftype: int, values) -> bytes:
+    if ftype == T_ASCII:
+        b = values.encode() if isinstance(values, str) else bytes(values)
+        return b + b"\x00"
+    return b"".join(struct.pack(_TYPE_FMT[ftype], v) for v in values)
+
+
+def _build_ifd(entries: list, data_start: int) -> tuple[bytes, bytes]:
+    """entries: [(tag, ftype, values)] -> (ifd_bytes, values_area_bytes).
+    ``data_start`` is the absolute file offset where the values area begins."""
+    entries = sorted(entries, key=lambda e: e[0])
+    values_area = b""
+    packed = []
+    for tag, ftype, values in entries:
+        raw = _pack_values(ftype, values)
+        count = len(raw) if ftype == T_ASCII else len(values)
+        if len(raw) <= 4:
+            inline = raw + b"\x00" * (4 - len(raw))
+            packed.append(struct.pack("<HHI", tag, ftype, count) + inline)
+        else:
+            off = data_start + len(values_area)
+            packed.append(struct.pack("<HHI", tag, ftype, count) + struct.pack("<I", off))
+            values_area += raw + (b"\x00" if len(raw) % 2 else b"")
+    ifd = struct.pack("<H", len(packed)) + b"".join(packed) + struct.pack("<I", 0)
+    return ifd, values_area
+
+
+def _geo_keys(srs: str) -> list:
+    code = int(str(srs).split(":")[1])
+    if code == 4326:
+        keys = [(GK_MODEL_TYPE, 2), (GK_RASTER_TYPE, 1), (GK_GEOGRAPHIC_TYPE, 4326)]
+    else:
+        keys = [(GK_MODEL_TYPE, 1), (GK_RASTER_TYPE, 1), (GK_PROJECTED_CS_TYPE, code)]
+    # GeoKeyDirectory: header (KeyDirectoryVersion, KeyRevision, Minor, N)
+    # then per key (KeyID, TIFFTagLocation=0 -> value inline, Count=1, value)
+    out = [1, 1, 0, len(keys)]
+    for kid, val in sorted(keys):
+        out += [kid, 0, 1, val]
+    return out
+
+
+def write_gtiff_slice(planes: np.ndarray, view, bands, it: int, path: str) -> None:
+    """(nb, ny, nx) float64 -> ONE uncompressed band-sequential GeoTIFF."""
+    nb, ny, nx = planes.shape
+    desc = json.dumps(
+        {"view": view.to_json(), "bands": list(bands), "it": it},
+        separators=(",", ":"),
+    )
+    # layout: header(8) | IFD | values area | plane data
+    plane_bytes = ny * nx * 8
+    entries_wo_offsets = [
+        (TAG_WIDTH, T_LONG, [nx]),
+        (TAG_LENGTH, T_LONG, [ny]),
+        (TAG_BITS, T_SHORT, [64] * nb),
+        (TAG_COMPRESSION, T_SHORT, [1]),
+        (TAG_PHOTOMETRIC, T_SHORT, [1]),
+        (TAG_DESCRIPTION, T_ASCII, desc),
+        (TAG_SPP, T_SHORT, [nb]),
+        (TAG_ROWS_PER_STRIP, T_LONG, [ny]),
+        (TAG_STRIP_COUNTS, T_LONG, [plane_bytes] * nb),
+        (TAG_PLANAR, T_SHORT, [2]),
+        (TAG_SAMPLE_FORMAT, T_SHORT, [3] * nb),
+        (TAG_MODEL_PIXEL_SCALE, T_DOUBLE, [view.dx, view.dy, 0.0]),
+        (TAG_MODEL_TIEPOINT, T_DOUBLE, [0.0, 0.0, 0.0, view.left, view.top, 0.0]),
+        (TAG_GEO_KEYS, T_SHORT, _geo_keys(view.srs)),
+    ]
+    n_entries = len(entries_wo_offsets) + 1  # + StripOffsets
+    ifd_size = 2 + 12 * n_entries + 4
+    data_start = 8 + ifd_size
+    # two passes: strip offsets depend on the values-area size
+    _, probe_values = _build_ifd(
+        entries_wo_offsets + [(TAG_STRIP_OFFSETS, T_LONG, [0] * nb)], data_start
+    )
+    pix_start = data_start + len(probe_values)
+    strip_offsets = [pix_start + i * plane_bytes for i in range(nb)]
+    ifd, values_area = _build_ifd(
+        entries_wo_offsets + [(TAG_STRIP_OFFSETS, T_LONG, strip_offsets)], data_start
+    )
+    assert len(values_area) == len(probe_values)
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        f.write(ifd)
+        f.write(values_area)
+        f.write(np.ascontiguousarray(planes, dtype="<f8").tobytes())
+
+
+def write_gtiff(cube, out_dir: str) -> list:
+    """Cube -> one GeoTIFF per time slice (src/cube.cpp:116 analog);
+    returns the written paths. Slice filenames carry the slice datetime
+    like the reference's <prefix>YYYY-MM-dd... naming."""
+    os.makedirs(out_dir, exist_ok=True)
+    v = cube.view
+    dense = cube.collect_dense()  # (nb, nt, ny, nx)
+    paths = []
+    for it in range(v.nt):
+        stamp = v.datetime_at(it).isoformat().replace(":", "")
+        path = os.path.join(out_dir, f"cube_{it:04d}_{stamp}.tif")
+        write_gtiff_slice(dense[:, it], v, cube.bands, it, path)
+        paths.append(path)
+    return paths
+
+
+def read_gtiff(path: str) -> dict:
+    """Parse one of our GeoTIFF slices (verifying reader, spec-implemented).
+    Returns {planes: (nb, ny, nx), desc: dict, pixel_scale, tiepoint,
+    geo_keys: dict}."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != b"II*\x00":
+        raise ValueError("not a little-endian classic TIFF")
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    tags = {}
+    for i in range(n):
+        tag, ftype, count = struct.unpack_from("<HHI", buf, ifd_off + 2 + 12 * i)
+        size = _TYPE_SIZE[ftype] * count
+        vo = ifd_off + 2 + 12 * i + 8
+        if size > 4:
+            (vo,) = struct.unpack_from("<I", buf, vo)
+        if ftype == T_ASCII:
+            tags[tag] = buf[vo:vo + count].split(b"\x00")[0].decode()
+        else:
+            fmt = "<" + _TYPE_FMT[ftype][1] * count
+            tags[tag] = list(struct.unpack_from(fmt, buf, vo))
+    (next_ifd,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n)
+    if next_ifd:
+        raise ValueError("multi-IFD TIFFs not produced by this writer")
+    nx, ny = tags[TAG_WIDTH][0], tags[TAG_LENGTH][0]
+    nb = tags[TAG_SPP][0]
+    if tags[TAG_COMPRESSION][0] != 1 or tags[TAG_PLANAR][0] != 2:
+        raise ValueError("expected uncompressed band-sequential planes")
+    if tags[TAG_SAMPLE_FORMAT] != [3] * nb or tags[TAG_BITS] != [64] * nb:
+        raise ValueError("expected float64 IEEE samples")
+    planes = np.empty((nb, ny, nx))
+    for b, (off, cnt) in enumerate(zip(tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_COUNTS])):
+        planes[b] = np.frombuffer(buf, dtype="<f8", count=ny * nx, offset=off).reshape(ny, nx)
+    gk = tags[TAG_GEO_KEYS]
+    geo = {gk[4 + 4 * i]: gk[7 + 4 * i] for i in range(gk[3])}
+    return {
+        "planes": planes,
+        "desc": json.loads(tags[TAG_DESCRIPTION]),
+        "pixel_scale": tags[TAG_MODEL_PIXEL_SCALE],
+        "tiepoint": tags[TAG_MODEL_TIEPOINT],
+        "geo_keys": geo,
+    }
+
+
+def read_gtiff_cube(spark, out_dir: str):
+    """GeoTIFF slice directory -> Cube (the re-read side of the roundtrip):
+    rebuilds the view from the embedded JSON, parallelizes sparse cells."""
+    import pandas as pd
+
+    from ..cube import Cube
+    from ..view import CubeView
+
+    paths = sorted(
+        os.path.join(out_dir, p) for p in os.listdir(out_dir) if p.endswith(".tif")
+    )
+    if not paths:
+        raise FileNotFoundError(f"no .tif slices under {out_dir}")
+    first = read_gtiff(paths[0])
+    view = CubeView.from_json(first["desc"]["view"])
+    bands = first["desc"]["bands"]
+    frames = []
+    for p in paths:
+        sl = read_gtiff(p)
+        it = sl["desc"]["it"]
+        keep = ~np.isnan(sl["planes"]).all(axis=0)
+        if not keep.any():
+            continue
+        yy, xx = np.nonzero(keep)
+        frames.append(pd.DataFrame({
+            "it": np.full(len(yy), it, dtype="int32"),
+            "iy": yy.astype("int32"),
+            "ix": xx.astype("int32"),
+            **{b: sl["planes"][bi, yy, xx] for bi, b in enumerate(bands)},
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    df = df.select(
+        "it", "iy", "ix",
+        *[F.when(F.isnan(b), None).otherwise(F.col(b)).alias(b) for b in bands],
+    )
+    return Cube(df, view, tuple(bands))
