@@ -152,7 +152,12 @@ def encode_lossy(img: np.ndarray) -> bytes:
 
 
 def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
-    """Decode PNG or lossy-stub bytes -> (h, w, c) uint8."""
+    """Decode PNG / lossy-stub bytes -> (h, w, c) uint8, or one of our
+    GeoTIFF payloads (translate_collection output) -> (h, w, c) float64."""
+    if data[:4] == b"II*\x00":
+        from .sources.geotiff import read_gtiff_bytes
+
+        return np.moveaxis(read_gtiff_bytes(bytes(data))["planes"], 0, -1)
     if data[:4] == b"LOSY":
         return decode_png(bytes(data[4:]))
     return decode_png(bytes(data))

@@ -87,6 +87,53 @@ def thumbnails(images: DataFrame, size: int = 16) -> DataFrame:
     )
 
 
+def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
+    """Batch re-encode of collection imagery — the image_collection_ops
+    translate_gtiff / translate_cog analog (src/image_collection_ops.h:
+    30-34): every payload decodes and re-encodes in ``to_fmt``, all other
+    columns (footprints, timestamps, captions) pass through unchanged. A
+    collection-maintenance job: one mapInPandas scan, no shuffle, runs
+    incrementally over any subset (filter first) and unions back.
+
+    to_fmt: 'gtiff' = georeferenced float64 GeoTIFF per image (pixel-exact,
+    interop with any TIFF reader); 'png' = lossless uint8 (values must fit
+    uint8 — raises otherwise); 'lossy' = the quantizing stub codec.
+    Translated payloads decode transparently via codecs.decode, so a
+    translated collection feeds build_cube unchanged."""
+    if to_fmt not in ("gtiff", "png", "lossy"):
+        raise ValueError(f"unsupported target format {to_fmt!r}")
+    cols = images.columns
+    for need in ("bytes", "fmt", "left", "right", "top", "w", "h"):
+        if need not in cols:
+            raise ValueError(f"translate_collection needs column {need!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.geotiff import gtiff_bytes
+
+        for b in batches:
+            out_bytes = []
+            for _, r in b.iterrows():
+                img = codecs.decode(r["bytes"], r["fmt"])  # (h, w, c)
+                if to_fmt == "gtiff":
+                    planes = np.moveaxis(img.astype(np.float64), -1, 0)
+                    dx = (r["right"] - r["left"]) / img.shape[1]
+                    dy = (r["top"] - r["bottom"]) / img.shape[0]
+                    payload = gtiff_bytes(
+                        planes, dx, dy, r["left"], r["top"], "EPSG:4326",
+                        '{"translated":true}',
+                    )
+                elif to_fmt == "png":
+                    if np.nanmin(img) < 0 or np.nanmax(img) > 255:
+                        raise ValueError("png target needs uint8-range values")
+                    payload = codecs.encode_png(np.asarray(img, dtype=np.uint8))
+                else:
+                    payload = codecs.encode_lossy(np.asarray(img, dtype=np.uint8))
+                out_bytes.append(payload)
+            yield b.assign(bytes=out_bytes, fmt=to_fmt)
+
+    return images.mapInPandas(run, images.schema)
+
+
 def create_overviews(images: DataFrame, levels=(2, 4, 8), mode: str = "decimate") -> DataFrame:
     """image_collection_ops::create_overviews analog (src/image_collection_ops.h:
     30-34): batch maintenance job producing a resolution pyramid per image —

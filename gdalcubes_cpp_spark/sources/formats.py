@@ -38,6 +38,8 @@ _STRPTIME_TO_JAVA = {
     "%Y%m%dT%H%M%S": "yyyyMMdd'T'HHmmss",
     "%Y%m%d": "yyyyMMdd",
     "%Y-%m-%d": "yyyy-MM-dd",
+    "%Y%j": "yyyyDDD",        # MODIS day-of-year stamps
+    "%Y.%m.%d": "yyyy.MM.dd",  # CHIRPS daily naming
 }
 
 
@@ -77,7 +79,72 @@ L8_SR = CollectionFormat(
     },
 )
 
-PRESETS = {f.name: f for f in (SENTINEL2_L2A, L8_SR)}
+# Translated from the reference's formats/MxD13A2.json (MODIS Terra/Aqua
+# 16-day vegetation indices; HDF4 subdataset paths, day-of-year stamps).
+MXD13A2 = CollectionFormat(
+    name="MxD13A2",
+    pattern=r".*\.hdf.*",
+    image_pattern=r"HDF4_EOS:EOS_GRID:\"(.+)\.hdf.*",
+    datetime_pattern=r".*M[OY]D13A2\.A(.{7})[^/]*",
+    datetime_format="yyyyDDD",
+    bands={
+        "NDVI": {"pattern": r".+NDVI.*", "nodata": -3000.0},
+        "EVI": {"pattern": r".+EVI.*", "nodata": -3000.0},
+        "VIQ": {"pattern": r".+Quality.*", "nodata": -3000.0},
+        "RED": {"pattern": r".+red reflectance.*", "nodata": -3000.0},
+        "NIR": {"pattern": r".+NIR reflectance.*", "nodata": -3000.0},
+    },
+)
+
+# Translated from the reference's formats/MxD11A2.json (MODIS 8-day land
+# surface temperature).
+MXD11A2 = CollectionFormat(
+    name="MxD11A2",
+    pattern=r".*\.hdf.*",
+    image_pattern=r"HDF4_EOS:EOS_GRID:\"(.+)\.hdf.*",
+    datetime_pattern=r".*M[OY]D11A2\.A(.{7}).*",
+    datetime_format="yyyyDDD",
+    bands={
+        "LST_DAY": {"pattern": r".+LST_Day_1km.*", "nodata": 0.0},
+        "LST_NIGHT": {"pattern": r".+LST_Night_1km.*", "nodata": 0.0},
+        "QC_DAY": {"pattern": r".+QC_Day.*"},
+        "EMIS_31": {"pattern": r".+Emis_31.*", "nodata": 0.0},
+    },
+)
+
+# Translated from the reference's formats/Sentinel1_IW_GRD.json (Copernicus
+# SAFE archives, dual-pol SAR backscatter).
+SENTINEL1_IW_GRD = CollectionFormat(
+    name="Sentinel1_IW_GRD",
+    pattern=r".+/measurement/.+\.tiff",
+    image_pattern=r".*/(.+)\.SAFE.*",
+    datetime_pattern=r".*/S1A_IW_GRDH_1SDV_(.{15})_.*\.SAFE.*",
+    datetime_format="yyyyMMdd'T'HHmmss",
+    bands={
+        "VH": {"pattern": r".+s1a-iw-grd-vh.*\.tiff", "nodata": 0.0},
+        "VV": {"pattern": r".+s1a-iw-grd-vv.*\.tiff", "nodata": 0.0},
+    },
+)
+
+# Translated from the reference's formats/CHIRPS_v2_0_daily_p05_tif.json
+# (daily global precipitation GeoTIFFs, optionally gzipped).
+CHIRPS_V2_0_DAILY = CollectionFormat(
+    name="CHIRPS_v2_0_daily_p05_tif",
+    pattern=r".*chirps.+\.tif.*",
+    image_pattern=r".*/(.+)\.tif.*",
+    datetime_pattern=r".*chirps-v2\.0\.(.{10})\.tif.*",
+    datetime_format="yyyy.MM.dd",
+    bands={
+        "precipitation": {"pattern": r".+", "nodata": -9999.0},
+    },
+)
+
+PRESETS = {
+    f.name: f
+    for f in (
+        SENTINEL2_L2A, L8_SR, MXD13A2, MXD11A2, SENTINEL1_IW_GRD, CHIRPS_V2_0_DAILY
+    )
+}
 
 
 def load_format(spec) -> CollectionFormat:

@@ -105,13 +105,12 @@ def _geo_keys(srs: str) -> list:
     return out
 
 
-def write_gtiff_slice(planes: np.ndarray, view, bands, it: int, path: str) -> None:
-    """(nb, ny, nx) float64 -> ONE uncompressed band-sequential GeoTIFF."""
+def gtiff_bytes(
+    planes: np.ndarray, dx: float, dy: float, left: float, top: float,
+    srs: str, desc: str,
+) -> bytes:
+    """(nb, ny, nx) float64 -> uncompressed band-sequential GeoTIFF bytes."""
     nb, ny, nx = planes.shape
-    desc = json.dumps(
-        {"view": view.to_json(), "bands": list(bands), "it": it},
-        separators=(",", ":"),
-    )
     # layout: header(8) | IFD | values area | plane data
     plane_bytes = ny * nx * 8
     entries_wo_offsets = [
@@ -126,9 +125,9 @@ def write_gtiff_slice(planes: np.ndarray, view, bands, it: int, path: str) -> No
         (TAG_STRIP_COUNTS, T_LONG, [plane_bytes] * nb),
         (TAG_PLANAR, T_SHORT, [2]),
         (TAG_SAMPLE_FORMAT, T_SHORT, [3] * nb),
-        (TAG_MODEL_PIXEL_SCALE, T_DOUBLE, [view.dx, view.dy, 0.0]),
-        (TAG_MODEL_TIEPOINT, T_DOUBLE, [0.0, 0.0, 0.0, view.left, view.top, 0.0]),
-        (TAG_GEO_KEYS, T_SHORT, _geo_keys(view.srs)),
+        (TAG_MODEL_PIXEL_SCALE, T_DOUBLE, [dx, dy, 0.0]),
+        (TAG_MODEL_TIEPOINT, T_DOUBLE, [0.0, 0.0, 0.0, left, top, 0.0]),
+        (TAG_GEO_KEYS, T_SHORT, _geo_keys(srs)),
     ]
     n_entries = len(entries_wo_offsets) + 1  # + StripOffsets
     ifd_size = 2 + 12 * n_entries + 4
@@ -143,11 +142,21 @@ def write_gtiff_slice(planes: np.ndarray, view, bands, it: int, path: str) -> No
         entries_wo_offsets + [(TAG_STRIP_OFFSETS, T_LONG, strip_offsets)], data_start
     )
     assert len(values_area) == len(probe_values)
+    return (
+        b"II*\x00" + struct.pack("<I", 8) + ifd + values_area
+        + np.ascontiguousarray(planes, dtype="<f8").tobytes()
+    )
+
+
+def write_gtiff_slice(planes: np.ndarray, view, bands, it: int, path: str) -> None:
+    """(nb, ny, nx) float64 -> ONE uncompressed band-sequential GeoTIFF."""
+    desc = json.dumps(
+        {"view": view.to_json(), "bands": list(bands), "it": it},
+        separators=(",", ":"),
+    )
+    buf = gtiff_bytes(planes, view.dx, view.dy, view.left, view.top, view.srs, desc)
     with open(path, "wb") as f:
-        f.write(b"II*\x00" + struct.pack("<I", 8))
-        f.write(ifd)
-        f.write(values_area)
-        f.write(np.ascontiguousarray(planes, dtype="<f8").tobytes())
+        f.write(buf)
 
 
 def write_gtiff(cube, out_dir: str) -> list:
@@ -167,11 +176,15 @@ def write_gtiff(cube, out_dir: str) -> list:
 
 
 def read_gtiff(path: str) -> dict:
-    """Parse one of our GeoTIFF slices (verifying reader, spec-implemented).
+    """Parse one of our GeoTIFF files from disk (see read_gtiff_bytes)."""
+    with open(path, "rb") as f:
+        return read_gtiff_bytes(f.read())
+
+
+def read_gtiff_bytes(buf: bytes) -> dict:
+    """Parse our GeoTIFF bytes (verifying reader, spec-implemented).
     Returns {planes: (nb, ny, nx), desc: dict, pixel_scale, tiepoint,
     geo_keys: dict}."""
-    with open(path, "rb") as f:
-        buf = f.read()
     if buf[:4] != b"II*\x00":
         raise ValueError("not a little-endian classic TIFF")
     (ifd_off,) = struct.unpack_from("<I", buf, 4)
@@ -202,9 +215,13 @@ def read_gtiff(path: str) -> dict:
         planes[b] = np.frombuffer(buf, dtype="<f8", count=ny * nx, offset=off).reshape(ny, nx)
     gk = tags[TAG_GEO_KEYS]
     geo = {gk[4 + 4 * i]: gk[7 + 4 * i] for i in range(gk[3])}
+    try:
+        desc = json.loads(tags.get(TAG_DESCRIPTION, "null"))
+    except ValueError:
+        desc = tags.get(TAG_DESCRIPTION)
     return {
         "planes": planes,
-        "desc": json.loads(tags[TAG_DESCRIPTION]),
+        "desc": desc,
         "pixel_scale": tags[TAG_MODEL_PIXEL_SCALE],
         "tiepoint": tags[TAG_MODEL_TIEPOINT],
         "geo_keys": geo,

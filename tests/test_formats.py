@@ -78,4 +78,81 @@ def test_load_format_from_reference_schema_dict(spark):
 def test_unknown_preset():
     with pytest.raises(ValueError):
         load_format("NotAFormat")
-    assert set(PRESETS) == {"Sentinel2_L2A", "L8_SR"}
+    assert {"Sentinel2_L2A", "L8_SR"} <= set(PRESETS)
+
+
+def test_mxd13a2_listing(spark):
+    """MODIS MxD13A2 (formats/MxD13A2.json): HDF4 subdataset paths, %Y%j
+    day-of-year stamps, Terra (MOD) and Aqua (MYD) both match."""
+    paths = [
+        'HDF4_EOS:EOS_GRID:"/m/MOD13A2.A2020017.h18v04.006.2020037211235.hdf":MODIS_Grid_16DAY_1km_VI:"1 km 16 days NDVI"',
+        'HDF4_EOS:EOS_GRID:"/m/MOD13A2.A2020017.h18v04.006.2020037211235.hdf":MODIS_Grid_16DAY_1km_VI:"1 km 16 days EVI"',
+        'HDF4_EOS:EOS_GRID:"/m/MYD13A2.A2020209.h18v04.006.2020226031228.hdf":MODIS_Grid_16DAY_1km_VI:"1 km 16 days red reflectance"',
+        'HDF4_EOS:EOS_GRID:"/m/MYD13A2.A2020209.h18v04.006.2020226031228.hdf":MODIS_Grid_16DAY_1km_VI:"1 km 16 days unknown thing"',
+        "/m/readme.txt",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"path": paths}))
+    out = ingest_listing(df, "MxD13A2").orderBy("path").toPandas()
+    assert len(out) == 3
+    ndvi = out[out["band"] == "NDVI"].iloc[0]
+    assert ndvi["image_id"] == "/m/MOD13A2.A2020017.h18v04.006.2020037211235"
+    assert ndvi["ts"] == pd.Timestamp("2020-01-17")  # day 017 of 2020
+    assert ndvi["nodata"] == -3000.0
+    red = out[out["band"] == "RED"].iloc[0]
+    assert red["ts"] == pd.Timestamp("2020-07-27")  # day 209 of 2020
+
+
+def test_mxd11a2_listing(spark):
+    paths = [
+        'HDF4_EOS:EOS_GRID:"/m/MOD11A2.A2019185.h17v03.006.2019194223721.hdf":MODIS_Grid_8Day_1km_LST:LST_Day_1km',
+        'HDF4_EOS:EOS_GRID:"/m/MOD11A2.A2019185.h17v03.006.2019194223721.hdf":MODIS_Grid_8Day_1km_LST:QC_Day',
+        'HDF4_EOS:EOS_GRID:"/m/MOD11A2.A2019185.h17v03.006.2019194223721.hdf":MODIS_Grid_8Day_1km_LST:Emis_31',
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"path": paths}))
+    out = ingest_listing(df, "MxD11A2").orderBy("band").toPandas()
+    assert list(out["band"]) == ["EMIS_31", "LST_DAY", "QC_DAY"]
+    assert (out["ts"] == pd.Timestamp("2019-07-04")).all()  # day 185 of 2019
+    qc = out[out["band"] == "QC_DAY"].iloc[0]
+    assert pd.isna(qc["nodata"])  # QC band declares no nodata
+
+
+def test_sentinel1_listing(spark):
+    base = "/s1/S1A_IW_GRDH_1SDV_20200229T053107_20200229T053132_031456_039F11_D30A.SAFE"
+    paths = [
+        f"{base}/measurement/s1a-iw-grd-vh-20200229t053107-20200229t053132-031456-039f11-002.tiff",
+        f"{base}/measurement/s1a-iw-grd-vv-20200229t053107-20200229t053132-031456-039f11-001.tiff",
+        f"{base}/annotation/s1a-iw-grd-vv-20200229t053107.xml",  # not /measurement/*.tiff
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"path": paths}))
+    out = ingest_listing(df, "Sentinel1_IW_GRD").orderBy("band").toPandas()
+    assert list(out["band"]) == ["VH", "VV"]
+    assert (out["image_id"] == base.split("/")[-1][:-5]).all()
+    assert (out["ts"] == pd.Timestamp("2020-02-29 05:31:07")).all()
+    assert (out["nodata"] == 0.0).all()
+
+
+def test_chirps_listing(spark):
+    paths = [
+        "/c/chirps-v2.0.2019.07.14.tif.gz",
+        "/c/chirps-v2.0.2020.02.29.tif",
+        "/c/other-product.2020.02.29.tif",  # global pattern miss
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"path": paths}))
+    out = ingest_listing(df, "CHIRPS_v2_0_daily_p05_tif").orderBy("path").toPandas()
+    assert len(out) == 2
+    assert (out["band"] == "precipitation").all()
+    assert sorted(out["ts"]) == [
+        pd.Timestamp("2019-07-14"), pd.Timestamp("2020-02-29"),
+    ]
+    assert (out["nodata"] == -9999.0).all()
+    assert out[out["path"].str.endswith(".gz")].iloc[0]["image_id"] == "chirps-v2.0.2019.07.14"
+
+
+def test_all_presets_loadable():
+    assert set(PRESETS) >= {
+        "Sentinel2_L2A", "L8_SR", "MxD13A2", "MxD11A2",
+        "Sentinel1_IW_GRD", "CHIRPS_v2_0_daily_p05_tif",
+    }
+    for name in PRESETS:
+        f = load_format(name)
+        assert f.bands and f.pattern and f.datetime_format

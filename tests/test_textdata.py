@@ -480,3 +480,48 @@ def test_minhash_profile_matches_separate_passes(spark):
     for i in range(4):
         assert (prof[f"mh_{i}"] == sig[f"mh_{i}"]).all()
     assert all(list(a) == list(b) for a, b in zip(prof["sh"], sets["sh"]))
+
+
+def test_translate_collection_roundtrip(spark):
+    """image_collection_ops translate analog (src/image_collection_ops.h:
+    30-34): png -> gtiff -> png re-encoding is pixel-exact, georeferencing
+    embedded per image, other columns untouched, and a translated
+    collection builds the SAME cube as the original."""
+    from gdalcubes_cpp_spark import codecs, synth
+    from gdalcubes_cpp_spark.functions.image import translate_collection
+    from gdalcubes_cpp_spark.operators.build import build_cube
+    from gdalcubes_cpp_spark.sources.geotiff import read_gtiff_bytes
+    from gdalcubes_cpp_spark.view import CubeView
+
+    pdf = synth.images_pdf(40)
+    imgs = spark.createDataFrame(pdf).cache()
+    gt = translate_collection(imgs, "gtiff").cache()
+    assert gt.columns == imgs.columns
+    rows = {r["image_id"]: r for r in gt.collect()}
+    for _, orig in pdf.iloc[:5].iterrows():
+        r = rows[orig["image_id"]]
+        assert r["fmt"] == "gtiff" and r["caption"] == orig["caption"]
+        parsed = read_gtiff_bytes(r["bytes"])
+        raw = codecs.decode(orig["bytes"], orig["fmt"]).astype(float)
+        assert np.array_equal(np.moveaxis(parsed["planes"], 0, -1), raw)
+        # per-image georeferencing from the footprint
+        assert parsed["tiepoint"][3] == orig["left"]
+        assert parsed["tiepoint"][4] == orig["top"]
+    # translated payloads decode transparently -> identical cube
+    v = CubeView.create(
+        left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=20, ny=20,
+        t0="2020-01-01", t1="2020-12-31", dt="P3M",
+        aggregation="mean", resampling="near", chunk_size=(2, 10, 10),
+    )
+    a = build_cube(imgs, v).collect_dense()
+    b = build_cube(gt, v).collect_dense()
+    assert (np.isnan(a) == np.isnan(b)).all()
+    m = np.isfinite(a)
+    assert m.any() and (a[m] == b[m]).all()
+    # back to png: byte-identical pixels
+    back = translate_collection(gt, "png")
+    r0 = back.filter(F.col("image_id") == pdf.iloc[0]["image_id"]).collect()[0]
+    assert np.array_equal(
+        codecs.decode(r0["bytes"], "png"),
+        codecs.decode(pdf.iloc[0]["bytes"], pdf.iloc[0]["fmt"]),
+    )
