@@ -1721,6 +1721,7 @@ SELECT 'S2A_MSIL2A_' || strftime(o_orderdate, '%Y%m%dT%H%M%S')
        CASE o_orderkey % 5 WHEN 0 THEN 'B01' WHEN 1 THEN 'B02'
             WHEN 2 THEN 'B03' WHEN 3 THEN 'B08' ELSE 'SCL' END AS band,
        path,
+       CAST(1 AS INT) AS band_idx,
        CASE WHEN o_orderkey % 5 = 4 THEN NULL ELSE 0.0 END AS nodata,
        CASE WHEN o_orderkey % 5 = 4 THEN 1.0 ELSE 0.0001 END AS scale
 FROM listing WHERE path LIKE '%.jp2'
@@ -1781,27 +1782,40 @@ def netcdf_roundtrip(spark, sf_dir):
     return read_netcdf_cube(spark, path).df
 
 
-@q(
-    "geotiff_roundtrip",
-    f"""
+_GTIFF_RT_SQL = f"""
 WITH cells AS ({_CELLS_F_SQL})
 SELECT it, iy, ix, B1, B2 FROM cells
 WHERE B1 IS NOT NULL OR B2 IS NOT NULL
+"""
+
+
+@q(
+    "geotiff_roundtrip",
+    f"""
+SELECT 'striped' AS layout, sub.* FROM ({_GTIFF_RT_SQL}) sub
+UNION ALL
+SELECT 'cog' AS layout, sub.* FROM ({_GTIFF_RT_SQL}) sub
 """,
 )
 def geotiff_roundtrip(spark, sf_dir):
     """GeoTIFF container roundtrip (src/cube.cpp:116 write_tif_collection +
-    re-read): one uncompressed band-sequential float64 GeoTIFF per time
-    slice with ModelPixelScale/ModelTiepoint + GeoKeyDirectory, written and
-    re-read by the pure-python spec implementation (sources/geotiff.py) —
-    values byte-exact through the container."""
+    re-read), BOTH layouts in one tagged union: plain striped GeoTIFF and
+    the Cloud-Optimized flavor (deflate tiles + internal overview IFDs, all
+    IFDs before data). Written and re-read by the pure-python spec
+    implementation (sources/geotiff.py) — values byte-exact through either
+    container."""
     import tempfile
 
-    from .sources.geotiff import read_gtiff_cube, write_gtiff
+    from .sources.geotiff import read_gtiff_cube, write_cog, write_gtiff
 
-    path = tempfile.mkdtemp(prefix="gcs_gtiff_")
-    write_gtiff(_formula_cube(spark), path)
-    return read_gtiff_cube(spark, path).df
+    cube = _formula_cube(spark)
+    p1 = tempfile.mkdtemp(prefix="gcs_gtiff_")
+    write_gtiff(cube, p1)
+    a = read_gtiff_cube(spark, p1).df.select(F.lit("striped").alias("layout"), "*")
+    p2 = tempfile.mkdtemp(prefix="gcs_cog_")
+    write_cog(cube, p2, tile=16, levels=(2,))
+    b = read_gtiff_cube(spark, p2).df.select(F.lit("cog").alias("layout"), "*")
+    return a.unionAll(b)
 
 
 @q(

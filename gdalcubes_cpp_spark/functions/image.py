@@ -87,6 +87,40 @@ def thumbnails(images: DataFrame, size: int = 16) -> DataFrame:
     )
 
 
+def write_png_collection(cube, out_dir: str, bands=None, zlim=None, na: int = 0) -> list:
+    """PNG collection export (src/cube.h:858-862 write_png_collection): one
+    8-bit PNG per time slice, values linearly scaled from ``zlim`` to
+    0..255 (like the reference's zlim creation option), NaN -> ``na``.
+    1 selected band -> grayscale, 3 -> RGB. A viz export: quantization is
+    lossy by definition; returns the written paths."""
+    import os
+
+    v = cube.view
+    bands = list(bands or cube.bands)
+    if len(bands) not in (1, 3):
+        raise ValueError("PNG export needs 1 (gray) or 3 (RGB) bands")
+    idx = [list(cube.bands).index(b) for b in bands]
+    dense = cube.collect_dense()[idx]  # (nb, nt, ny, nx)
+    if zlim is None:
+        finite = dense[np.isfinite(dense)]
+        zlim = (float(finite.min()), float(finite.max())) if finite.size else (0.0, 1.0)
+    lo, hi = zlim
+    scale = 255.0 / (hi - lo) if hi > lo else 1.0
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for it in range(v.nt):
+        sl = dense[:, it]
+        q = np.clip(np.round((sl - lo) * scale), 0, 255)
+        q = np.where(np.isfinite(sl), q, float(na)).astype(np.uint8)
+        img = np.moveaxis(q, 0, -1)  # (ny, nx, nb)
+        stamp = v.datetime_at(it).isoformat().replace(":", "")
+        path = os.path.join(out_dir, f"cube_{it:04d}_{stamp}.png")
+        with open(path, "wb") as f:
+            f.write(codecs.encode_png(img))
+        paths.append(path)
+    return paths
+
+
 def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
     """Batch re-encode of collection imagery — the image_collection_ops
     translate_gtiff / translate_cog analog (src/image_collection_ops.h:
@@ -96,11 +130,13 @@ def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
     incrementally over any subset (filter first) and unions back.
 
     to_fmt: 'gtiff' = georeferenced float64 GeoTIFF per image (pixel-exact,
-    interop with any TIFF reader); 'png' = lossless uint8 (values must fit
-    uint8 — raises otherwise); 'lossy' = the quantizing stub codec.
-    Translated payloads decode transparently via codecs.decode, so a
-    translated collection feeds build_cube unchanged."""
-    if to_fmt not in ("gtiff", "png", "lossy"):
+    interop with any TIFF reader); 'cog' = the Cloud-Optimized flavor
+    (deflate tiles + internal overviews — the translate_cog analog);
+    'png' = lossless uint8 (values must fit uint8 — raises otherwise);
+    'lossy' = the quantizing stub codec. Translated payloads decode
+    transparently via codecs.decode, so a translated collection feeds
+    build_cube unchanged."""
+    if to_fmt not in ("gtiff", "cog", "png", "lossy"):
         raise ValueError(f"unsupported target format {to_fmt!r}")
     cols = images.columns
     for need in ("bytes", "fmt", "left", "right", "top", "w", "h"):
@@ -108,17 +144,20 @@ def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
             raise ValueError(f"translate_collection needs column {need!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..sources.geotiff import gtiff_bytes
+        from ..sources.geotiff import cog_bytes, gtiff_bytes
 
         for b in batches:
             out_bytes = []
             for _, r in b.iterrows():
                 img = codecs.decode(r["bytes"], r["fmt"])  # (h, w, c)
-                if to_fmt == "gtiff":
+                if to_fmt in ("gtiff", "cog"):
                     planes = np.moveaxis(img.astype(np.float64), -1, 0)
                     dx = (r["right"] - r["left"]) / img.shape[1]
                     dy = (r["top"] - r["bottom"]) / img.shape[0]
-                    payload = gtiff_bytes(
+                    enc = gtiff_bytes if to_fmt == "gtiff" else (
+                        lambda *a: cog_bytes(*a, tile=64, levels=(2,))
+                    )
+                    payload = enc(
                         planes, dx, dy, r["left"], r["top"], "EPSG:4326",
                         '{"translated":true}',
                     )

@@ -38,8 +38,11 @@ _STRPTIME_TO_JAVA = {
     "%Y%m%dT%H%M%S": "yyyyMMdd'T'HHmmss",
     "%Y%m%d": "yyyyMMdd",
     "%Y-%m-%d": "yyyy-MM-dd",
-    "%Y%j": "yyyyDDD",        # MODIS day-of-year stamps
-    "%Y.%m.%d": "yyyy.MM.dd",  # CHIRPS daily naming
+    "%Y%j": "yyyyDDD",          # MODIS day-of-year stamps
+    "%Y.%m.%d": "yyyy.MM.dd",   # CHIRPS daily naming
+    "%Y.%m": "yyyy.MM",         # CHIRPS monthly naming
+    "/%Y/%m/%d": "'/'yyyy'/'M'/'d",  # S2 AWS key layout (non-padded m/d)
+    "%Y%m%d-%H%M%S": "yyyyMMdd-HHmmss",  # THEIA naming
 }
 
 
@@ -139,10 +142,153 @@ CHIRPS_V2_0_DAILY = CollectionFormat(
     },
 )
 
+# Remaining reference presets, translated verbatim as data (formats/*.json).
+# MODIS family: all share the HDF4 subdataset path shape + %Y%j stamps.
+def _modis(name: str, dt_tag: str, bands: dict) -> CollectionFormat:
+    return CollectionFormat(
+        name=name,
+        pattern=r".*\.hdf.*",
+        image_pattern=r"HDF4_EOS:EOS_GRID:\"(.+)\.hdf.*",
+        datetime_pattern=rf".*{dt_tag}\.A(.{{7}})[^/]*",
+        datetime_format="yyyyDDD",
+        bands=bands,
+    )
+
+
+MXD11A1 = _modis("MxD11A1", "M[OY]D11A1", {
+    "LST_DAY": {"pattern": r".+LST_Day_1km.*", "nodata": 0.0},
+    "LST_NIGHT": {"pattern": r".+LST_Night_1km.*", "nodata": 0.0},
+    "QC_DAY": {"pattern": r".+QC_Day.*"},
+    "QC_NIGHT": {"pattern": r".+QC_Night.*"},
+    "DAY_VIEW_TIME": {"pattern": r".+Day_view_time.*", "nodata": 255.0},
+    "NIGHT_VIEW_TIME": {"pattern": r".+Night_view_time.*", "nodata": 255.0},
+})
+
+MXD13A3 = _modis("MxD13A3", "M[OY]D13A3", {
+    "NDVI": {"pattern": r".+NDVI.*", "nodata": -3000.0},
+    "EVI": {"pattern": r".+EVI.*", "nodata": -3000.0},
+    "VIQ": {"pattern": r".+Quality.*", "nodata": -3000.0},
+    "RED": {"pattern": r".+red reflectance.*", "nodata": -3000.0},
+    "NIR": {"pattern": r".+NIR reflectance.*", "nodata": -3000.0},
+    "BLUE": {"pattern": r".+blue reflectance.*", "nodata": -3000.0},
+    "MIR": {"pattern": r".+MIR reflectance.*", "nodata": -3000.0},
+})
+
+MXD13Q1 = _modis("MxD13Q1", "M[OY]D13Q1", {
+    "NDVI": {"pattern": r".+NDVI.*", "nodata": -3000.0, "scale": 0.0001},
+    "EVI": {"pattern": r".+EVI.*", "nodata": -3000.0, "scale": 0.0001},
+    "VI_Quality": {"pattern": r".+Quality.*", "nodata": 65535.0},
+    "red": {"pattern": r".+red reflectance.*", "nodata": -1000.0, "scale": 0.0001},
+    "NIR": {"pattern": r".+NIR reflectance.*", "nodata": -1000.0, "scale": 0.0001},
+    "blue": {"pattern": r".+blue reflectance.*", "nodata": -1000.0, "scale": 0.0001},
+    "MIR": {"pattern": r".+MIR reflectance.*", "nodata": -1000.0, "scale": 0.0001},
+    "pixel_reliability": {"pattern": r".+pixel reliability.*"},
+})
+
+MXD10A2 = _modis("MxD10A2", "M[OY]D10A2", {
+    "Eight_Day_Snow_Cover": {"pattern": r".+Eight_Day_Snow_Cover.*", "nodata": 0.0},
+    "Maximum_Snow_Extent": {"pattern": r".+Maximum_Snow_Extent.*", "nodata": 255.0},
+})
+
+MXD14A2 = _modis("MxD14A2", "M[OY]D14A2", {
+    "FireMask": {"pattern": r".+FireMask.*", "nodata": 0.0},
+    "QA": {"pattern": r".+QA.*"},
+})
+
+MCD64A1 = _modis("MCD64A1", "MCD64A1", {
+    "BurnDate": {"pattern": r".+Burn Date.*", "nodata": -1.0},
+    "BurnDateUncertainty": {"pattern": r".+Burn Date Uncertainty.*", "nodata": 0.0},
+    "QA": {"pattern": r".+QA.*"},
+    "FirstDay": {"pattern": r".+First Day.*", "nodata": -1.0},
+    "LastDay": {"pattern": r".+Last Day.*", "nodata": -1.0},
+})
+
+L8_L1TP = CollectionFormat(
+    name="L8_L1TP",
+    pattern=r".+\.TIF",
+    image_pattern=r"(?:.*[/\\])?([^/\\]+)[/\\].+\.TIF",
+    datetime_pattern=r".*LC08_L1TP_.{6}_(.+?)_.*\.TIF",
+    datetime_format="yyyyMMdd",
+    bands={
+        **{f"B{i:02d}": {"pattern": rf".+_B{i}\.TIF", "nodata": 0.0} for i in range(1, 12)},
+        "BQA": {"pattern": r".+_BQA\.TIF"},
+    },
+)
+
+CHIRPS_V2_0_MONTHLY = CollectionFormat(
+    name="CHIRPS_v2_0_monthly_p05_tif",
+    pattern=r".*chirps.+\.tif.*",
+    image_pattern=r".*/(.+)\.tif.*",
+    datetime_pattern=r".*chirps-v2\.0\.(.{7})\.tif.*",
+    datetime_format="yyyy.MM",
+    bands={"precipitation": {"pattern": r".+", "nodata": -9999.0}},
+)
+
+SENTINEL2_L1C = CollectionFormat(
+    name="Sentinel2_L1C",
+    pattern=r".+/IMG_DATA/.+\.jp2",
+    image_pattern=r".*/(.+)\.SAFE.*",
+    datetime_pattern=r".*MSIL1C_(.+?)_.*",
+    datetime_format="yyyyMMdd'T'HHmmss",
+    bands={
+        **{f"B{i:02d}": {"pattern": rf".+_B{i:02d}\.jp2", "nodata": 0.0, "scale": 0.0001}
+           for i in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)},
+        "B8A": {"pattern": r".+_B8A\.jp2", "nodata": 0.0, "scale": 0.0001},
+    },
+)
+
+SENTINEL2_L1C_AWS = CollectionFormat(
+    name="Sentinel2_L1C_AWS",
+    pattern=r".+.jp2",
+    image_pattern=r".*tiles((?:/[A-Za-z0-9]+){7})/.*",
+    datetime_pattern=r".*tiles(?:/[A-Za-z0-9]+){3}((?:/[A-Za-z0-9]+){3}).*",
+    datetime_format="'/'yyyy'/'M'/'d",
+    bands={
+        **{f"B{i:02d}": {"pattern": rf".+B{i:02d}\.jp2", "nodata": 0.0, "scale": 0.0001}
+           for i in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)},
+        "B8A": {"pattern": r".+B8A\.jp2", "nodata": 0.0, "scale": 0.0001},
+    },
+)
+
+SENTINEL2_L2A_THEIA = CollectionFormat(
+    name="Sentinel2_L2A_THEIA",
+    pattern=r".+SENTINEL2[AB].+\.tif",
+    image_pattern=r".*/(.+)_[A-Z]_V[0-9]-[0-9]_.*",
+    datetime_pattern=r".*/SENTINEL2[AB]_([0-9]{8}-[0-9]{6})-.*",
+    datetime_format="yyyyMMdd-HHmmss",
+    bands={
+        **{f"B{i}": {"pattern": rf".+_FRE_B{i}\.tif", "nodata": -10000.0}
+           for i in (2, 3, 4, 5, 6, 7, 8, 11, 12)},
+        "B8A": {"pattern": r".+_FRE_B8A\.tif", "nodata": -10000.0},
+        "CLM": {"pattern": r".+_CLM_R1\.tif"},
+    },
+)
+
+# PlanetScope: ONE analytic file carries 4 bands selected by band INDEX —
+# the multi-band-per-file form (reference band_num); a file matching
+# several band entries emits one collection row per band.
+PLANETSCOPE_SR = CollectionFormat(
+    name="PlanetScope_3B_AnalyticMS_SR",
+    pattern=r".+(?:_AnalyticMS_DN_udm|_AnalyticMS_SR)\.tif$",
+    image_pattern=r".*([0-9]{8}_[0-9]{6}_.*?)(?:_AnalyticMS_DN_udm|_AnalyticMS_SR)\.tif$",
+    datetime_pattern=r".*([0-9]{8}).*?(?:_AnalyticMS_DN_udm|_AnalyticMS_SR)\.tif$",
+    datetime_format="yyyyMMdd",
+    bands={
+        "red": {"pattern": r".+_AnalyticMS_SR\.tif$", "nodata": 0.0, "band": 3},
+        "green": {"pattern": r".+_AnalyticMS_SR\.tif$", "nodata": 0.0, "band": 2},
+        "blue": {"pattern": r".+_AnalyticMS_SR\.tif$", "nodata": 0.0, "band": 1},
+        "nir": {"pattern": r".+_AnalyticMS_SR\.tif$", "nodata": 0.0, "band": 4},
+        "udm": {"pattern": r".+_AnalyticMS_DN_udm\.tif$"},
+    },
+)
+
 PRESETS = {
     f.name: f
     for f in (
-        SENTINEL2_L2A, L8_SR, MXD13A2, MXD11A2, SENTINEL1_IW_GRD, CHIRPS_V2_0_DAILY
+        SENTINEL2_L2A, L8_SR, MXD13A2, MXD11A2, SENTINEL1_IW_GRD,
+        CHIRPS_V2_0_DAILY, MXD11A1, MXD13A3, MXD13Q1, MXD10A2, MXD14A2,
+        MCD64A1, L8_L1TP, CHIRPS_V2_0_MONTHLY, SENTINEL2_L1C,
+        SENTINEL2_L1C_AWS, SENTINEL2_L2A_THEIA, PLANETSCOPE_SR,
     )
 }
 
@@ -168,6 +314,7 @@ def load_format(spec) -> CollectionFormat:
                 "pattern": d["pattern"],
                 **({"nodata": float(d["nodata"])} if "nodata" in d else {}),
                 **({"scale": float(d["scale"])} if "scale" in d else {}),
+                **({"band": int(d["band"])} if "band" in d else {}),
             }
             for b, d in spec["bands"].items()
         },
@@ -191,7 +338,11 @@ def _find_pattern(p: str) -> str:
 
 def ingest_listing(listing: DataFrame, fmt, path_col: str = "path") -> DataFrame:
     """file listing -> the gdalrefs-joined-with-images relation: one row per
-    recognized file with (image_id, ts, band, path, nodata, scale).
+    recognized (file, band) with (image_id, ts, band, path, band_idx,
+    nodata, scale). A file whose path matches SEVERAL band patterns emits
+    one row per band — the multi-band-per-file form (reference band_num;
+    PlanetScope packs 4 bands into one analytic file selected by index);
+    presets with disjoint patterns emit exactly one row per file as before.
 
     Mirrors image_collection::add_with_collection_format
     (src/image_collection.cpp:155-430): files not matching the global
@@ -201,16 +352,18 @@ def ingest_listing(listing: DataFrame, fmt, path_col: str = "path") -> DataFrame
     scan over the inventory table."""
     fmt = load_format(fmt)
     p = F.col(path_col)
-    band = F.lit(None).cast("string")
-    nodata = F.lit(None).cast("double")
-    scale = F.lit(None).cast("double")
-    # reverse so the FIRST matching band pattern wins (reference iterates
-    # bands in declaration order, src/image_collection.cpp:267-300)
-    for b, spec in reversed(list(fmt.bands.items())):
-        hit = p.rlike(_find_pattern(spec["pattern"]))
-        band = F.when(hit, F.lit(b)).otherwise(band)
-        nodata = F.when(hit, F.lit(spec.get("nodata"))).otherwise(nodata)
-        scale = F.when(hit, F.lit(spec.get("scale", 1.0))).otherwise(scale)
+    hits = F.array(*[
+        F.when(
+            p.rlike(_find_pattern(spec["pattern"])),
+            F.struct(
+                F.lit(b).alias("band"),
+                F.lit(int(spec.get("band", 1))).alias("band_idx"),
+                F.lit(spec.get("nodata")).cast("double").alias("nodata"),
+                F.lit(float(spec.get("scale", 1.0))).alias("scale"),
+            ),
+        )
+        for b, spec in fmt.bands.items()
+    ])
     out = (
         listing.filter(p.rlike(_find_pattern(fmt.pattern)))
         .select(
@@ -218,12 +371,15 @@ def ingest_listing(listing: DataFrame, fmt, path_col: str = "path") -> DataFrame
             F.to_timestamp(
                 F.regexp_extract(p, fmt.datetime_pattern, 1), fmt.datetime_format
             ).alias("ts"),
-            band.alias("band"),
             p.alias("path"),
-            nodata.alias("nodata"),
-            scale.alias("scale"),
+            F.explode(F.filter(hits, lambda s: s.isNotNull())).alias("bs"),
         )
-        .filter(F.col("band").isNotNull() & (F.col("image_id") != ""))
+        .filter(F.col("image_id") != "")
+        .select(
+            "image_id", "ts", F.col("bs.band").alias("band"), "path",
+            F.col("bs.band_idx").alias("band_idx"),
+            F.col("bs.nodata").alias("nodata"), F.col("bs.scale").alias("scale"),
+        )
     )
     return out
 

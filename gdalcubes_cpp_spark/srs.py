@@ -105,8 +105,91 @@ _LAEA = {
 }
 
 
+def _proj4_kv(s: str) -> dict:
+    """'+proj=utm +zone=33 +south' -> {'proj': 'utm', 'zone': '33',
+    'south': True} (flags map to True)."""
+    out = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if not tok:
+            continue
+        k, _, v = tok.partition("=")
+        out[k.lower()] = v.lower() if v else True
+    return out
+
+
+def _from_proj4(s: str) -> str:
+    """Resolve a proj4 string to a supported SRS (the reference feeds any
+    user SRS string to GDAL, src/view.h:703-711; we resolve the families
+    our kernels implement). Known EPSG parameter sets canonicalize to the
+    EPSG code; other polar-stereographic / LAEA parameter sets register a
+    dynamic entry so they warp too."""
+    kv = _proj4_kv(s)
+    proj = kv.get("proj")
+    if proj == "longlat":
+        return "EPSG:4326"
+    if proj == "merc" and kv.get("a") == "6378137" and kv.get("b") == "6378137":
+        return "EPSG:3857"
+    if proj == "utm" and "zone" in kv:
+        zone = int(kv["zone"])
+        if not 1 <= zone <= 60:
+            raise ValueError(f"UTM zone {zone} out of range in {s!r}")
+        return f"EPSG:32{7 if kv.get('south') else 6}{zone:02d}"
+    if proj == "stere" and float(kv.get("lat_0", 0)) in (90.0, -90.0):
+        south = float(kv["lat_0"]) < 0
+        p = PolarPS(
+            lat_ts=float(kv.get("lat_ts", kv["lat_0"])),
+            lon0=float(kv.get("lon_0", 0.0)),
+            fe=float(kv.get("x_0", 0.0)), fn=float(kv.get("y_0", 0.0)),
+            south=south,
+        )
+        for code, known in _POLAR.items():
+            if known == p:
+                return code
+        key = f"PS:{p.lat_ts}:{p.lon0}:{p.fe}:{p.fn}:{'S' if south else 'N'}"
+        _POLAR[key] = p
+        return key
+    if proj == "laea":
+        p = LaeaParams(
+            lat0=float(kv.get("lat_0", 0.0)), lon0=float(kv.get("lon_0", 0.0)),
+            fe=float(kv.get("x_0", 0.0)), fn=float(kv.get("y_0", 0.0)),
+            a=6378137.0,
+            e2=_E2_GRS80 if kv.get("ellps") == "grs80" else E2,
+        )
+        for code, known in _LAEA.items():
+            if known == p:
+                return code
+        key = f"LAEA:{p.lat0}:{p.lon0}:{p.fe}:{p.fn}:{p.e2:.17e}"
+        _LAEA[key] = p
+        return key
+    raise ValueError(f"unsupported proj4 SRS {s!r}")
+
+
+_WKT_EPSG_RE = re.compile(
+    r"""(?:AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]|ID\s*\[\s*"EPSG"\s*,\s*(\d+)\s*\])""",
+    re.IGNORECASE,
+)
+
+
 def normalize(srs: str) -> str:
-    s = srs.strip().upper().replace(" ", "")
+    raw = str(srs).strip()
+    if raw.startswith("+"):
+        return _from_proj4(raw)
+    if "[" in raw:
+        # WKT1/WKT2: the LAST EPSG authority entry is the CRS's own code
+        hits = _WKT_EPSG_RE.findall(raw)
+        if hits:
+            code = hits[-1][0] or hits[-1][1]
+            return normalize(f"EPSG:{code}")
+        raise ValueError(f"WKT without an EPSG authority is unsupported: {raw[:60]}...")
+    if raw.startswith(("PS:", "LAEA:")):
+        # dynamic keys are SELF-DESCRIBING (parse-on-demand): executor
+        # python workers import srs.py fresh, so a driver-side registry
+        # alone would not resolve them inside kernels
+        if _polar_of(raw) is None and _laea_of(raw) is None:
+            raise ValueError(f"malformed dynamic SRS key {raw!r}")
+        return raw
+    s = raw.upper().replace(" ", "")
     if s in ("EPSG:4326", "WGS84", "CRS84"):
         return "EPSG:4326"
     if s in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
@@ -121,7 +204,8 @@ def normalize(srs: str) -> str:
     raise ValueError(
         f"unsupported SRS {srs!r} (supported: EPSG:4326, EPSG:3857, "
         f"EPSG:326xx/327xx UTM zones, EPSG:3031/3413 polar stereographic, "
-        f"EPSG:3035 LAEA Europe)"
+        f"EPSG:3035 LAEA Europe, equivalent proj4/WKT strings, and any "
+        f"polar-stereographic/LAEA proj4 parameter set)"
     )
 
 
@@ -447,21 +531,58 @@ def laea_inverse(x, y, p: LaeaParams):
     return lon, lat
 
 
+def _polar_of(s: str) -> PolarPS | None:
+    """PolarPS for an SRS key — EPSG entry or a self-describing 'PS:...'
+    dynamic key (parsed on demand so executor workers resolve it too)."""
+    p = _POLAR.get(s)
+    if p is not None:
+        return p
+    if s.startswith("PS:"):
+        try:
+            _, lat_ts, lon0, fe, fn, hemi = s.split(":")
+            p = PolarPS(float(lat_ts), float(lon0), float(fe), float(fn), hemi == "S")
+        except ValueError:
+            return None
+        _POLAR[s] = p
+        return p
+    return None
+
+
+def _laea_of(s: str) -> LaeaParams | None:
+    p = _LAEA.get(s)
+    if p is not None:
+        return p
+    if s.startswith("LAEA:"):
+        try:
+            _, lat0, lon0, fe, fn, e2 = s.split(":")
+            p = LaeaParams(float(lat0), float(lon0), float(fe), float(fn),
+                           6378137.0, float(e2))
+        except ValueError:
+            return None
+        _LAEA[s] = p
+        return p
+    return None
+
+
 def _nonsep_inverse(x, y, s: str):
     """Dispatch (x, y in srs) -> (lon, lat) for non-separable SRS."""
-    if s in _POLAR:
-        return ps_inverse(x, y, _POLAR[s])
-    if s in _LAEA:
-        return laea_inverse(x, y, _LAEA[s])
+    p = _polar_of(s)
+    if p is not None:
+        return ps_inverse(x, y, p)
+    pl = _laea_of(s)
+    if pl is not None:
+        return laea_inverse(x, y, pl)
     lon0, fn = utm_params(s)
     return tm_inverse(x, y, lon0, fn)
 
 
 def _nonsep_forward(lon, lat, s: str):
-    if s in _POLAR:
-        return ps_forward(lon, lat, _POLAR[s])
-    if s in _LAEA:
-        return laea_forward(lon, lat, _LAEA[s])
+    p = _polar_of(s)
+    if p is not None:
+        return ps_forward(lon, lat, p)
+    pl = _laea_of(s)
+    if pl is not None:
+        return laea_forward(lon, lat, pl)
     lon0, fn = utm_params(s)
     return tm_forward(lon, lat, lon0, fn)
 
@@ -515,10 +636,11 @@ def bbox_to_wgs84(left, right, bottom, top, srs: str, n_samples: int = 9):
         return left, right, bottom, top
     if s == "EPSG:3857":
         return float(x_to_lon(left)), float(x_to_lon(right)), float(y_to_lat(bottom)), float(y_to_lat(top))
-    if s in _POLAR and (left <= _POLAR[s].fe <= right) and (bottom <= _POLAR[s].fn <= top):
+    _pp = _polar_of(s)
+    if _pp is not None and (left <= _pp.fe <= right) and (bottom <= _pp.fn <= top):
         # rectangle contains the pole: every longitude occurs; latitudes
         # reach the pole itself (edge sampling would miss both)
-        p = _POLAR[s]
+        p = _pp
         t = np.linspace(0.0, 1.0, n_samples)
         xs = left + (right - left) * t
         ys = bottom + (top - bottom) * t

@@ -266,6 +266,11 @@ class CubeView:
             raise ValueError(f"unknown aggregation {aggregation!r}")
         if resampling not in RESAMPLING_METHODS:
             raise ValueError(f"unknown resampling {resampling!r}")
+        # canonicalize at the view boundary (src/view.h:703-711 accepts
+        # EPSG/WKT/proj4): kernels and serialized plans see one stable form
+        from . import srs as _srs
+
+        srs = _srs.normalize(srs)
         # -- x axis (src/view.h:295-306): given dx, enlarge extent symmetrically
         if nx is None:
             if dx is None:

@@ -156,3 +156,69 @@ def test_all_presets_loadable():
     for name in PRESETS:
         f = load_format(name)
         assert f.bands and f.pattern and f.datetime_format
+
+
+def test_l8_l1tp_listing(spark):
+    d = "/l8/LC08_L1TP_194026_20200613_20200626_01_T1"
+    paths = [f"{d}/LC08_L1TP_194026_20200613_20200626_01_T1_B1.TIF",
+             f"{d}/LC08_L1TP_194026_20200613_20200626_01_T1_B10.TIF",
+             f"{d}/LC08_L1TP_194026_20200613_20200626_01_T1_BQA.TIF"]
+    df = spark.createDataFrame(pd.DataFrame({"path": paths}))
+    out = ingest_listing(df, "L8_L1TP").orderBy("band").toPandas()
+    assert list(out["band"]) == ["B01", "B10", "BQA"]
+    # image id = the scene DIRECTORY name (reference image pattern)
+    assert (out["image_id"] == "LC08_L1TP_194026_20200613_20200626_01_T1").all()
+    assert (out["ts"] == pd.Timestamp("2020-06-13")).all()
+
+
+def test_planetscope_multiband_file(spark):
+    """One analytic file carries red/green/blue/nir by band INDEX: the
+    ingest emits one row per band with band_idx (reference band_num)."""
+    paths = ["/p/20200612_093456_1034_3B_AnalyticMS_SR.tif",
+             "/p/20200612_093456_1034_3B_AnalyticMS_DN_udm.tif"]
+    df = spark.createDataFrame(pd.DataFrame({"path": paths}))
+    out = ingest_listing(df, "PlanetScope_3B_AnalyticMS_SR").toPandas()
+    sr = out[out["path"].str.endswith("SR.tif")].sort_values("band")
+    assert list(sr["band"]) == ["blue", "green", "nir", "red"]
+    assert list(sr["band_idx"]) == [1, 2, 4, 3]
+    assert (sr["nodata"] == 0.0).all()
+    udm = out[out["band"] == "udm"]
+    assert len(udm) == 1 and udm.iloc[0]["band_idx"] == 1
+    assert (out["ts"] == pd.Timestamp("2020-06-12")).all()
+    assert (out["image_id"] == "20200612_093456_1034_3B").all()
+
+
+def test_chirps_monthly_and_s2_aws_and_theia(spark):
+    m = ingest_listing(
+        spark.createDataFrame(pd.DataFrame({"path": ["/c/chirps-v2.0.2019.07.tif.gz"]})),
+        "CHIRPS_v2_0_monthly_p05_tif",
+    ).toPandas()
+    assert m.iloc[0]["ts"] == pd.Timestamp("2019-07-01")
+    aws = ingest_listing(
+        spark.createDataFrame(pd.DataFrame({"path": [
+            "/vsis3/sentinel-s2-l1c/tiles/1/C/CV/2016/1/10/0/B03.jp2"]})),
+        "Sentinel2_L1C_AWS",
+    ).toPandas()
+    assert aws.iloc[0]["ts"] == pd.Timestamp("2016-01-10")
+    assert aws.iloc[0]["band"] == "B03"
+    assert aws.iloc[0]["image_id"] == "/1/C/CV/2016/1/10/0"
+    th = ingest_listing(
+        spark.createDataFrame(pd.DataFrame({"path": [
+            "/t/SENTINEL2A_20200612-105312-086_L2A_T31TCJ_C_V2-2/SENTINEL2A_20200612-105312-086_L2A_T31TCJ_C_V2-2_FRE_B4.tif"]})),
+        "Sentinel2_L2A_THEIA",
+    ).toPandas()
+    assert th.iloc[0]["band"] == "B4"
+    assert th.iloc[0]["ts"] == pd.Timestamp("2020-06-12 10:53:12")
+    assert th.iloc[0]["nodata"] == -10000.0
+
+
+def test_all_reference_presets_translated():
+    """Every preset in the reference's formats/ directory is translated."""
+    want = {
+        "Sentinel2_L2A", "Sentinel2_L1C", "Sentinel2_L1C_AWS",
+        "Sentinel2_L2A_THEIA", "Sentinel1_IW_GRD", "L8_SR", "L8_L1TP",
+        "MxD13A2", "MxD13A3", "MxD13Q1", "MxD11A1", "MxD11A2", "MxD10A2",
+        "MxD14A2", "MCD64A1", "CHIRPS_v2_0_daily_p05_tif",
+        "CHIRPS_v2_0_monthly_p05_tif", "PlanetScope_3B_AnalyticMS_SR",
+    }
+    assert want <= set(PRESETS)

@@ -131,3 +131,78 @@ def test_reader_rejects_garbage(tmp_path):
     open(path, "wb").write(b"MM\x00*garbage")
     with pytest.raises(ValueError):
         gt.read_gtiff(path)
+
+
+def cog_view(nx=100, ny=80):
+    return CubeView.create(
+        left=0.0, right=float(nx), bottom=0.0, top=float(ny), nx=nx, ny=ny,
+        t0="2020-01-01", nt=1, dt="P1M", chunk_size=(1, ny, nx),
+    )
+
+
+def test_cog_roundtrip_and_overviews():
+    """COG flavor: deflate tiles + internal overview IFDs; full-res planes
+    byte-exact; overview planes equal block-center decimation; the
+    cloud-optimized every-IFD-before-data property holds."""
+    rng = np.random.RandomState(0)
+    planes = rng.rand(2, 80, 100) * 100
+    planes[0, 5:9, 7:12] = np.nan
+    v = cog_view()
+    buf = gt.cog_bytes(planes, v.dx, v.dy, v.left, v.top, v.srs, '{"x":1}',
+                       tile=32, levels=(2, 4))
+    out = gt.read_cog_bytes(buf)
+    assert np.array_equal(out["planes"], planes, equal_nan=True)
+    assert len(out["overviews"]) == 2
+    for lv, ov in zip((2, 4), out["overviews"]):
+        want = np.stack([gt._decimate_plane(planes[b], lv) for b in range(2)])
+        assert np.array_equal(ov["planes"], want, equal_nan=True)
+        assert ov["subfile_type"] == 1  # reduced-resolution subfile
+    assert out["ifds_before_data"]
+    assert out["geo_keys"] == {1024: 2, 1025: 1, 2048: 4326}
+
+
+def test_cog_compresses_structured_data():
+    """Deflate actually bites on structured (non-random) rasters."""
+    v = cog_view()
+    yy, xx = np.mgrid[0:80, 0:100]
+    planes = np.stack([(yy + xx) % 7.0, (yy * 2 + xx) % 5.0])
+    cogb = gt.cog_bytes(planes, v.dx, v.dy, v.left, v.top, v.srs, "{}", tile=32)
+    plain = gt.gtiff_bytes(planes, v.dx, v.dy, v.left, v.top, v.srs, "{}")
+    assert len(cogb) < len(plain) / 3
+    out = gt.read_cog_bytes(cogb)
+    assert np.array_equal(out["planes"], planes)
+
+
+def test_cog_cube_roundtrip(spark, tmp_path):
+    """write_cog -> read_gtiff_cube: same cube back (the COG half of the
+    geotiff_roundtrip driver query)."""
+    from gdalcubes_cpp_spark.benchqueries import _formula_cube
+    from gdalcubes_cpp_spark.sources.geotiff import read_gtiff_cube, write_cog
+
+    c = _formula_cube(spark)
+    out_dir = str(tmp_path / "cog")
+    write_cog(c, out_dir, tile=16, levels=(2,))
+    back = read_gtiff_cube(spark, out_dir)
+    a, b = c.collect_dense(), back.collect_dense()
+    assert (np.isnan(a) == np.isnan(b)).all()
+    m = np.isfinite(a)
+    assert m.any() and (a[m] == b[m]).all()
+
+
+def test_translate_to_cog(spark):
+    """translate_collection('cog'): payloads decode transparently and
+    carry internal overviews."""
+    from gdalcubes_cpp_spark import codecs, synth
+    from gdalcubes_cpp_spark.functions.image import translate_collection
+    from gdalcubes_cpp_spark.sources.geotiff import read_cog_bytes
+
+    pdf = synth.images_pdf(12)
+    imgs = spark.createDataFrame(pdf)
+    out = translate_collection(imgs, "cog").collect()
+    for r in out[:3]:
+        orig = pdf[pdf["image_id"] == r["image_id"]].iloc[0]
+        raw = codecs.decode(orig["bytes"], orig["fmt"]).astype(float)
+        parsed = read_cog_bytes(r["bytes"])
+        assert np.array_equal(np.moveaxis(parsed["planes"], 0, -1), raw)
+        assert len(parsed["overviews"]) == 1
+        assert np.array_equal(codecs.decode(r["bytes"], "cog"), raw)

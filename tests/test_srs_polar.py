@@ -243,3 +243,98 @@ def test_laea_cube_build(spark):
         assert cnts[it, iy, ix] > 0
         assert abs(row["B1"] - sums[it, iy, ix] / cnts[it, iy, ix]) < 1e-9
     assert len(rows) == int((cnts > 0).sum())
+
+
+# ------------------------------------------------------------ proj4 / WKT
+
+
+def test_proj4_and_wkt_normalization():
+    """The reference accepts EPSG/WKT/proj4 SRS strings (src/view.h:703-711);
+    normalize() resolves all three forms for every implemented family."""
+    assert srs.normalize("+proj=longlat +datum=WGS84 +no_defs") == "EPSG:4326"
+    assert srs.normalize("+proj=merc +a=6378137 +b=6378137") == "EPSG:3857"
+    assert srs.normalize("+proj=utm +zone=33 +datum=WGS84") == "EPSG:32633"
+    assert srs.normalize("+proj=utm +zone=60 +south +datum=WGS84") == "EPSG:32760"
+    assert srs.normalize(
+        "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84"
+    ) == "EPSG:3031"
+    assert srs.normalize(
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80"
+    ) == "EPSG:3035"
+    wkt1 = (
+        'PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",'
+        'AUTHORITY["EPSG","4326"]],AUTHORITY["EPSG","32633"]]'
+    )
+    assert srs.normalize(wkt1) == "EPSG:32633"
+    wkt2 = 'PROJCRS["x", BASEGEOGCRS["WGS 84", ID["EPSG",4326]], ID["EPSG",3031]]'
+    assert srs.normalize(wkt2) == "EPSG:3031"
+    with pytest.raises(ValueError):
+        srs.normalize("+proj=sinu +lon_0=0")  # unimplemented family
+    with pytest.raises(ValueError):
+        srs.normalize('GEOGCS["no authority here"]')
+
+
+def test_proj4_dynamic_polar_self_describing():
+    """A non-EPSG polar parameter set (e.g. lat_ts=-70, the EPSG:3976 set)
+    registers a SELF-DESCRIBING key that executor workers can resolve
+    without the driver's registry — parse-on-demand round-trips."""
+    key = srs.normalize(
+        "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84"
+    )
+    assert key.startswith("PS:")
+    assert not srs.is_separable(key)
+    srs._POLAR.pop(key, None)  # simulate a fresh worker process
+    x, y = srs.from_wgs84(np.array([10.0]), np.array([-75.0]), key)
+    lo, la = srs._nonsep_inverse(x, y, key)
+    assert abs(float(lo[0]) - 10.0) < 1e-9
+    assert abs(float(la[0]) + 75.0) < 1e-9
+    # true scale at ITS standard parallel (-70), not 3031's -71
+    p = srs._polar_of(key)
+    import math
+    d = 1e-3
+    xa, ya = srs.ps_forward(0.0, -70.0, p)
+    xb, yb = srs.ps_forward(d, -70.0, p)
+    phi = math.radians(-70.0)
+    true = srs.A_WGS84 * math.cos(phi) / math.sqrt(1 - srs.E2 * math.sin(phi) ** 2) * math.radians(d)
+    assert abs(math.hypot(float(xb - xa), float(yb - ya)) / true - 1.0) < 1e-9
+
+
+def test_utm_view_accepts_proj4_string(spark):
+    """A CubeView declared with a proj4 string builds the same cube as the
+    EPSG code (normalization happens once at the view boundary)."""
+    from gdalcubes_cpp_spark.view import CubeView
+
+    a = CubeView.create(
+        srs="EPSG:32633", left=350000.0, right=650000.0,
+        bottom=5090000.0, top=5430000.0, nx=6, ny=7,
+        t0="1995-01-01", nt=2, dt="P3M", chunk_size=(2, 7, 6),
+    )
+    b = CubeView.create(
+        srs="+proj=utm +zone=33 +datum=WGS84", left=350000.0, right=650000.0,
+        bottom=5090000.0, top=5430000.0, nx=6, ny=7,
+        t0="1995-01-01", nt=2, dt="P3M", chunk_size=(2, 7, 6),
+    )
+    xs = np.array([a.left + (i + 0.5) * a.dx for i in range(a.nx)])
+    ys = np.array([a.top - (i + 0.5) * a.dy for i in range(a.ny)])
+    LA = srs.grid_to_wgs84(xs, ys, a.srs)
+    LB = srs.grid_to_wgs84(xs, ys, b.srs)
+    assert np.array_equal(LA[0], LB[0]) and np.array_equal(LA[1], LB[1])
+
+
+def test_png_collection_export(spark, tmp_path):
+    """write_png_collection (src/cube.h:858-862): one 8-bit PNG per slice,
+    linear zlim scaling, NaN -> na, decoded values match the quantization."""
+    from gdalcubes_cpp_spark import codecs
+    from gdalcubes_cpp_spark.benchqueries import _formula_cube
+    from gdalcubes_cpp_spark.functions.image import write_png_collection
+
+    c = _formula_cube(spark)
+    out = str(tmp_path / "png")
+    paths = write_png_collection(c, out, bands=["B1"], zlim=(0.0, 10.0), na=7)
+    assert len(paths) == c.view.nt
+    dense = c.collect_dense()[0]  # B1: (nt, ny, nx)
+    img0 = codecs.decode_png(open(paths[0], "rb").read())[:, :, 0]
+    sl = dense[0]
+    want = np.clip(np.round(sl * 25.5), 0, 255)
+    want = np.where(np.isfinite(sl), want, 7.0).astype(np.uint8)
+    assert np.array_equal(img0, want)
