@@ -810,6 +810,122 @@ def doc_simhash_near_dups(spark, sf_dir):
     return simhash_near_dups(docs, max_hamming=8)
 
 
+# -------------------------------------------- dedup clustering / training mix
+
+_CC_SQL = """
+WITH RECURSIVE
+d AS (SELECT doc_id, lang, n_chars FROM documents),
+p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+      ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 10
+     AND a.doc_id < b.doc_id),
+e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+n AS (SELECT DISTINCT u AS nd FROM e),
+reach(nd, r) AS (
+  SELECT nd, nd FROM n
+  UNION
+  SELECT reach.nd, e.v FROM reach JOIN e ON reach.r = e.u),
+comp AS (SELECT nd, min(r) AS c FROM reach GROUP BY nd)
+SELECT d.doc_id AS doc_id, CAST(coalesce(comp.c, d.doc_id) AS BIGINT) AS cluster
+FROM d LEFT JOIN comp ON d.doc_id = comp.nd
+"""
+
+
+@q("doc_dedup_clusters", _CC_SQL)
+def doc_dedup_clusters(spark, sf_dir):
+    """Transitive dedup clustering: pairs → connected components → every doc
+    labeled with its cluster root (functions/dedup.py connected_components —
+    Kiveris et al. alternating star contraction, O(log² n) groupBy+join
+    rounds, no driver-side graph). The driver's edge relation is
+    deterministic and SQL-expressible (same lang, |Δn_chars| ≤ 10 — LSH
+    pair sets are implementation-defined so they can't be the oracle),
+    built as a banded equi-join on (lang, length bucket): each probe row
+    carries 3 bucket keys, so the pair space is bucket-bounded, never a
+    cross join. The oracle recomputes components independently with a
+    recursive CTE (min reachable id). The production composite
+    (near_dup_clusters) feeds REAL MinHash-LSH pairs through the same
+    operator — pytest-gated."""
+    from .functions.dedup import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select("doc_id", "lang", "n_chars").withColumn(
+        "bkt", F.floor(F.col("n_chars") / 10).cast("long")
+    )
+    probe = d.withColumn(
+        "k", F.explode(F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1))
+    )
+    build = d.select(
+        F.col("doc_id").alias("doc_b"), "lang",
+        F.col("n_chars").alias("nc_b"), F.col("bkt").alias("k"),
+    )
+    # exactly one of the 3 probe keys equals the build row's bucket, so each
+    # qualifying pair is emitted once — no distinct needed
+    pairs = (
+        probe.join(build, ["k", "lang"])
+        .filter(
+            (F.abs(F.col("n_chars") - F.col("nc_b")) <= 10)
+            & (F.col("doc_id") < F.col("doc_b"))
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    ids = docs.select("doc_id")
+    return ids.join(comp, ids["doc_id"] == comp["node"], "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster")
+    )
+
+
+from .functions.mix import _threshold_hex as _mix_thr  # noqa: E402 — single
+# source of truth: the oracle's CASE thresholds are the very strings the
+# Spark filter compares against.
+
+_MIX_FRACS = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.75, "zh": 0.1}
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{s}' THEN '{_mix_thr(f)}'" for s, f in sorted(_MIX_FRACS.items()))
+    + f" ELSE '{_mix_thr(0.0)}' END"
+)
+
+_MIX_SQL = f"""
+WITH kept AS (
+  SELECT doc_id, lang, n_chars,
+         substr(md5('mix0/pack' || CAST(doc_id AS VARCHAR)), 1, 15) AS hk
+  FROM documents
+  WHERE substr(md5('mix0' || CAST(doc_id AS VARCHAR)), 1, 15) < {_MIX_CASE}
+),
+g AS (SELECT doc_id, lang, n_chars, hk,
+             CAST(('0x' || substr(hk, 1, 4))::BIGINT % 64 AS INT) AS grp
+      FROM kept),
+c AS (SELECT doc_id, lang, n_chars, grp,
+             coalesce(SUM(n_chars) OVER (PARTITION BY grp ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM g)
+SELECT doc_id, lang, grp,
+       CAST(floor(cum / CAST(4000 AS DOUBLE)) AS INT) AS shard,
+       CAST(grp AS BIGINT) * 4294967296
+         + CAST(floor(cum / CAST(4000 AS DOUBLE)) AS BIGINT) AS shard_id,
+       n_chars
+FROM c
+"""
+
+
+@q("doc_training_mix", _MIX_SQL)
+def doc_training_mix(spark, sf_dir):
+    """Training-mix assembly (functions/mix.py): stratified deterministic
+    sampling (per-lang mix weights as md5-threshold filters — no RNG, no
+    shuffle, scan-side) followed by budget-bounded shard packing (grouped
+    exclusive-cumsum windows — parallel over 64 hash groups, never a global
+    sort). Every decision is a string/int comparison the DuckDB oracle
+    replays exactly."""
+    from .functions.mix import training_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = training_mix(
+        docs, "lang", _MIX_FRACS, "n_chars",
+        budget=4000, n_groups=64, seed="mix0",
+    )
+    return out.select("doc_id", "lang", "grp", "shard", "shard_id", "n_chars")
+
+
 # ------------------------------------------------------------- embeddings
 
 _COS_SQL = (
@@ -1910,8 +2026,27 @@ _fold("fill_time_suite", "method",
       [("linear", "fill_time_linear"), ("locf", "fill_time_locf")])
 _fold("query_points_timeseries", "kind",
       [("points", "query_points"), ("timeseries", "query_timeseries")])
-_fold("cube_decode_suite", "path",  # rows-only: both members decode real bytes
-      [("average", "cube_average_decode"), ("real", "cube_real_decode")])
+@q("cube_decode_suite", None)  # rows-only: every real-byte decode path
+def cube_decode_suite(spark, sf_dir):
+    """Folded rows-only suite: all four real-decode paths — aggregating
+    resampler, plain PNG pipeline, simple_cube, separate-channel mask band
+    — normalized to (path, iy, ix, val) in one union. Pixel exactness per
+    member is pytest-gated (test_resampling / test_stjoin_build /
+    test_band_mask_scl_pattern); no SQL engine can replay a PNG codec."""
+    parts = [
+        ("average", "cube_average_decode", "B1_mean"),
+        ("real", "cube_real_decode", "B1_mean"),
+        ("simple", "simple_cube_decode", "B1"),
+        ("mask_band", "cube_mask_band_decode", "B1_mean"),
+    ]
+    out = None
+    for tag, member, valcol in parts:
+        df = _DEFS[member][0](spark, sf_dir).select(
+            F.lit(tag).alias("path"), "iy", "ix",
+            F.col(valcol).cast("double").alias("val"),
+        )
+        out = df if out is None else out.unionAll(df)
+    return out
 
 
 @q(
@@ -2079,6 +2214,8 @@ _WINDOW_ORACLED = [
     "doc_minhash",
     "doc_lsh_jaccard",
     "doc_simhash",
+    "doc_dedup_clusters",
+    "doc_training_mix",
     "ann_topk",
     "ann_knn_join",
     "ann_dup_pairs",
@@ -2090,9 +2227,7 @@ _WINDOW_ORACLED = [
 _WINDOW_ROWS_ONLY = [
     "ann_ivf_topk",
     "doc_near_dups_suite",
-    "cube_decode_suite",
-    "simple_cube_decode",
-    "cube_mask_band_decode",
+    "cube_decode_suite",  # folds simple_cube_decode + cube_mask_band_decode too
     "ann_rp_lsh_pairs",
 ]
 

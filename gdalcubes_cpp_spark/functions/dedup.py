@@ -423,3 +423,105 @@ def simhash_near_dups(
     return cand.withColumn("hamming", ham).filter(ham <= max_hamming).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components / dedup clustering
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 30
+) -> DataFrame:
+    """Connected components over an undirected pair list → ``(node,
+    component)`` with component = the MIN node id of its component.
+
+    Near-dup PAIRS are only half a dedup pipeline: transitive closure turns
+    them into clusters (A~B, B~C ⇒ {A,B,C}) so one canonical document can
+    be kept per cluster. This is the alternating large-star / small-star
+    contraction of Kiveris et al., "Connected Components in MapReduce and
+    Beyond" (ACM SoCC'14): converges in O(log² n) rounds, and every round
+    is a groupBy + same-key join — no broadcast, no driver-side graph, no
+    collect_list of whole neighborhoods (the per-round reduction is a
+    scalar MIN, so a 10⁹-degree hub costs one shuffle key, not one task).
+
+    - large-star: every node connects its LARGER neighbors to the minimum
+      of its closed neighborhood;
+    - small-star: every node connects its SMALLER neighbors (and itself)
+      to that minimum.
+
+    Each round ends in an EAGER localCheckpoint: iterative DataFrame
+    algorithms otherwise re-analyze a lineage that grows with every round
+    (Catalyst analysis cost compounds superlinearly) — truncating it keeps
+    round N as cheap as round 1. On a real cluster with lossy executors,
+    swap localCheckpoint for a reliable ``checkpoint`` directory; the
+    shape of the computation is identical. Convergence is detected with a
+    per-round (count, hash-xor) fingerprint. Only nodes that appear in
+    ``pairs`` are returned; callers re-attach isolated nodes (see
+    near_dup_clusters).
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fp_prev = None
+    for _ in range(max_iter):
+        # -- large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v > u
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        e1 = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # -- small-star on (larger → smaller) edges: m(u) = min(N(u) ∪ {u});
+        #    emit (v, m) for v ∈ N(u), v ≠ m, plus (u, m)
+        d = e1.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v")).distinct()
+        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        prev = e
+        e = (
+            d.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
+        fp = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        if fp_prev is not None and (fp["n"], fp["h"]) == fp_prev:
+            break
+        fp_prev = (fp["n"], fp["h"])
+    # star graphs: every non-root points at its root; roots self-map
+    out = e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    ).distinct()
+    return out
+
+
+def near_dup_clusters(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, bands: int = 4, shingle_n: int = 3, threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end corpus dedup: MinHash-LSH near-dup pairs → connected
+    components → every document labeled with its ``cluster`` (= min doc_id
+    reachable through the near-dup relation; singletons cluster with
+    themselves) and ``is_canonical`` (the one row per cluster to KEEP).
+    The downstream training pipeline filters ``is_canonical`` — that
+    single filter is the actual deduplication."""
+    pairs = near_dups_minhash(docs, id_col, text_col, k, bands, shingle_n, threshold)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    ids = docs.select(F.col(id_col))
+    out = ids.join(comp, ids[id_col] == comp["node"], "left").select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("cluster"),
+    )
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster"))

@@ -1,0 +1,203 @@
+"""Connected-components dedup clustering + training-mix operators
+(functions/dedup.py connected_components / near_dup_clusters,
+functions/mix.py deterministic/stratified sampling + shard packing)."""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdalcubes_cpp_spark.functions.dedup import connected_components, near_dup_clusters
+from gdalcubes_cpp_spark.functions.mix import (
+    _threshold_hex,
+    deterministic_sample,
+    pack_shards,
+    stratified_sample,
+    training_mix,
+)
+
+
+# ---------------------------------------------------------------- union-find
+
+
+def _uf_components(edges, nodes=None):
+    """Independent oracle: plain union-find, component = min member."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups = {}
+    for n in set(parent) | set(nodes or ()):
+        groups.setdefault(find(n) if n in parent else n, []).append(n)
+    out = {}
+    for members in groups.values():
+        root = min(members)
+        for m in members:
+            out[m] = root
+    return out
+
+
+def test_connected_components_random_graph(spark):
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]  # sparse → many components, some self-loops/dups
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = _uf_components([(a, b) for a, b in edges if a != b])
+    assert got == want
+
+
+def test_connected_components_chain(spark):
+    """A 400-node path is the worst case for naive min propagation (O(n)
+    rounds); star contraction must finish inside the default max_iter."""
+    edges = [(i, i + 1) for i in range(400)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    rows = connected_components(df).collect()
+    assert len(rows) == 401
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_connected_components_empty_and_selfloops(spark):
+    df = spark.createDataFrame([(5, 5), (7, 7)], "doc_a long, doc_b long")
+    assert connected_components(df).count() == 0  # self-loops are not edges
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A≈B and B≈C but A and C farther apart: transitive closure must put
+    all three in ONE cluster; unrelated docs stay singletons with
+    themselves as canonical."""
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + "alpha beta"),
+            (2, base + "alpha beta gamma delta"),
+            (3, "completely different text about spark dataframes " * 6),
+        ],
+        "doc_id long, text string",
+    )
+    out = near_dup_clusters(docs, threshold=0.5).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert {by_id[i]["cluster"] for i in (0, 1, 2)} == {0}
+    assert by_id[3]["cluster"] == 3
+    canon = {r["doc_id"] for r in out if r["is_canonical"]}
+    assert canon == {0, 3}
+
+
+# ----------------------------------------------------------------- sampling
+
+
+def _keys_df(spark, n=2000):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_deterministic_sample_rate_and_reproducibility(spark):
+    df = _keys_df(spark)
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.3, seed="s").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(df, 0.3, seed="s").collect()}
+    assert a == b  # no RNG state anywhere
+    assert 0.25 < len(a) / 2000 < 0.35
+
+
+def test_deterministic_sample_nested():
+    """Same seed, larger fraction ⇒ superset (thresholds are monotone on the
+    same hash) — the property incremental pipeline re-runs rely on."""
+    assert _threshold_hex(0.2) < _threshold_hex(0.5)
+    assert _threshold_hex(0.0) == "0" * 15
+    assert _threshold_hex(1.0) == "g"  # above every hex string → keep all
+
+
+def test_deterministic_sample_nested_spark(spark):
+    df = _keys_df(spark, 500)
+    small = {r["doc_id"] for r in deterministic_sample(df, 0.2, seed="s").collect()}
+    big = {r["doc_id"] for r in deterministic_sample(df, 0.6, seed="s").collect()}
+    assert small <= big
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = (
+        stratified_sample(df, "lang", {"en": 0.9, "de": 0.1}, seed="t")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    counts = {r["lang"]: r["count"] for r in out}
+    assert 0.8 < counts["en"] / 1000 < 1.0
+    assert 0.03 < counts["de"] / 1000 < 0.2
+    assert "fr" not in counts  # default fraction 0.0 drops the stratum
+
+
+# ------------------------------------------------------------------ packing
+
+
+def test_pack_shards_budget_and_totality(spark):
+    rng = random.Random(3)
+    rows = [(i, rng.randint(50, 900)) for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    out = pack_shards(df, "tokens", budget=2000, n_groups=16).toPandas()
+    assert len(out) == 800  # every row assigned exactly once
+    assert out["doc_id"].is_unique
+    per_shard = out.groupby("shard_id")["tokens"].agg(["sum", "max"])
+    # exclusive-cumsum rule: a shard overshoots its budget by < its last doc
+    assert (per_shard["sum"] < 2000 + per_shard["max"]).all()
+    # shard ids are (grp, local) packed into one int64
+    assert (out["shard_id"] == out["grp"] * 2**32 + out["shard"]).all()
+
+
+def test_pack_shards_matches_python_greedy(spark):
+    """Recompute the grouped greedy packing in pandas and compare 1:1."""
+    rows = [(i, 100 + (i * 37) % 400) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    out = pack_shards(df, "tokens", budget=1000, n_groups=8, seed="p").toPandas()
+    import hashlib
+
+    def hk(i):
+        return hashlib.md5(f"p{i}".encode()).hexdigest()[:15]
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "tokens"])
+    pdf["hk"] = pdf["doc_id"].map(hk)
+    pdf["grp"] = pdf["hk"].map(lambda h: int(h[:4], 16) % 8)
+    expect = {}
+    for g, sub in pdf.sort_values(["hk", "doc_id"]).groupby("grp"):
+        cum = 0
+        for _, r in sub.iterrows():
+            expect[r["doc_id"]] = (g, int(cum // 1000))
+            cum += r["tokens"]
+    got = {r.doc_id: (r.grp, r.shard) for r in out.itertuples()}
+    assert got == expect
+
+
+def test_training_mix_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], 200 + i % 50) for i in range(400)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = training_mix(
+        docs, "lang", {"en": 1.0, "de": 0.5}, "n_chars", budget=1500, n_groups=4
+    ).toPandas()
+    assert set(out["lang"]) == {"en", "de"}
+    assert (out[out["lang"] == "en"].shape[0]) == 200  # fraction 1.0 keeps all
+    per_shard = out.groupby("shard_id")["n_chars"].agg(["sum", "max"])
+    assert (per_shard["sum"] < 1500 + per_shard["max"]).all()

@@ -9,8 +9,9 @@ REQUIRED_IN_WINDOW = [
     # r2 VERDICT #1 named entries
     "apply_time_udf_cumsum", "reduce_time_udf_range", "apply_pixel_udf_poly",
     "reduce_space_udf_spread", "format_ingest", "netcdf_roundtrip",
-    "ann_knn_join_ivf", "simple_cube_decode", "cube_mask_band_decode",
-    "ann_rp_lsh_pairs",
+    "ann_knn_join_ivf", "ann_rp_lsh_pairs",
+    # r3 additions: dedup clustering + training-mix assembly
+    "doc_dedup_clusters", "doc_training_mix",
     # folded suites covering the rest of SURVEY §2
     "stjoin_rows", "cube_mean_median", "cube_first_last", "cube_min_max",
     "cube_counts", "cube_mask_value_range", "cube_utm_mean",
@@ -59,6 +60,7 @@ def test_every_def_reachable():
         "query_timeseries", "window_time_mean", "window_time_kernel",
         "tpch_pricing", "tpch_market_revenue", "doc_near_dups_pipeline",
         "doc_simhash_near_dups", "cube_average_decode", "cube_real_decode",
+        "simple_cube_decode", "cube_mask_band_decode",
         "reduce_time_exact", "reduce_time_stats", "reduce_time_which",
     }
     window = set(REGISTRY)
