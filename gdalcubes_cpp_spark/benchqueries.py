@@ -1317,6 +1317,65 @@ def cube_polar_mean(spark, sf_dir):
     ).df
 
 
+# ------------------------------------------------- MODIS sinusoidal view
+
+# Margins audited like V_UTM/V_POLAR (tests/test_srs_sinu.py): every cell
+# center >= 1e-5 degrees clear of the 0.01-degree footprint-edge grid.
+V_SINU = CubeView.create(
+    srs="+proj=sinu +R=6371007.181", left=921234.0, right=1321234.0,
+    bottom=5131111.0, top=5481111.0, nx=30, ny=32,
+    t0="1995-01-01", nt=27, dt="P3M",
+    aggregation="mean", resampling="near", chunk_size=(8, 16, 15),
+)
+
+
+def _sinu_cells_sql(v: CubeView) -> str:
+    """(it, iy, ix, cx=lon, cy=lat) of every cell center: sinusoidal coords
+    by exact arithmetic, then srs.sinu_inverse_sql — the SAME operation
+    order as the numpy kernel."""
+    from . import srs as _srs
+
+    p = _srs._sinu_of(_srs.normalize(v.srs))
+    x_sql = f"({_srs._flit(v.left)} + (x.ix + 0.5) * {_srs._flit(v.dx)})"
+    y_sql = f"({_srs._flit(v.top)} - (y.iy + 0.5) * {_srs._flit(v.dy)})"
+    lon_sql, lat_sql = _srs.sinu_inverse_sql(x_sql, y_sql, p)
+    return f"""
+  SELECT CAST(t.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         {lon_sql} AS cx, {lat_sql} AS cy
+  FROM range({v.nt}) t(it), range({v.ny}) y(iy), range({v.nx}) x(ix)
+"""
+
+
+@q(
+    "cube_sinu_mean",
+    f"""
+WITH img AS ({UTM_IMG_SQL}),
+cells AS ({_sinu_cells_sql(V_SINU)}),
+cov AS (
+  SELECT cells.it, cells.iy, cells.ix, img.val1, img.val2
+  FROM cells JOIN img
+    ON {_COVER_SQL}
+   AND cells.it = {_it_sql(V_SINU)}
+)
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_sinu_mean(spark, sf_dir):
+    """Cube build in the MODIS NATIVE grid: spherical sinusoidal on the
+    authalic sphere R=6371007.181 (Snyder 1987 §30), given as a proj4
+    string — the SRS every MxD* collection-format preset this engine
+    ships actually delivers data in (the reference warps it through GDAL,
+    src/warp.cpp:33-55). Same footprints as the UTM query (they overlap
+    the sinusoidal window); the oracle replays the closed-form inverse in
+    SQL (srs.sinu_inverse_sql)."""
+    from .operators.build import build_cube
+
+    return build_cube(
+        images_meta_utm(spark, sf_dir), V_SINU, bands=("B1", "B2"), value_fn=_value_fn
+    ).df
+
+
 @q("cube_average_decode", None)  # rows-only: real decode + aggregating resampler
 def cube_average_decode(spark, sf_dir):
     """Real decode through the 'average' AGGREGATING resampler (the
@@ -2026,6 +2085,9 @@ _fold("fill_time_suite", "method",
       [("linear", "fill_time_linear"), ("locf", "fill_time_locf")])
 _fold("query_points_timeseries", "kind",
       [("points", "query_points"), ("timeseries", "query_timeseries")])
+_fold("cube_srs_suite", "srs",  # every non-separable-SRS warp family
+      [("utm", "cube_utm_mean"), ("polar", "cube_polar_mean"),
+       ("sinu", "cube_sinu_mean")])
 @q("cube_decode_suite", None)  # rows-only: every real-byte decode path
 def cube_decode_suite(spark, sf_dir):
     """Folded rows-only suite: all four real-decode paths — aggregating
@@ -2178,8 +2240,7 @@ _WINDOW_ORACLED = [
     "cube_counts",
     "cube_mask_value_range",
     "cube_mask_file",
-    "cube_utm_mean",
-    "cube_polar_mean",
+    "cube_srs_suite",  # folds cube_utm_mean + cube_polar_mean + cube_sinu_mean
     # derived operators
     "reduce_time_full",
     "reduce_space",

@@ -162,6 +162,21 @@ def _from_proj4(s: str) -> str:
         key = f"LAEA:{p.lat0}:{p.lon0}:{p.fe}:{p.fn}:{p.e2:.17e}"
         _LAEA[key] = p
         return key
+    if proj == "sinu":
+        # spherical form (the MODIS grid): radius from +R= (or a sphere
+        # given as +a=); the ellipsoidal series is not implemented
+        r = kv.get("r") or kv.get("a")
+        if r is None:
+            raise ValueError(f"+proj=sinu needs an explicit +R= sphere in {s!r}")
+        if kv.get("b") not in (None, True) and float(kv["b"]) != float(r):
+            raise ValueError(f"ellipsoidal sinusoidal is unsupported: {s!r}")
+        p = SinuParams(
+            r=float(r), lon0=float(kv.get("lon_0", 0.0)),
+            fe=float(kv.get("x_0", 0.0)), fn=float(kv.get("y_0", 0.0)),
+        )
+        key = f"SINU:{p.r}:{p.lon0}:{p.fe}:{p.fn}"
+        _SINU[key] = p
+        return key
     raise ValueError(f"unsupported proj4 SRS {s!r}")
 
 
@@ -182,11 +197,11 @@ def normalize(srs: str) -> str:
             code = hits[-1][0] or hits[-1][1]
             return normalize(f"EPSG:{code}")
         raise ValueError(f"WKT without an EPSG authority is unsupported: {raw[:60]}...")
-    if raw.startswith(("PS:", "LAEA:")):
+    if raw.startswith(("PS:", "LAEA:", "SINU:")):
         # dynamic keys are SELF-DESCRIBING (parse-on-demand): executor
         # python workers import srs.py fresh, so a driver-side registry
         # alone would not resolve them inside kernels
-        if _polar_of(raw) is None and _laea_of(raw) is None:
+        if _polar_of(raw) is None and _laea_of(raw) is None and _sinu_of(raw) is None:
             raise ValueError(f"malformed dynamic SRS key {raw!r}")
         return raw
     s = raw.upper().replace(" ", "")
@@ -204,8 +219,9 @@ def normalize(srs: str) -> str:
     raise ValueError(
         f"unsupported SRS {srs!r} (supported: EPSG:4326, EPSG:3857, "
         f"EPSG:326xx/327xx UTM zones, EPSG:3031/3413 polar stereographic, "
-        f"EPSG:3035 LAEA Europe, equivalent proj4/WKT strings, and any "
-        f"polar-stereographic/LAEA proj4 parameter set)"
+        f"EPSG:3035 LAEA Europe, spherical sinusoidal (the MODIS grid), "
+        f"equivalent proj4/WKT strings, and any polar-stereographic/LAEA/"
+        f"sinusoidal proj4 parameter set)"
     )
 
 
@@ -531,6 +547,58 @@ def laea_inverse(x, y, p: LaeaParams):
     return lon, lat
 
 
+# -- sinusoidal (numpy; Snyder 1987 §30, spherical form) ----------------------
+
+@dataclass(frozen=True)
+class SinuParams:
+    """Spherical sinusoidal (Snyder 1987 §30, eqs. 30-1/30-2): equal-area,
+    equally-spaced parallels; x = R·λ·cos φ, y = R·φ. The MODIS land grid
+    (all MxD* products this engine ships presets for) uses the WGS84
+    authalic sphere R = 6 371 007.181 m with lon0 = 0 — proj4
+    ``+proj=sinu +R=6371007.181 +nadgrids=@null +wktext``."""
+
+    r: float
+    lon0: float
+    fe: float
+    fn: float
+
+
+MODIS_SINU_R = 6371007.181  # authalic sphere radius of the MODIS grid (m)
+
+_SINU: dict = {}
+
+
+def sinu_forward(lon, lat, p: SinuParams):
+    """(lon, lat) degrees -> sinusoidal (x, y) meters (vectorized)."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p.lon0)
+    x = p.fe + p.r * lam * np.cos(phi)
+    y = p.fn + p.r * phi
+    return x, y
+
+
+def sinu_inverse(x, y, p: SinuParams):
+    """Sinusoidal (x, y) meters -> (lon, lat) degrees. Operation order
+    mirrors sinu_inverse_sql EXACTLY (driver-oracle discipline). The
+    poles themselves (cos φ = 0) are the projection's singular points;
+    views never sample a cell center at exactly ±90°."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    phi = (y - p.fn) / p.r
+    lam = (x - p.fe) / (p.r * np.cos(phi))
+    return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def sinu_inverse_sql(x_expr: str, y_expr: str, p: SinuParams):
+    """(lon_sql, lat_sql) ANSI-SQL mirror of sinu_inverse — same operation
+    order, E-notation DOUBLE literals (runnable in DuckDB and Spark SQL)."""
+    L = _flit
+    deg = L(180.0 / math.pi)
+    phi = f"((({y_expr}) - {L(p.fn)}) / {L(p.r)})"
+    lam = f"((({x_expr}) - {L(p.fe)}) / ({L(p.r)} * cos({phi})))"
+    return f"({L(p.lon0)} + {lam} * {deg})", f"({phi} * {deg})"
+
+
 def _polar_of(s: str) -> PolarPS | None:
     """PolarPS for an SRS key — EPSG entry or a self-describing 'PS:...'
     dynamic key (parsed on demand so executor workers resolve it too)."""
@@ -564,6 +632,21 @@ def _laea_of(s: str) -> LaeaParams | None:
     return None
 
 
+def _sinu_of(s: str) -> SinuParams | None:
+    p = _SINU.get(s)
+    if p is not None:
+        return p
+    if s.startswith("SINU:"):
+        try:
+            _, r, lon0, fe, fn = s.split(":")
+            p = SinuParams(float(r), float(lon0), float(fe), float(fn))
+        except ValueError:
+            return None
+        _SINU[s] = p
+        return p
+    return None
+
+
 def _nonsep_inverse(x, y, s: str):
     """Dispatch (x, y in srs) -> (lon, lat) for non-separable SRS."""
     p = _polar_of(s)
@@ -572,6 +655,9 @@ def _nonsep_inverse(x, y, s: str):
     pl = _laea_of(s)
     if pl is not None:
         return laea_inverse(x, y, pl)
+    ps = _sinu_of(s)
+    if ps is not None:
+        return sinu_inverse(x, y, ps)
     lon0, fn = utm_params(s)
     return tm_inverse(x, y, lon0, fn)
 
@@ -583,6 +669,9 @@ def _nonsep_forward(lon, lat, s: str):
     pl = _laea_of(s)
     if pl is not None:
         return laea_forward(lon, lat, pl)
+    ps = _sinu_of(s)
+    if ps is not None:
+        return sinu_forward(lon, lat, ps)
     lon0, fn = utm_params(s)
     return tm_forward(lon, lat, lon0, fn)
 

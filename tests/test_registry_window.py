@@ -14,7 +14,7 @@ REQUIRED_IN_WINDOW = [
     "doc_dedup_clusters", "doc_training_mix",
     # folded suites covering the rest of SURVEY §2
     "stjoin_rows", "cube_mean_median", "cube_first_last", "cube_min_max",
-    "cube_counts", "cube_mask_value_range", "cube_utm_mean",
+    "cube_counts", "cube_mask_value_range", "cube_srs_suite",
     "reduce_time_full", "reduce_space", "aggregate_time_space",
     "window_time_suite", "fill_time_suite", "apply_filter_pixel",
     "join_bands", "slice_crop", "select_time_labeled", "fill_space_knn",
@@ -61,6 +61,7 @@ def test_every_def_reachable():
         "tpch_pricing", "tpch_market_revenue", "doc_near_dups_pipeline",
         "doc_simhash_near_dups", "cube_average_decode", "cube_real_decode",
         "simple_cube_decode", "cube_mask_band_decode",
+        "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean",
         "reduce_time_exact", "reduce_time_stats", "reduce_time_which",
     }
     window = set(REGISTRY)
