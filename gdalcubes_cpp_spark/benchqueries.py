@@ -1040,6 +1040,38 @@ def events_tumbling(spark, sf_dir):
 
 
 @q(
+    "events_sessionize",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts, epoch(ts)::BIGINT AS sec,
+         lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session
+  FROM o)
+SELECT user_id, CAST(session AS BIGINT) AS session,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session
+""",
+)
+def events_sessionize(spark, sf_dir):
+    """Per-user sessionization over the event table — the BATCH TWIN of the
+    applyInPandasWithState streaming sessionizer (streaming/events.py;
+    pytest asserts the two produce identical closed sessions). Gap rule:
+    a > 30-minute silence starts a new session. Exact integer-second
+    window arithmetic; the oracle replays the same lag/running-sum
+    decisions."""
+    from .streaming.events import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, key_col="user_id", gap_minutes=30)
+
+
+@q(
     "tpch_pricing",
     """
 SELECT l_returnflag, l_linestatus,
@@ -2282,6 +2314,7 @@ _WINDOW_ORACLED = [
     "ann_dup_pairs",
     "ann_knn_join_ivf",
     "events_tumbling",
+    "events_sessionize",
     "tpch_suite",
 ]
 

@@ -135,3 +135,40 @@ def sessionize_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    order_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """Batch twin of sessionize_stream, IDENTICAL session semantics:
+    consecutive events of a key fuse while the gap to the previous event
+    is <= gap_minutes; a strictly larger gap starts a new session (the
+    stream's ``t - last > gap`` test on sorted timestamps).
+
+    Two stacked windows on the SAME (key, ts, tiebreak) ordering — lag to
+    mark breaks, a running sum to number sessions — then one groupBy.
+    Everything is exact integer-second arithmetic, so the driver's DuckDB
+    oracle replays every decision bit-for-bit. Scale: both windows and the
+    final aggregation partition by the session key — ONE exchange, no
+    global sort; a key's history must fit a partition (true for any
+    realistic per-user event volume; split hyper-keys upstream by day if
+    not)."""
+    from pyspark.sql import Window as W
+
+    gap = gap_minutes * 60
+    w = W.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    sec = F.unix_timestamp(F.col(ts_col))
+    prev = F.lag(sec).over(w)
+    brk = F.when(prev.isNull() | ((sec - prev) > F.lit(gap)), 1).otherwise(0)
+    s = events.withColumn("_brk", brk).withColumn(
+        "session", F.sum("_brk").over(w).cast("long")
+    )
+    return s.groupBy(key_col, "session").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -22,8 +22,8 @@ REQUIRED_IN_WINDOW = [
     "zonal_topk", "filter_geom_rect", "packed_roundtrip", "cube_write_reread",
     "doc_stats", "doc_exact_dups", "doc_minhash", "doc_lsh_jaccard",
     "doc_simhash", "ann_topk", "ann_knn_join", "ann_dup_pairs",
-    "events_tumbling", "tpch_suite", "ann_ivf_topk", "doc_near_dups_suite",
-    "cube_decode_suite",
+    "events_tumbling", "events_sessionize", "tpch_suite", "ann_ivf_topk",
+    "doc_near_dups_suite", "cube_decode_suite",
 ]
 
 

@@ -76,3 +76,30 @@ def test_sessionize_stream(spark, tmp_path):
     r = out.iloc[0]
     assert r["event_type"] == "a" and r["n_events"] == 3
     assert r["session_start"] == T and r["session_end"] == T + 20 * m
+    # the BATCH TWIN (sessionize_batch) computes ALL sessions with the same
+    # gap rule; the stream's closed session must be one of them, bit-equal
+    from gdalcubes_cpp_spark.streaming.events import sessionize_batch
+
+    batch = (
+        sessionize_batch(
+            spark.read.parquet(in_dir), key_col="event_type", gap_minutes=30
+        )
+        .toPandas()
+        .sort_values(["event_type", "session"])
+        .reset_index(drop=True)
+    )
+    assert len(batch) == 3  # a: two sessions, b: one
+    want = {
+        ("a", 1): (T, T + 20 * m, 3),
+        ("a", 2): (T + 90 * m, T + 95 * m, 2),
+        ("b", 1): (T + 5 * m, T + 6 * m, 2),
+    }
+    got = {
+        (r_["event_type"], r_["session"]): (
+            r_["session_start"], r_["session_end"], r_["n_events"]
+        )
+        for _, r_ in batch.iterrows()
+    }
+    assert got == want
+    closed = got[("a", 1)]
+    assert closed == (r["session_start"], r["session_end"], r["n_events"])
