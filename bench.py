@@ -24,7 +24,8 @@ N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
 
 BENCH_QUERIES = [
     "stjoin_rows", "cube_mean", "cube_median", "cube_count_images",
-    "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_mask_value",
+    "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
+    "cube_mask_value",
     "format_ingest",
     "reduce_time_exact", "reduce_time_stats", "window_time_mean",
     "fill_time_linear", "aggregate_time", "aggregate_space",

@@ -1408,6 +1408,62 @@ def cube_sinu_mean(spark, sf_dir):
     ).df
 
 
+# ------------------------------------------------- Lambert-93 (LCC) view
+
+# Margins audited like V_UTM/V_POLAR/V_SINU (tests/test_srs_lcc.py):
+# cell centers >= 1.4e-5 degrees clear of the footprint-edge grid.
+V_LCC = CubeView.create(
+    srs="EPSG:2154", left=1410834.0, right=1760834.0,
+    bottom=6584014.0, top=6954014.0, nx=30, ny=32,
+    t0="1995-01-01", nt=27, dt="P3M",
+    aggregation="mean", resampling="near", chunk_size=(8, 16, 15),
+)
+
+
+def _lcc_cells_sql(v: CubeView) -> str:
+    """(it, iy, ix, cx=lon, cy=lat) of every cell center via
+    srs.lcc_inverse_sql — the SAME operation order as the numpy kernel."""
+    from . import srs as _srs
+
+    p = _srs._lcc_of(_srs.normalize(v.srs))
+    x_sql = f"({_srs._flit(v.left)} + (x.ix + 0.5) * {_srs._flit(v.dx)})"
+    y_sql = f"({_srs._flit(v.top)} - (y.iy + 0.5) * {_srs._flit(v.dy)})"
+    lon_sql, lat_sql = _srs.lcc_inverse_sql(x_sql, y_sql, p)
+    return f"""
+  SELECT CAST(t.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         {lon_sql} AS cx, {lat_sql} AS cy
+  FROM range({v.nt}) t(it), range({v.ny}) y(iy), range({v.nx}) x(ix)
+"""
+
+
+@q(
+    "cube_lcc_mean",
+    f"""
+WITH img AS ({UTM_IMG_SQL}),
+cells AS ({_lcc_cells_sql(V_LCC)}),
+cov AS (
+  SELECT cells.it, cells.iy, cells.ix, img.val1, img.val2
+  FROM cells JOIN img
+    ON {_COVER_SQL}
+   AND cells.it = {_it_sql(V_LCC)}
+)
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_lcc_mean(spark, sf_dir):
+    """Cube build in a NATIONAL-GRID conformal conic: EPSG:2154 (RGF93 /
+    Lambert-93, EPSG method 9802 / Snyder 1987 §15) — the projection
+    family of the French national grid, NAD83 state planes and the Canada
+    Atlas LCC. The oracle replays the inverse (conformal-latitude series)
+    in SQL (srs.lcc_inverse_sql)."""
+    from .operators.build import build_cube
+
+    return build_cube(
+        images_meta_utm(spark, sf_dir), V_LCC, bands=("B1", "B2"), value_fn=_value_fn
+    ).df
+
+
 @q("cube_average_decode", None)  # rows-only: real decode + aggregating resampler
 def cube_average_decode(spark, sf_dir):
     """Real decode through the 'average' AGGREGATING resampler (the
@@ -2119,7 +2175,7 @@ _fold("query_points_timeseries", "kind",
       [("points", "query_points"), ("timeseries", "query_timeseries")])
 _fold("cube_srs_suite", "srs",  # every non-separable-SRS warp family
       [("utm", "cube_utm_mean"), ("polar", "cube_polar_mean"),
-       ("sinu", "cube_sinu_mean")])
+       ("sinu", "cube_sinu_mean"), ("lcc", "cube_lcc_mean")])
 @q("cube_decode_suite", None)  # rows-only: every real-byte decode path
 def cube_decode_suite(spark, sf_dir):
     """Folded rows-only suite: all four real-decode paths — aggregating

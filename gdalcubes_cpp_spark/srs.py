@@ -162,6 +162,23 @@ def _from_proj4(s: str) -> str:
         key = f"LAEA:{p.lat0}:{p.lon0}:{p.fe}:{p.fn}:{p.e2:.17e}"
         _LAEA[key] = p
         return key
+    if proj == "lcc":
+        p = LccParams(
+            lat1=float(kv.get("lat_1", 0.0)),
+            lat2=float(kv.get("lat_2", kv.get("lat_1", 0.0))),
+            lat0=float(kv.get("lat_0", 0.0)), lon0=float(kv.get("lon_0", 0.0)),
+            fe=float(kv.get("x_0", 0.0)), fn=float(kv.get("y_0", 0.0)),
+            a=6378137.0,
+            e2=_E2_GRS80 if kv.get("ellps") == "grs80" else E2,
+        )
+        for code, known in _LCC.items():
+            if known == p:
+                return code
+        key = (
+            f"LCC:{p.lat1}:{p.lat2}:{p.lat0}:{p.lon0}:{p.fe}:{p.fn}:{p.e2:.17e}"
+        )
+        _LCC[key] = p
+        return key
     if proj == "sinu":
         # spherical form (the MODIS grid): radius from +R= (or a sphere
         # given as +a=); the ellipsoidal series is not implemented
@@ -197,11 +214,14 @@ def normalize(srs: str) -> str:
             code = hits[-1][0] or hits[-1][1]
             return normalize(f"EPSG:{code}")
         raise ValueError(f"WKT without an EPSG authority is unsupported: {raw[:60]}...")
-    if raw.startswith(("PS:", "LAEA:", "SINU:")):
+    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:")):
         # dynamic keys are SELF-DESCRIBING (parse-on-demand): executor
         # python workers import srs.py fresh, so a driver-side registry
         # alone would not resolve them inside kernels
-        if _polar_of(raw) is None and _laea_of(raw) is None and _sinu_of(raw) is None:
+        if (
+            _polar_of(raw) is None and _laea_of(raw) is None
+            and _sinu_of(raw) is None and _lcc_of(raw) is None
+        ):
             raise ValueError(f"malformed dynamic SRS key {raw!r}")
         return raw
     s = raw.upper().replace(" ", "")
@@ -209,7 +229,7 @@ def normalize(srs: str) -> str:
         return "EPSG:4326"
     if s in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
         return "EPSG:3857"
-    if s in _POLAR or s in _LAEA:
+    if s in _POLAR or s in _LAEA or s in _LCC:
         return s
     m = _UTM_RE.match(s)
     if m:
@@ -220,8 +240,9 @@ def normalize(srs: str) -> str:
         f"unsupported SRS {srs!r} (supported: EPSG:4326, EPSG:3857, "
         f"EPSG:326xx/327xx UTM zones, EPSG:3031/3413 polar stereographic, "
         f"EPSG:3035 LAEA Europe, spherical sinusoidal (the MODIS grid), "
-        f"equivalent proj4/WKT strings, and any polar-stereographic/LAEA/"
-        f"sinusoidal proj4 parameter set)"
+        f"EPSG:2154 Lambert-93 conformal conic, equivalent proj4/WKT "
+        f"strings, and any polar-stereographic/LAEA/sinusoidal/LCC proj4 "
+        f"parameter set)"
     )
 
 
@@ -567,6 +588,8 @@ MODIS_SINU_R = 6371007.181  # authalic sphere radius of the MODIS grid (m)
 
 _SINU: dict = {}
 
+_LCC: dict = {}  # filled below LccParams (EPSG:2154) + dynamic keys
+
 
 def sinu_forward(lon, lat, p: SinuParams):
     """(lon, lat) degrees -> sinusoidal (x, y) meters (vectorized)."""
@@ -597,6 +620,120 @@ def sinu_inverse_sql(x_expr: str, y_expr: str, p: SinuParams):
     phi = f"((({y_expr}) - {L(p.fn)}) / {L(p.r)})"
     lam = f"((({x_expr}) - {L(p.fe)}) / ({L(p.r)} * cos({phi})))"
     return f"({L(p.lon0)} + {lam} * {deg})", f"({phi} * {deg})"
+
+
+# -- Lambert conformal conic, 2SP (numpy; Snyder 1987 §15, EPSG 9802) ---------
+
+@dataclass(frozen=True)
+class LccParams:
+    """Lambert conformal conic with two standard parallels (EPSG method
+    9802; Snyder 1987 §15, ellipsoidal). EPSG:2154 (RGF93 / Lambert-93,
+    the French national grid) is the registered instance; NAD83 state
+    planes and the Canada Atlas LCC are the same method."""
+
+    lat1: float  # first standard parallel (deg)
+    lat2: float  # second standard parallel (deg)
+    lat0: float  # latitude of false origin (deg)
+    lon0: float  # longitude of false origin (deg)
+    fe: float
+    fn: float
+    a: float
+    e2: float
+
+
+def _lcc_m(phi: float, e2: float) -> float:
+    return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+
+def _lcc_t_scalar(phi: float, e: float) -> float:
+    es = e * math.sin(phi)
+    return math.tan(math.pi / 4.0 - phi / 2.0) * ((1.0 + es) / (1.0 - es)) ** (e / 2.0)
+
+
+def _lcc_consts(p: LccParams):
+    """(n, aF, rho0, e, chi-series) — the per-projection scalars. The
+    conformal-latitude inverse series (Snyder eq. 3-5) is recomputed for
+    THIS ellipsoid's e² (GRS80 vs WGS84 differ in the 12th digit)."""
+    e = math.sqrt(p.e2)
+    phi1, phi2, phi0 = (math.radians(v) for v in (p.lat1, p.lat2, p.lat0))
+    m1, m2 = _lcc_m(phi1, p.e2), _lcc_m(phi2, p.e2)
+    t0, t1, t2 = (_lcc_t_scalar(v, e) for v in (phi0, phi1, phi2))
+    if abs(phi1 - phi2) < 1e-12:
+        n = math.sin(phi1)
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    aF = p.a * (m1 / (n * t1 ** n))
+    rho0 = aF * t0 ** n
+    e2 = p.e2
+    x2 = e2 / 2.0 + 5.0 * e2 ** 2 / 24.0 + e2 ** 3 / 12.0 + 13.0 * e2 ** 4 / 360.0
+    x4 = 7.0 * e2 ** 2 / 48.0 + 29.0 * e2 ** 3 / 240.0 + 811.0 * e2 ** 4 / 11520.0
+    x6 = 7.0 * e2 ** 3 / 120.0 + 81.0 * e2 ** 4 / 1120.0
+    x8 = 4279.0 * e2 ** 4 / 161280.0
+    return n, aF, rho0, e, (x2, x4, x6, x8)
+
+
+def lcc_forward(lon, lat, p: LccParams):
+    """(lon, lat) degrees -> LCC (x, y) meters (vectorized)."""
+    n, aF, rho0, e, _ = _lcc_consts(p)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    es = e * np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) * ((1.0 + es) / (1.0 - es)) ** (e / 2.0)
+    rho = aF * t ** n
+    th = n * np.radians(np.asarray(lon, dtype=np.float64) - p.lon0)
+    x = p.fe + rho * np.sin(th)
+    y = p.fn + rho0 - rho * np.cos(th)
+    return x, y
+
+
+def lcc_inverse(x, y, p: LccParams):
+    """LCC (x, y) meters -> (lon, lat) degrees. Operation order mirrors
+    lcc_inverse_sql EXACTLY (driver-oracle discipline)."""
+    n, aF, rho0, _e, (x2, x4, x6, x8) = _lcc_consts(p)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    dx = x - p.fe
+    dy = rho0 - (y - p.fn)
+    rho = np.sqrt(dx * dx + dy * dy)
+    if n < 0:
+        rho = -rho
+    tp = (rho / aF) ** (1.0 / n)
+    chi = _HALF_PI - 2.0 * np.arctan(tp)
+    phi = (
+        chi + x2 * np.sin(2.0 * chi) + x4 * np.sin(4.0 * chi)
+        + x6 * np.sin(6.0 * chi) + x8 * np.sin(8.0 * chi)
+    )
+    lam = np.arctan2(dx, dy) / n
+    return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def lcc_inverse_sql(x_expr: str, y_expr: str, p: LccParams):
+    """(lon_sql, lat_sql) ANSI-SQL mirror of lcc_inverse — same operation
+    order, E-notation DOUBLE literals (runnable in DuckDB and Spark SQL).
+    Northern-hemisphere parameter sets only (n > 0 folds the sign of rho
+    into a constant)."""
+    n, aF, rho0, _e, (x2, x4, x6, x8) = _lcc_consts(p)
+    if n <= 0:
+        raise ValueError("SQL mirror assumes n > 0 (northern standard parallels)")
+    L = _flit
+    deg = L(180.0 / math.pi)
+    dx = f"(({x_expr}) - {L(p.fe)})"
+    dy = f"({L(rho0)} - (({y_expr}) - {L(p.fn)}))"
+    rho = f"sqrt({dx} * {dx} + {dy} * {dy})"
+    tp = f"pow({rho} / {L(aF)}, {L(1.0 / n)})"
+    chi = f"({L(_HALF_PI)} - 2.0 * atan({tp}))"
+    lat = (
+        f"(({chi} + {L(x2)} * sin(2.0 * {chi}) + {L(x4)} * sin(4.0 * {chi})"
+        f" + {L(x6)} * sin(6.0 * {chi}) + {L(x8)} * sin(8.0 * {chi})) * {deg})"
+    )
+    lon = f"({L(p.lon0)} + (atan2({dx}, {dy}) / {L(n)}) * {deg})"
+    return lon, lat
+
+
+# RGF93 / Lambert-93 — the EPSG registry parameters (GRS80 ellipsoid)
+_LCC["EPSG:2154"] = LccParams(
+    lat1=49.0, lat2=44.0, lat0=46.5, lon0=3.0,
+    fe=700000.0, fn=6600000.0, a=6378137.0, e2=_E2_GRS80,
+)
 
 
 def _polar_of(s: str) -> PolarPS | None:
@@ -647,6 +784,24 @@ def _sinu_of(s: str) -> SinuParams | None:
     return None
 
 
+def _lcc_of(s: str) -> LccParams | None:
+    p = _LCC.get(s)
+    if p is not None:
+        return p
+    if s.startswith("LCC:"):
+        try:
+            _, lat1, lat2, lat0, lon0, fe, fn, e2 = s.split(":")
+            p = LccParams(
+                float(lat1), float(lat2), float(lat0), float(lon0),
+                float(fe), float(fn), 6378137.0, float(e2),
+            )
+        except ValueError:
+            return None
+        _LCC[s] = p
+        return p
+    return None
+
+
 def _nonsep_inverse(x, y, s: str):
     """Dispatch (x, y in srs) -> (lon, lat) for non-separable SRS."""
     p = _polar_of(s)
@@ -658,6 +813,9 @@ def _nonsep_inverse(x, y, s: str):
     ps = _sinu_of(s)
     if ps is not None:
         return sinu_inverse(x, y, ps)
+    pc = _lcc_of(s)
+    if pc is not None:
+        return lcc_inverse(x, y, pc)
     lon0, fn = utm_params(s)
     return tm_inverse(x, y, lon0, fn)
 
@@ -672,6 +830,9 @@ def _nonsep_forward(lon, lat, s: str):
     ps = _sinu_of(s)
     if ps is not None:
         return sinu_forward(lon, lat, ps)
+    pc = _lcc_of(s)
+    if pc is not None:
+        return lcc_forward(lon, lat, pc)
     lon0, fn = utm_params(s)
     return tm_forward(lon, lat, lon0, fn)
 

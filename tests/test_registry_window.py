@@ -61,7 +61,7 @@ def test_every_def_reachable():
         "tpch_pricing", "tpch_market_revenue", "doc_near_dups_pipeline",
         "doc_simhash_near_dups", "cube_average_decode", "cube_real_decode",
         "simple_cube_decode", "cube_mask_band_decode",
-        "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean",
+        "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
         "reduce_time_exact", "reduce_time_stats", "reduce_time_which",
     }
     window = set(REGISTRY)
