@@ -162,6 +162,23 @@ def _from_proj4(s: str) -> str:
         key = f"LAEA:{p.lat0}:{p.lon0}:{p.fe}:{p.fn}:{p.e2:.17e}"
         _LAEA[key] = p
         return key
+    if proj == "aea":
+        p = AeaParams(
+            lat1=float(kv.get("lat_1", 0.0)),
+            lat2=float(kv.get("lat_2", kv.get("lat_1", 0.0))),
+            lat0=float(kv.get("lat_0", 0.0)), lon0=float(kv.get("lon_0", 0.0)),
+            fe=float(kv.get("x_0", 0.0)), fn=float(kv.get("y_0", 0.0)),
+            a=6378137.0,
+            e2=_E2_GRS80 if kv.get("ellps") == "grs80" else E2,
+        )
+        for code, known in _AEA.items():
+            if known == p:
+                return code
+        key = (
+            f"AEA:{p.lat1}:{p.lat2}:{p.lat0}:{p.lon0}:{p.fe}:{p.fn}:{p.e2:.17e}"
+        )
+        _AEA[key] = p
+        return key
     if proj == "lcc":
         p = LccParams(
             lat1=float(kv.get("lat_1", 0.0)),
@@ -214,13 +231,14 @@ def normalize(srs: str) -> str:
             code = hits[-1][0] or hits[-1][1]
             return normalize(f"EPSG:{code}")
         raise ValueError(f"WKT without an EPSG authority is unsupported: {raw[:60]}...")
-    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:")):
+    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:", "AEA:")):
         # dynamic keys are SELF-DESCRIBING (parse-on-demand): executor
         # python workers import srs.py fresh, so a driver-side registry
         # alone would not resolve them inside kernels
         if (
             _polar_of(raw) is None and _laea_of(raw) is None
             and _sinu_of(raw) is None and _lcc_of(raw) is None
+            and _aea_of(raw) is None
         ):
             raise ValueError(f"malformed dynamic SRS key {raw!r}")
         return raw
@@ -229,7 +247,7 @@ def normalize(srs: str) -> str:
         return "EPSG:4326"
     if s in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
         return "EPSG:3857"
-    if s in _POLAR or s in _LAEA or s in _LCC:
+    if s in _POLAR or s in _LAEA or s in _LCC or s in _AEA:
         return s
     m = _UTM_RE.match(s)
     if m:
@@ -240,9 +258,9 @@ def normalize(srs: str) -> str:
         f"unsupported SRS {srs!r} (supported: EPSG:4326, EPSG:3857, "
         f"EPSG:326xx/327xx UTM zones, EPSG:3031/3413 polar stereographic, "
         f"EPSG:3035 LAEA Europe, spherical sinusoidal (the MODIS grid), "
-        f"EPSG:2154 Lambert-93 conformal conic, equivalent proj4/WKT "
-        f"strings, and any polar-stereographic/LAEA/sinusoidal/LCC proj4 "
-        f"parameter set)"
+        f"EPSG:2154 Lambert-93 conformal conic, EPSG:5070 Conus Albers, "
+        f"equivalent proj4/WKT strings, and any polar-stereographic/LAEA/"
+        f"sinusoidal/LCC/Albers proj4 parameter set)"
     )
 
 
@@ -736,6 +754,102 @@ _LCC["EPSG:2154"] = LccParams(
 )
 
 
+# -- Albers equal-area conic, 2SP (numpy; Snyder 1987 §14, EPSG 9822) ---------
+
+@dataclass(frozen=True)
+class AeaParams:
+    """Albers equal-area conic with two standard parallels (EPSG method
+    9822; Snyder 1987 §14, ellipsoidal). EPSG:5070 (NAD83 / Conus Albers
+    — the NLCD / NASS CDL national grid) is the registered instance."""
+
+    lat1: float
+    lat2: float
+    lat0: float
+    lon0: float
+    fe: float
+    fn: float
+    a: float
+    e2: float
+
+
+# NAD83 / Conus Albers (GRS80) — the EPSG registry parameters
+_AEA: dict = {
+    "EPSG:5070": AeaParams(
+        lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+        fe=0.0, fn=0.0, a=6378137.0, e2=_E2_GRS80,
+    ),
+}
+
+
+def _aea_consts(p: AeaParams):
+    """(n, C, rho0, e, qp, authalic series) — per-projection scalars."""
+    e = math.sqrt(p.e2)
+    phi0, phi1, phi2 = (math.radians(v) for v in (p.lat0, p.lat1, p.lat2))
+    q0, q1, q2 = (float(_laea_q(np.asarray(v), e, p.e2)) for v in (phi0, phi1, phi2))
+    m1 = math.cos(phi1) / math.sqrt(1.0 - p.e2 * math.sin(phi1) ** 2)
+    m2 = math.cos(phi2) / math.sqrt(1.0 - p.e2 * math.sin(phi2) ** 2)
+    if abs(phi1 - phi2) < 1e-12:
+        n = math.sin(phi1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = p.a * math.sqrt(C - n * q0) / n
+    qp = float(_laea_q(np.asarray(_HALF_PI), e, p.e2))
+    e2 = p.e2
+    a2 = e2 / 3.0 + 31.0 * e2 ** 2 / 180.0 + 517.0 * e2 ** 3 / 5040.0
+    a4 = 23.0 * e2 ** 2 / 360.0 + 251.0 * e2 ** 3 / 3780.0
+    a6 = 761.0 * e2 ** 3 / 45360.0
+    return n, C, rho0, e, qp, (a2, a4, a6)
+
+
+def aea_forward(lon, lat, p: AeaParams):
+    """(lon, lat) degrees -> Albers (x, y) meters (vectorized)."""
+    n, C, rho0, e, _qp, _ = _aea_consts(p)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    q = _laea_q(phi, e, p.e2)
+    rho = p.a * np.sqrt(C - n * q) / n
+    th = n * np.radians(np.asarray(lon, dtype=np.float64) - p.lon0)
+    x = p.fe + rho * np.sin(th)
+    y = p.fn + rho0 - rho * np.cos(th)
+    return x, y
+
+
+def aea_inverse(x, y, p: AeaParams):
+    """Albers (x, y) meters -> (lon, lat) degrees: authalic-latitude
+    series inverse (Snyder eq. 3-18 — the same series as laea_inverse)."""
+    n, C, rho0, _e, qp, (a2, a4, a6) = _aea_consts(p)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    dx = x - p.fe
+    dy = rho0 - (y - p.fn)
+    rho = np.sqrt(dx * dx + dy * dy)
+    if n < 0:
+        rho = -rho
+    q = (C - (rho * n / p.a) ** 2) / n
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    phi = beta + a2 * np.sin(2.0 * beta) + a4 * np.sin(4.0 * beta) + a6 * np.sin(6.0 * beta)
+    lam = np.arctan2(dx, dy) / n
+    return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def _aea_of(s: str) -> AeaParams | None:
+    p = _AEA.get(s)
+    if p is not None:
+        return p
+    if s.startswith("AEA:"):
+        try:
+            _, lat1, lat2, lat0, lon0, fe, fn, e2 = s.split(":")
+            p = AeaParams(
+                float(lat1), float(lat2), float(lat0), float(lon0),
+                float(fe), float(fn), 6378137.0, float(e2),
+            )
+        except ValueError:
+            return None
+        _AEA[s] = p
+        return p
+    return None
+
+
 def _polar_of(s: str) -> PolarPS | None:
     """PolarPS for an SRS key — EPSG entry or a self-describing 'PS:...'
     dynamic key (parsed on demand so executor workers resolve it too)."""
@@ -816,6 +930,9 @@ def _nonsep_inverse(x, y, s: str):
     pc = _lcc_of(s)
     if pc is not None:
         return lcc_inverse(x, y, pc)
+    pa = _aea_of(s)
+    if pa is not None:
+        return aea_inverse(x, y, pa)
     lon0, fn = utm_params(s)
     return tm_inverse(x, y, lon0, fn)
 
@@ -833,6 +950,9 @@ def _nonsep_forward(lon, lat, s: str):
     pc = _lcc_of(s)
     if pc is not None:
         return lcc_forward(lon, lat, pc)
+    pa = _aea_of(s)
+    if pa is not None:
+        return aea_forward(lon, lat, pa)
     lon0, fn = utm_params(s)
     return tm_forward(lon, lat, lon0, fn)
 
