@@ -1,0 +1,36 @@
+"""Training-data operator family — lazy exports so `from
+gdalcubes_cpp_spark.functions import near_dup_clusters` works without
+eagerly importing every submodule (some pull in pyspark.ml)."""
+
+_EXPORTS = {
+    # dedup
+    "exact_dups": ".dedup", "minhash_signature": ".dedup",
+    "lsh_candidates": ".dedup", "ngram_jaccard": ".dedup",
+    "near_dups_minhash": ".dedup", "simhash": ".dedup",
+    "simhash_near_dups": ".dedup", "connected_components": ".dedup",
+    "near_dup_clusters": ".dedup",
+    # training-mix assembly
+    "deterministic_sample": ".mix", "stratified_sample": ".mix",
+    "pack_shards": ".mix", "training_mix": ".mix",
+    # text analysis
+    "analyze": ".text", "lang_id": ".text", "quality_score": ".text",
+    # embeddings / ANN
+    "cosine_topk": ".ann", "ivf_topk": ".ann", "knn_join_bruteforce": ".ann",
+    "knn_join_ivf": ".ann", "kmeans_centroids": ".ann",
+    "cosine_near_dup_pairs": ".ann", "rp_lsh_pairs": ".ann",
+    # multimodal
+    "image_stats": ".image", "thumbnails": ".image",
+    "create_overviews": ".image", "push_down_overviews": ".image",
+    "translate_collection": ".image", "write_png_collection": ".image",
+}
+
+__all__ = sorted(_EXPORTS)
+
+
+def __getattr__(name):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(name)
+    import importlib
+
+    return getattr(importlib.import_module(mod, __name__), name)

@@ -201,3 +201,13 @@ def test_training_mix_end_to_end(spark):
     assert (out[out["lang"] == "en"].shape[0]) == 200  # fraction 1.0 keeps all
     per_shard = out.groupby("shard_id")["n_chars"].agg(["sum", "max"])
     assert (per_shard["sum"] < 1500 + per_shard["max"]).all()
+
+
+def test_functions_lazy_export_surface():
+    """Every name in functions.__all__ resolves via the lazy exporter."""
+    import gdalcubes_cpp_spark.functions as fns
+
+    for name in fns.__all__:
+        assert callable(getattr(fns, name)), name
+    with pytest.raises(AttributeError):
+        fns.not_a_real_operator
