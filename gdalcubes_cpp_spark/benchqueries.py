@@ -1464,6 +1464,110 @@ def cube_lcc_mean(spark, sf_dir):
     ).df
 
 
+# ----------------------------------------------- LAEA + Albers views
+
+# Margins audited (tests/test_srs_polar.py::test_driver_laea_aea_margins):
+# cell centers >= 1e-5 degrees clear of the footprint-edge grid.
+V_LAEA = CubeView.create(
+    srs="EPSG:3035", left=4596940.0, right=4956940.0,
+    bottom=2588613.0, top=2948613.0, nx=30, ny=32,
+    t0="1995-01-01", nt=27, dt="P3M",
+    aggregation="mean", resampling="near", chunk_size=(8, 16, 15),
+)
+
+# a NOVEL Albers parameter set (central Europe) — exercises the dynamic
+# self-describing AEA key end-to-end through the driver oracle
+V_AEA = CubeView.create(
+    srs="+proj=aea +lat_1=44 +lat_2=49 +lat_0=46 +lon_0=10",
+    left=194289.0, right=574289.0, bottom=36877.0, top=396877.0,
+    nx=30, ny=32, t0="1995-01-01", nt=27, dt="P3M",
+    aggregation="mean", resampling="near", chunk_size=(8, 16, 15),
+)
+
+
+def _laea_cells_sql(v: CubeView) -> str:
+    from . import srs as _srs
+
+    p = _srs._laea_of(_srs.normalize(v.srs))
+    x_sql = f"({_srs._flit(v.left)} + (x.ix + 0.5) * {_srs._flit(v.dx)})"
+    y_sql = f"({_srs._flit(v.top)} - (y.iy + 0.5) * {_srs._flit(v.dy)})"
+    lon_sql, lat_sql = _srs.laea_inverse_sql(x_sql, y_sql, p)
+    return f"""
+  SELECT CAST(t.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         {lon_sql} AS cx, {lat_sql} AS cy
+  FROM range({v.nt}) t(it), range({v.ny}) y(iy), range({v.nx}) x(ix)
+"""
+
+
+def _aea_cells_sql(v: CubeView) -> str:
+    from . import srs as _srs
+
+    p = _srs._aea_of(_srs.normalize(v.srs))
+    x_sql = f"({_srs._flit(v.left)} + (x.ix + 0.5) * {_srs._flit(v.dx)})"
+    y_sql = f"({_srs._flit(v.top)} - (y.iy + 0.5) * {_srs._flit(v.dy)})"
+    lon_sql, lat_sql = _srs.aea_inverse_sql(x_sql, y_sql, p)
+    return f"""
+  SELECT CAST(t.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         {lon_sql} AS cx, {lat_sql} AS cy
+  FROM range({v.nt}) t(it), range({v.ny}) y(iy), range({v.nx}) x(ix)
+"""
+
+
+@q(
+    "cube_laea_mean",
+    f"""
+WITH img AS ({UTM_IMG_SQL}),
+cells AS ({_laea_cells_sql(V_LAEA)}),
+cov AS (
+  SELECT cells.it, cells.iy, cells.ix, img.val1, img.val2
+  FROM cells JOIN img
+    ON {_COVER_SQL}
+   AND cells.it = {_it_sql(V_LAEA)}
+)
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_laea_mean(spark, sf_dir):
+    """Cube build in the ESA/EEA European grid: EPSG:3035 LAEA (EPSG
+    method 9820 / Snyder 1987 §24). The oracle replays the authalic-
+    latitude series inverse in SQL (srs.laea_inverse_sql)."""
+    from .operators.build import build_cube
+
+    return build_cube(
+        images_meta_utm(spark, sf_dir), V_LAEA, bands=("B1", "B2"), value_fn=_value_fn
+    ).df
+
+
+@q(
+    "cube_aea_mean",
+    f"""
+WITH img AS ({UTM_IMG_SQL}),
+cells AS ({_aea_cells_sql(V_AEA)}),
+cov AS (
+  SELECT cells.it, cells.iy, cells.ix, img.val1, img.val2
+  FROM cells JOIN img
+    ON {_COVER_SQL}
+   AND cells.it = {_it_sql(V_AEA)}
+)
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_aea_mean(spark, sf_dir):
+    """Cube build in an Albers equal-area view given as a NOVEL proj4
+    parameter set (EPSG method 9822 / Snyder 1987 §14) — end-to-end proof
+    that dynamic self-describing SRS keys survive the driver contract:
+    the view canonicalizes the proj4 string, executor kernels re-parse
+    the key, and the oracle replays the same inverse in SQL
+    (srs.aea_inverse_sql)."""
+    from .operators.build import build_cube
+
+    return build_cube(
+        images_meta_utm(spark, sf_dir), V_AEA, bands=("B1", "B2"), value_fn=_value_fn
+    ).df
+
+
 @q("cube_average_decode", None)  # rows-only: real decode + aggregating resampler
 def cube_average_decode(spark, sf_dir):
     """Real decode through the 'average' AGGREGATING resampler (the
@@ -2175,7 +2279,8 @@ _fold("query_points_timeseries", "kind",
       [("points", "query_points"), ("timeseries", "query_timeseries")])
 _fold("cube_srs_suite", "srs",  # every non-separable-SRS warp family
       [("utm", "cube_utm_mean"), ("polar", "cube_polar_mean"),
-       ("sinu", "cube_sinu_mean"), ("lcc", "cube_lcc_mean")])
+       ("sinu", "cube_sinu_mean"), ("lcc", "cube_lcc_mean"),
+       ("laea", "cube_laea_mean"), ("aea", "cube_aea_mean")])
 @q("cube_decode_suite", None)  # rows-only: every real-byte decode path
 def cube_decode_suite(spark, sf_dir):
     """Folded rows-only suite: all four real-decode paths — aggregating

@@ -586,6 +586,39 @@ def laea_inverse(x, y, p: LaeaParams):
     return lon, lat
 
 
+def laea_inverse_sql(x_expr: str, y_expr: str, p: LaeaParams):
+    """(lon_sql, lat_sql) ANSI-SQL mirror of laea_inverse — same operation
+    order, E-notation DOUBLE literals. Assumes rho > 0 and interior points
+    (the np.clip guards are identity there; driver views are margin-
+    audited to stay clear of the origin and the horizon)."""
+    e2 = p.e2
+    _e, qp, beta1, rq, d = _laea_consts(p)
+    L = _flit
+    deg = L(180.0 / math.pi)
+    xp = f"((({x_expr}) - {L(p.fe)}) / {L(d)})"
+    yp = f"((({y_expr}) - {L(p.fn)}) * {L(d)})"
+    rho = f"sqrt({xp} * {xp} + {yp} * {yp})"
+    ce = f"(2.0 * asin({rho} / {L(2.0 * rq)}))"
+    betap = (
+        f"asin(cos({ce}) * {L(math.sin(beta1))}"
+        f" + {yp} * sin({ce}) * {L(math.cos(beta1))} / {rho})"
+    )
+    lam = (
+        f"atan2({xp} * sin({ce}),"
+        f" {rho} * {L(math.cos(beta1))} * cos({ce})"
+        f" - {yp} * {L(math.sin(beta1))} * sin({ce}))"
+    )
+    c2 = e2 / 3.0 + 31.0 * e2 ** 2 / 180.0 + 517.0 * e2 ** 3 / 5040.0
+    c4 = 23.0 * e2 ** 2 / 360.0 + 251.0 * e2 ** 3 / 3780.0
+    c6 = 761.0 * e2 ** 3 / 45360.0
+    lat = (
+        f"(({betap} + {L(c2)} * sin(2.0 * {betap}) + {L(c4)} * sin(4.0 * {betap})"
+        f" + {L(c6)} * sin(6.0 * {betap})) * {deg})"
+    )
+    lon = f"({L(p.lon0)} + {lam} * {deg})"
+    return lon, lat
+
+
 # -- sinusoidal (numpy; Snyder 1987 §30, spherical form) ----------------------
 
 @dataclass(frozen=True)
@@ -830,6 +863,31 @@ def aea_inverse(x, y, p: AeaParams):
     phi = beta + a2 * np.sin(2.0 * beta) + a4 * np.sin(4.0 * beta) + a6 * np.sin(6.0 * beta)
     lam = np.arctan2(dx, dy) / n
     return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def aea_inverse_sql(x_expr: str, y_expr: str, p: AeaParams):
+    """(lon_sql, lat_sql) ANSI-SQL mirror of aea_inverse — same operation
+    order, E-notation DOUBLE literals. Assumes n > 0, rho > 0 and interior
+    points (np.clip is identity there; driver views are margin-audited)."""
+    n, C, rho0, _e, qp, (a2, a4, a6) = _aea_consts(p)
+    if n <= 0:
+        raise ValueError("SQL mirror assumes n > 0 (northern standard parallels)")
+    L = _flit
+    deg = L(180.0 / math.pi)
+    dx = f"(({x_expr}) - {L(p.fe)})"
+    dy = f"({L(rho0)} - (({y_expr}) - {L(p.fn)}))"
+    rho = f"sqrt({dx} * {dx} + {dy} * {dy})"
+    # numpy's `** 2` is an exact self-multiply (fast integer-power path);
+    # SQL pow(x, 2) may round through exp/log — multiply explicitly
+    rhon = f"({rho} * {L(n)} / {L(p.a)})"
+    q = f"(({L(C)} - {rhon} * {rhon}) / {L(n)})"
+    beta = f"asin({q} / {L(qp)})"
+    lat = (
+        f"(({beta} + {L(a2)} * sin(2.0 * {beta}) + {L(a4)} * sin(4.0 * {beta})"
+        f" + {L(a6)} * sin(6.0 * {beta})) * {deg})"
+    )
+    lon = f"({L(p.lon0)} + (atan2({dx}, {dy}) / {L(n)}) * {deg})"
+    return lon, lat
 
 
 def _aea_of(s: str) -> AeaParams | None:

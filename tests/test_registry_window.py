@@ -62,6 +62,7 @@ def test_every_def_reachable():
         "doc_simhash_near_dups", "cube_average_decode", "cube_real_decode",
         "simple_cube_decode", "cube_mask_band_decode",
         "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
+        "cube_laea_mean", "cube_aea_mean",
         "reduce_time_exact", "reduce_time_stats", "reduce_time_which",
     }
     window = set(REGISTRY)

@@ -78,3 +78,21 @@ def test_aea_proj4_and_dispatch():
         -2000000.0, 2000000.0, 500000.0, 3000000.0, "EPSG:5070"
     )
     assert l < LON.min() and r > LON.max() and b < LAT.min() and t > LAT.max()
+
+
+def test_aea_sql_mirror_duckdb():
+    """aea_inverse_sql replays the numpy kernel in DuckDB to libm ulps."""
+    import duckdb
+
+    lon_sql, lat_sql = srs.aea_inverse_sql("x", "y", P)
+    xs = np.linspace(-2.2e6, 2.2e6, 25)
+    ys = np.linspace(3.0e5, 3.2e6, 25)
+    X, Y = np.meshgrid(xs, ys)
+    lo_np, la_np = srs.aea_inverse(X, Y, P)
+    rows = duckdb.connect().execute(
+        f"SELECT {lon_sql} AS lon, {lat_sql} AS lat "
+        f"FROM (SELECT unnest(?) AS x, unnest(?) AS y)",
+        [X.ravel().tolist(), Y.ravel().tolist()],
+    ).fetchnumpy()
+    assert np.abs(rows["lon"] - lo_np.ravel()).max() < 1e-12
+    assert np.abs(rows["lat"] - la_np.ravel()).max() < 1e-12

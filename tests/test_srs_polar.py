@@ -338,3 +338,39 @@ def test_png_collection_export(spark, tmp_path):
     want = np.clip(np.round(sl * 25.5), 0, 255)
     want = np.where(np.isfinite(sl), want, 7.0).astype(np.uint8)
     assert np.array_equal(img0, want)
+
+
+def test_laea_sql_mirror_duckdb():
+    """laea_inverse_sql replays the numpy kernel in DuckDB to libm ulps."""
+    import duckdb
+
+    p = srs._LAEA["EPSG:3035"]
+    lon_sql, lat_sql = srs.laea_inverse_sql("x", "y", p)
+    xs = np.linspace(2.5e6, 6.5e6, 25)
+    ys = np.linspace(1.5e6, 5.0e6, 25)
+    X, Y = np.meshgrid(xs, ys)
+    lo_np, la_np = srs.laea_inverse(X, Y, p)
+    rows = duckdb.connect().execute(
+        f"SELECT {lon_sql} AS lon, {lat_sql} AS lat "
+        f"FROM (SELECT unnest(?) AS x, unnest(?) AS y)",
+        [X.ravel().tolist(), Y.ravel().tolist()],
+    ).fetchnumpy()
+    assert np.abs(rows["lon"] - lo_np.ravel()).max() < 1e-12
+    assert np.abs(rows["lat"] - la_np.ravel()).max() < 1e-12
+
+
+def test_driver_laea_aea_margins():
+    """cube_laea_mean / cube_aea_mean robustness invariant: cell centers
+    >= 1e-5 degrees clear of the 0.01-degree footprint-edge grid."""
+    from gdalcubes_cpp_spark.benchqueries import V_AEA, V_LAEA
+
+    for v in (V_LAEA, V_AEA):
+        xs = v.left + (np.arange(v.nx) + 0.5) * v.dx
+        ys = v.top - (np.arange(v.ny) + 0.5) * v.dy
+        LON, LAT = srs.grid_to_wgs84(xs, ys, v.srs)
+
+        def margin(vals):
+            return (np.abs(vals * 100 - np.round(vals * 100)) / 100).min()
+
+        assert margin(LON.ravel()) > 1e-5, v.srs
+        assert margin(LAT.ravel()) > 1e-5, v.srs
