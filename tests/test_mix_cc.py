@@ -47,8 +47,9 @@ def _uf_components(edges, nodes=None):
     return out
 
 
-def test_connected_components_random_graph(spark):
-    rng = random.Random(7)
+@pytest.mark.parametrize("seed", [7, 23, 4242])
+def test_connected_components_random_graph(spark, seed):
+    rng = random.Random(seed)
     nodes = list(range(200))
     edges = [
         (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
@@ -211,3 +212,27 @@ def test_functions_lazy_export_surface():
         assert callable(getattr(fns, name)), name
     with pytest.raises(AttributeError):
         fns.not_a_real_operator
+
+
+def test_threshold_hex_monotone_property():
+    """Pure property: thresholds are monotone in the fraction (hypothesis),
+    so same-seed samples nest across fractions."""
+    from hypothesis import given, strategies as st
+
+    @given(st.floats(0.0, 1.0), st.floats(0.0, 1.0))
+    def check(f1, f2):
+        lo, hi = sorted((f1, f2))
+        assert _threshold_hex(lo) <= _threshold_hex(hi)
+
+    check()
+
+
+def test_dedup_clusters_edge_join_plan(spark):
+    """The driver query's banded edge join must stay an equi-join on
+    (bucket, lang) — never a cartesian/BNLJ blowup."""
+    from gdalcubes_cpp_spark.benchqueries import DEFS
+
+    out = DEFS["doc_dedup_clusters"][0](spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
