@@ -1043,13 +1043,13 @@ def events_tumbling(spark, sf_dir):
     "events_sessionize",
     """
 WITH o AS (
-  SELECT user_id, event_id, ts, epoch(ts)::BIGINT AS sec,
-         lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS prev
+  SELECT user_id, event_id, ts, epoch_us(ts) AS sec,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
   FROM events),
 s AS (
   SELECT user_id, ts,
-         SUM(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END)
+         SUM(CASE WHEN prev IS NULL OR sec - prev > 1800000000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session
   FROM o)
 SELECT user_id, CAST(session AS BIGINT) AS session,

@@ -78,7 +78,10 @@ def sessionize_stream(
     operators plug into."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap = gap_minutes * 60
+    # exact integer MICROseconds — matches sessionize_batch bit-for-bit
+    # (whole seconds would truncate fractional timestamps and disagree
+    # with the batch twin on gaps within 1s of the threshold)
+    gap = gap_minutes * 60 * 1_000_000
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -88,14 +91,14 @@ def sessionize_stream(
             state.remove()
             yield pd.DataFrame({
                 "event_type": [key[0]],
-                "session_start": [pd.Timestamp(start, unit="s")],
-                "session_end": [pd.Timestamp(last, unit="s")],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
                 "n_events": [n],
             })
             return
         ts = []
         for pdf in pdfs:
-            ts.extend(int(t.timestamp()) for t in pdf["ts"])
+            ts.extend(int(t.value // 1000) for t in pdf["ts"])  # micros
         ts.sort()
         out = []
         if state.exists:
@@ -109,13 +112,13 @@ def sessionize_stream(
             last = max(last, t)
             n += 1
         state.update((start, last, n))
-        state.setTimeoutDuration(gap * 1000)
+        state.setTimeoutDuration(gap // 1000)  # micros -> ms
         import pandas as pd
 
         yield pd.DataFrame({
             "event_type": [key[0]] * len(out),
-            "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in out],
-            "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in out],
+            "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in out],
+            "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in out],
             "n_events": [n_ for _, _, n_ in out],
         })
 
@@ -151,19 +154,25 @@ def sessionize_batch(
 
     Two stacked windows on the SAME (key, ts, tiebreak) ordering — lag to
     mark breaks, a running sum to number sessions — then one groupBy.
-    Everything is exact integer-second arithmetic, so the driver's DuckDB
-    oracle replays every decision bit-for-bit. Scale: both windows and the
-    final aggregation partition by the session key — ONE exchange, no
+    Gap arithmetic is exact integer MICROseconds (unix_micros here,
+    epoch_us in the oracle): second-level functions disagree across
+    engines on fractional timestamps (Spark unix_timestamp TRUNCATES,
+    DuckDB's double->BIGINT cast ROUNDS), which silently flips the break
+    decision for gaps within 1s of the threshold. Scale: both windows and
+    the final aggregation partition by the session key — ONE exchange, no
     global sort; a key's history must fit a partition (true for any
     realistic per-user event volume; split hyper-keys upstream by day if
     not)."""
     from pyspark.sql import Window as W
 
-    gap = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
     w = W.partitionBy(key_col).orderBy(ts_col, *order_cols)
-    sec = F.unix_timestamp(F.col(ts_col))
+    # cast: parquet may surface TIMESTAMP_NTZ (driver sessions do), which
+    # unix_micros rejects; under a UTC session the NTZ->TZ cast is the
+    # identity instant DuckDB's epoch_us assumes
+    sec = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev = F.lag(sec).over(w)
-    brk = F.when(prev.isNull() | ((sec - prev) > F.lit(gap)), 1).otherwise(0)
+    brk = F.when(prev.isNull() | ((sec - prev) > F.lit(gap_us)), 1).otherwise(0)
     s = events.withColumn("_brk", brk).withColumn(
         "session", F.sum("_brk").over(w).cast("long")
     )
