@@ -19,7 +19,7 @@ import numpy as np
 
 import __spark_entry__ as E
 
-SF = "/root/testdata/sf0.01"
+SF = __import__("os").environ.get("DRIVER_SIM_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -103,3 +103,53 @@ def test_sessionize_stream(spark, tmp_path):
     assert got == want
     closed = got[("a", 1)]
     assert closed == (r["session_start"], r["session_end"], r["n_events"])
+
+
+def test_sessionize_batch_random_micros(spark):
+    """Randomized microsecond-precision events vs a pure-python
+    sessionizer — locks the exact gap semantics (strict >, micros, tie
+    order) that the sf0.01 driver data cannot fully exercise."""
+    import random
+
+    rng = random.Random(11)
+    base = pd.Timestamp("2024-03-01").value // 1000  # micros
+    gap_us = 5 * 60 * 1_000_000
+    rows = []
+    eid = 0
+    for user in range(7):
+        t = base + rng.randrange(0, 10**9)
+        for _ in range(rng.randrange(5, 60)):
+            # gaps cluster around the threshold, including EXACT hits
+            t += rng.choice([1, 10**6, gap_us - 1, gap_us, gap_us + 1,
+                             rng.randrange(1, 2 * gap_us)])
+            rows.append((eid, pd.Timestamp(t, unit="us"), user))
+            eid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    )
+    from gdalcubes_cpp_spark.streaming.events import sessionize_batch
+
+    got = {
+        (r["user_id"], r["session"]): (
+            pd.Timestamp(r["session_start"]).value // 1000,
+            pd.Timestamp(r["session_end"]).value // 1000,
+            r["n_events"],
+        )
+        for r in sessionize_batch(df, gap_minutes=5).collect()
+    }
+    # pure-python oracle
+    byu = {}
+    for _eid, ts, u in rows:
+        byu.setdefault(u, []).append(ts.value // 1000)
+    want = {}
+    for u, tss in byu.items():
+        tss.sort()
+        sess, start, last, n = 1, tss[0], tss[0], 0
+        for t in tss:
+            if t - last > gap_us:
+                want[(u, sess)] = (start, last, n)
+                sess, start, n = sess + 1, t, 0
+            last = t
+            n += 1
+        want[(u, sess)] = (start, last, n)
+    assert got == want
