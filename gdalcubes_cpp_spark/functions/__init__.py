@@ -11,7 +11,7 @@ _EXPORTS = {
     "near_dup_clusters": ".dedup",
     # training-mix assembly
     "deterministic_sample": ".mix", "stratified_sample": ".mix",
-    "pack_shards": ".mix", "training_mix": ".mix",
+    "pack_shards": ".mix", "training_mix": ".mix", "corpus_pipeline": ".mix",
     # text analysis
     "analyze": ".text", "lang_id": ".text", "quality_score": ".text",
     # embeddings / ANN

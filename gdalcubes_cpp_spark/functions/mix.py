@@ -128,3 +128,46 @@ def training_mix(
     language, then cut the kept documents into budget-bounded shards)."""
     kept = stratified_sample(docs, strata_col, fractions, key_col, seed)
     return pack_shards(kept, weight_col, budget, key_col, n_groups, seed + "/pack")
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    fractions: dict | None = None,
+    min_quality: float = 0.0,
+    dedup_threshold: float = 0.7,
+    budget: float = 100_000.0,
+    n_groups: int = 256,
+    seed: str = "corpus0",
+) -> DataFrame:
+    """The full training-data path in one call:
+
+        near-dup clusters -> keep one canonical doc per cluster
+        -> text analysis + quality gate -> stratified mix weights
+        -> token-budget shard packing
+
+    Each stage is the scale-audited operator documented in PLANS.md /
+    COVERAGE.md; this composition is what a 100 TB corpus actually runs.
+    Stage plan shapes: LSH bucket joins + star-contraction rounds (dedup),
+    one scan (analysis + quality + sampling filters — Catalyst fuses all
+    three into the same Filter over the scan), one grouped-window exchange
+    (packing). Returns the kept documents with ``cluster``, analysis
+    columns, ``grp``/``shard``/``shard_id``.
+    """
+    from .dedup import near_dup_clusters
+    from .text import analyze
+
+    clusters = near_dup_clusters(
+        docs, id_col, text_col, threshold=dedup_threshold
+    ).filter(F.col("is_canonical"))
+    kept = docs.join(
+        clusters.select(F.col(id_col), "cluster"), id_col, "inner"
+    )
+    scored = analyze(kept, text_col).filter(F.col("quality") >= F.lit(min_quality))
+    if fractions is not None:
+        scored = stratified_sample(scored, strata_col, fractions, id_col, seed)
+    return pack_shards(
+        scored, "bpe_tokens", budget, id_col, n_groups, seed + "/pack"
+    )

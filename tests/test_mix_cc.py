@@ -236,3 +236,24 @@ def test_dedup_clusters_edge_join_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_pipeline_end_to_end(spark):
+    """Dedup -> canonical -> quality -> mix -> pack in one call: near-dups
+    collapse to one kept doc, every kept doc gets a shard, budgets hold."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(i, base + f"unique filler {i} " * (i % 4), "en") for i in range(20)]
+    rows += [(100, "voici un document francais tout a fait distinct " * 8, "fr")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from gdalcubes_cpp_spark.functions.mix import corpus_pipeline
+
+    out = corpus_pipeline(
+        docs, fractions={"en": 1.0, "fr": 1.0}, dedup_threshold=0.5,
+        budget=2000.0, n_groups=4,
+    ).toPandas()
+    assert 1 <= len(out) < 21  # near-dups collapsed, fr doc kept
+    assert 100 in set(out["doc_id"])
+    assert out["doc_id"].is_unique
+    assert {"cluster", "quality", "bpe_tokens", "shard_id"} <= set(out.columns)
+    per_shard = out.groupby("shard_id")["bpe_tokens"].agg(["sum", "max"])
+    assert (per_shard["sum"] < 2000 + per_shard["max"]).all()
