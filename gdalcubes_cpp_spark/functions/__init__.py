@@ -18,6 +18,7 @@ _EXPORTS = {
     "cosine_topk": ".ann", "ivf_topk": ".ann", "knn_join_bruteforce": ".ann",
     "knn_join_ivf": ".ann", "kmeans_centroids": ".ann",
     "cosine_near_dup_pairs": ".ann", "rp_lsh_pairs": ".ann",
+    "quantize_int8": ".ann", "dequantize_int8": ".ann",
     # multimodal
     "image_stats": ".image", "thumbnails": ".image",
     "create_overviews": ".image", "push_down_overviews": ".image",

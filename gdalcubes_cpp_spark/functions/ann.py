@@ -365,3 +365,39 @@ def cosine_near_dup_pairs(
         )
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Embedding storage: int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(v_i * 127 /
+    max|v|), stored as array<tinyint> + one float scale — a 4x (float32)
+    to 8x (float64) storage cut for a 10^12-row embedding table, entirely
+    JVM-side (F.transform, whole-stage codegen; no UDF). Zero vectors get
+    scale 0 and dequantize back to zeros (the 1e-30 floor only guards the
+    division)."""
+    v = _as_double_array(F.col(vec_col))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.greatest(maxabs, F.lit(1e-30))
+    q = F.transform(v, lambda x: F.round(x * scale).cast("tinyint"))
+    return emb.withColumn("qvec", q).withColumn(
+        "qscale",
+        F.when(maxabs > 0, (maxabs / F.lit(127.0))).otherwise(F.lit(0.0)).cast("float"),
+    )
+
+
+def dequantize_int8(
+    qdf: DataFrame, qvec_col: str = "qvec", scale_col: str = "qscale",
+    out_col: str = "embedding_deq",
+) -> DataFrame:
+    """Inverse of quantize_int8: v_i ~= q_i * scale. Reconstruction error
+    per component is <= max|v|/254 (half a quantization step)."""
+    s = F.col(scale_col).cast("double")
+    return qdf.withColumn(
+        out_col, F.transform(F.col(qvec_col), lambda x: x.cast("double") * s)
+    )

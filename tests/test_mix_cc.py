@@ -257,3 +257,32 @@ def test_corpus_pipeline_end_to_end(spark):
     assert {"cluster", "quality", "bpe_tokens", "shard_id"} <= set(out.columns)
     per_shard = out.groupby("shard_id")["bpe_tokens"].agg(["sum", "max"])
     assert (per_shard["sum"] < 2000 + per_shard["max"]).all()
+
+
+def test_quantize_int8_roundtrip(spark):
+    """int8 quantization: bounded per-component error, cosine preserved to
+    1e-3, zero vectors survive, all JVM-side (no UDF in the plan)."""
+    import math
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(32)]) for i in range(50)
+    ] + [(99, [0.0] * 32)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from gdalcubes_cpp_spark.functions.ann import dequantize_int8, quantize_int8
+
+    out = dequantize_int8(quantize_int8(emb)).collect()
+    for r in out:
+        v, d = r["embedding"], r["embedding_deq"]
+        m = max(abs(x) for x in v)
+        if m == 0:
+            assert all(x == 0.0 for x in d)
+            continue
+        assert max(abs(a - b) for a, b in zip(v, d)) <= m / 254 + 1e-12
+        dot = sum(a * b for a, b in zip(v, d))
+        na = math.sqrt(sum(a * a for a in v))
+        nb = math.sqrt(sum(b * b for b in d))
+        assert dot / (na * nb) > 0.999
+    plan = dequantize_int8(quantize_int8(emb))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
