@@ -2312,18 +2312,28 @@ FROM ({_DEFS["window_time_mean"][1]}) sub
 UNION ALL
 SELECT 'kernel' AS kind, it, iy, ix, B1 AS val
 FROM ({_DEFS["window_time_kernel"][1]}) sub
+UNION ALL
+SELECT 'space' AS kind, t.it AS it, t.iy AS iy, t.ix AS ix, avg(s.B1) AS val
+FROM ({_CELLS_F_SQL}) t JOIN ({_CELLS_F_SQL}) s
+  ON s.it = t.it AND abs(s.iy - t.iy) <= 1 AND abs(s.ix - t.ix) <= 1
+GROUP BY t.it, t.iy, t.ix
 """,
 )
 def window_time_suite(spark, sf_dir):
     """Folded driver suite: window_time reducer + convolution-kernel forms
-    (src/window_time.cpp:29-95,120-157) in one tagged union."""
+    (src/window_time.cpp:29-95,120-157) + the SPATIAL focal window
+    (window_space 3x3 mean — halo-advertise + one groupBy; the oracle is
+    an independent within-window self-join) in one tagged union."""
     a = _DEFS["window_time_mean"][0](spark, sf_dir).select(
         F.lit("mean").alias("kind"), *KEY, F.col("B1_mean").alias("val")
     )
     b = _DEFS["window_time_kernel"][0](spark, sf_dir).select(
         F.lit("kernel").alias("kind"), *KEY, F.col("B1").alias("val")
     )
-    return a.unionAll(b)
+    c = _formula_cube(spark).window_space((1, 1), reducers=[("mean", "B1")]).df.select(
+        F.lit("space").alias("kind"), *KEY, F.col("B1_mean").alias("val")
+    )
+    return a.unionAll(b).unionAll(c)
 
 
 @q(

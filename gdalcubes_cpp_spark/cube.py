@@ -385,6 +385,80 @@ class Cube:
         out = dense.withColumns(cols).select(*KEY, *names)
         return self._with(out, bands=tuple(names))
 
+    def window_space(self, window: tuple, reducers=None, kernel=None) -> "Cube":
+        """Moving FOCAL window over space per time slice — the
+        window_space of the user-facing gdalcubes API (the C++ core ships
+        only window_time, src/window_time.h; this is the spatial
+        counterpart, an extension). ``window`` = (a, b): half-sizes in y
+        and x, i.e. a (2a+1)x(2b+1) neighborhood truncated at view edges.
+        Either ``reducers`` = [(reducer, band)] (missing/NULL cells are
+        ignored, like window_time) or ``kernel`` = 2D weight list of shape
+        (2a+1)x(2b+1) (missing cells contribute 0 — zero padding, the
+        same NaN-skip accumulate as the time kernel).
+
+        Shuffle shape: each populated cell ADVERTISES its value to every
+        target position of its window (a Generate of (2a+1)(2b+1) rows —
+        the halo/ghost-cell exchange expressed as data instead of chunk
+        bookkeeping, same formulation as fill_space_knn), then ONE
+        groupBy(it, ty, tx) reduces contributions. Cost scales as
+        rows x window area with no quadratic term and no dense
+        materialization; a 10^12-cell cube with a 5x5 window shuffles
+        25 narrow rows per cell, each a handful of doubles."""
+        a, b = window
+        v = self.view
+        offy, offx = F.sequence(F.lit(-a), F.lit(a)), F.sequence(F.lit(-b), F.lit(b))
+        pairs = F.explode(
+            F.flatten(
+                F.transform(
+                    offy,
+                    lambda dy: F.transform(offx, lambda dx: F.struct(dy.alias("dy"), dx.alias("dx"))),
+                )
+            )
+        ).alias("o")
+        adv = (
+            self.df.select(*KEY, *self.bands, pairs)
+            .select(
+                "it",
+                (F.col("iy") + F.col("o.dy")).cast("int").alias("ty"),
+                (F.col("ix") + F.col("o.dx")).cast("int").alias("tx"),
+                F.col("o.dy").alias("dy"), F.col("o.dx").alias("dx"),
+                *self.bands,
+            )
+            .filter(
+                (F.col("ty") >= 0) & (F.col("ty") < v.ny)
+                & (F.col("tx") >= 0) & (F.col("tx") < v.nx)
+            )
+        )
+        if kernel is not None:
+            if len(kernel) != 2 * a + 1 or any(len(row) != 2 * b + 1 for row in kernel):
+                raise ValueError("kernel must have shape (2a+1) x (2b+1)")
+            flat = [float(w) for row in kernel for w in row]
+            taps = F.array(*[F.lit(w) for w in flat])
+            # source sits at offset (-dy, -dx) inside the TARGET's window
+            idx = ((F.lit(a) - F.col("dy")) * (2 * b + 1) + (F.lit(b) - F.col("dx")) + 1).cast("int")
+            aggs = [
+                F.sum(
+                    F.when(F.col(f"`{bn}`").isNotNull(), F.col(f"`{bn}`") * F.element_at(taps, idx))
+                    .otherwise(F.lit(0.0))
+                ).alias(bn)
+                for bn in self.bands
+            ]
+            out = adv.groupBy("it", "ty", "tx").agg(*aggs).withColumnsRenamed(
+                {"ty": "iy", "tx": "ix"}
+            ).select(*KEY, *self.bands)
+            return self._with(out)
+        names, aggs = [], []
+        for red, bn in reducers:
+            if red not in _WINDOW_REDUCERS:
+                raise ValueError(f"reducer {red!r} not supported by window_space")
+            name = f"{bn}_{red}"
+            names.append(name)
+            aggs.append(_REDUCERS[red](bn).cast("double").alias(name))
+        out = adv.groupBy("it", "ty", "tx").agg(*aggs).withColumnsRenamed(
+            {"ty": "iy", "tx": "ix"}
+        ).select(*KEY, *names)
+        return self._with(out, bands=tuple(names))
+
     def _densify_time(self) -> DataFrame:
         """Expand each (iy, ix) pixel to all nt slices (nulls where absent) —
         needed by window/fill ops whose frames count slices, not rows
