@@ -594,6 +594,42 @@ class Cube:
         )
         return self._with(out)
 
+    def predict(self, model, feature_bands=None, output_col="prediction") -> "Cube":
+        """Apply a fitted pyspark.ml Transformer per pixel — the
+        predict.cube workflow of the user-facing gdalcubes R API (train on
+        extract_geom samples, apply over the full cube; the C++ core has
+        no ML surface). ``feature_bands`` (default: all bands) are
+        assembled into the model's features vector JVM-side; rows with any
+        NULL feature pass through with NULL prediction (ml models reject
+        NaNs). The model's transform is a narrow map over the cube table —
+        no shuffle, scales with the scan."""
+        from pyspark.ml.feature import VectorAssembler
+
+        bands = list(feature_bands or self.bands)
+        ok = None
+        for b in bands:
+            c = F.col(f"`{b}`").isNotNull()
+            ok = c if ok is None else (ok & c)
+        pcol = (
+            model.getPredictionCol() if hasattr(model, "getPredictionCol")
+            else "prediction"
+        )
+        assembled = VectorAssembler(
+            inputCols=bands, outputCol="features"
+        ).transform(self.df.filter(ok))
+        pred = model.transform(assembled).select(
+            *KEY, *self.bands, F.col(pcol).cast("double").alias(output_col)
+        )
+        # complement rows pass through with NULL prediction: a union of two
+        # filtered scans, NOT a join back on KEY (which would shuffle)
+        passthrough = self.df.filter(~F.coalesce(ok, F.lit(False))).select(
+            *KEY, *self.bands, F.lit(None).cast("double").alias(output_col)
+        )
+        return self._with(
+            pred.unionByName(passthrough),
+            bands=tuple(self.bands) + (output_col,),
+        )
+
     # ------------------------------------------------------- joins (§2.3)
 
     def join_bands(self, others, prefixes=None) -> "Cube":

@@ -106,3 +106,31 @@ def test_window_space_asymmetric_and_errors(spark):
         c.window_space((1, 1), kernel=[[1.0, 2.0]])  # wrong shape
     with pytest.raises(ValueError):
         c.window_space((1, 1), reducers=[("var", "B1")])  # not a window reducer
+
+
+def test_predict_linear_model(spark):
+    """Cube.predict: fit a pyspark.ml LinearRegression on extracted pixel
+    samples where target = 3*B1 + 2 exactly, apply over the full cube —
+    predictions recover the relation to 1e-6; NULL-feature cells pass
+    through with NULL prediction; no join/shuffle beyond the model map."""
+    from pyspark.ml.regression import LinearRegression
+
+    c = _cube(spark)
+    train = (
+        c.df.filter(F.col("B1").isNotNull())
+        .withColumn("y", 3 * F.col("B1") + 2)
+        .limit(60)
+    )
+    from pyspark.ml.feature import VectorAssembler
+
+    fit_in = VectorAssembler(inputCols=["B1"], outputCol="features").transform(train)
+    model = LinearRegression(featuresCol="features", labelCol="y").fit(fit_in)
+    out = c.predict(model, feature_bands=["B1"]).df.collect()
+    assert len(out) == _view().nt * _view().ny * _view().nx
+    for r in out:
+        if r["B1"] is None:
+            assert r["prediction"] is None
+        else:
+            assert abs(r["prediction"] - (3 * r["B1"] + 2)) < 1e-6
+    plan = c.predict(model, feature_bands=["B1"]).df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
