@@ -2392,7 +2392,9 @@ agg AS (
          CAST(count(B1) AS DOUBLE) AS B1_count, CAST(sum(B1) AS DOUBLE) AS B1_sum,
          avg(B1) AS B1_mean, quantile_cont(B1, 0.5) AS B1_median,
          quantile_cont(B1, 0.25) AS B1_Q1, quantile_cont(B1, 0.75) AS B1_Q3,
-         round(var_samp(B1), 6) AS B1_var, round(stddev_samp(B1), 6) AS B1_sd
+         round(var_samp(B1), 6) AS B1_var, round(stddev_samp(B1), 6) AS B1_sd,
+         round(regr_slope(B1, it), 6) AS B1_slope,
+         round(regr_intercept(B1, it), 6) AS B1_intercept
   FROM cells GROUP BY iy, ix
 ),
 r AS (
@@ -2415,11 +2417,12 @@ FROM agg JOIN w ON agg.iy = w.iy AND agg.ix = w.ix
 def reduce_time_full(spark, sf_dir):
     """ALL 12 reduce_time kernels in ONE call (src/reduce_time.cpp:56-524):
     min/max/count/sum/mean/median/Q1/Q3/var/sd/which_min/which_max — folds
-    the former reduce_time_exact/stats/which driver entries."""
+    the former reduce_time_exact/stats/which driver entries — plus the
+    slope/intercept per-pixel trend extension (regr_* in both engines)."""
     c = _formula_cube(spark).reduce_time(
         [(r, "B1") for r in (
             "min", "max", "count", "sum", "mean", "median", "Q1", "Q3",
-            "var", "sd", "which_min", "which_max",
+            "var", "sd", "which_min", "which_max", "slope", "intercept",
         )]
     )
     return c.df.select(
@@ -2427,6 +2430,8 @@ def reduce_time_full(spark, sf_dir):
         "B1_median", "B1_Q1", "B1_Q3",
         F.round("B1_var", 6).alias("B1_var"), F.round("B1_sd", 6).alias("B1_sd"),
         "B1_which_min", "B1_which_max",
+        F.round("B1_slope", 6).alias("B1_slope"),
+        F.round("B1_intercept", 6).alias("B1_intercept"),
     )
 
 

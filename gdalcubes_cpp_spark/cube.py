@@ -40,6 +40,12 @@ _REDUCERS = {
     "Q3": lambda c: F.expr(f"percentile({c}, 0.75)"),
     "var": lambda c: F.var_samp(c),   # Welford ddof=1 (src/reduce_time.cpp:467-514)
     "sd": lambda c: F.stddev_samp(c),
+    # per-pixel least-squares trend over slice index (the NDVI-trend
+    # workflow; an extension — the reference's TODO at reduce_time.cpp:355
+    # stops at exact kernels). NULL slices drop out pairwise; constant x
+    # (e.g. under reduce_space) yields NULL.
+    "slope": lambda c: F.expr(f"regr_slope({c}, it)"),
+    "intercept": lambda c: F.expr(f"regr_intercept({c}, it)"),
 }
 
 # moving-window reducers supported by window_time (src/window_time.cpp:29-95)

@@ -134,3 +134,27 @@ def test_predict_linear_model(spark):
             assert abs(r["prediction"] - (3 * r["B1"] + 2)) < 1e-6
     plan = c.predict(model, feature_bands=["B1"]).df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_reduce_time_trend(spark):
+    """slope/intercept reducers vs numpy least squares per pixel
+    (NULL slices drop out pairwise)."""
+    v = _view()
+    got = {
+        (r["iy"], r["ix"]): (r["B1_slope"], r["B1_intercept"])
+        for r in _cube(spark).reduce_time(
+            [("slope", "B1"), ("intercept", "B1")]
+        ).df.collect()
+    }
+    g = _grid(v)
+    for iy in range(v.ny):
+        for ix in range(v.nx):
+            series = g[:, iy, ix]
+            its = np.where(~np.isnan(series))[0]
+            s_have, i_have = got[(iy, ix)]
+            if len(its) < 2 or len(set(its)) < 2:
+                assert s_have is None
+                continue
+            slope, intercept = np.polyfit(its, series[its], 1)
+            assert abs(s_have - slope) < 1e-9, (iy, ix)
+            assert abs(i_have - intercept) < 1e-9, (iy, ix)
