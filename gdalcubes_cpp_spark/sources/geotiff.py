@@ -485,3 +485,50 @@ def _ifds_before_data(buf: bytes, ifds: list) -> bool:
         last_end = max(last_end, off + 2 + 12 * n + 4)
         (off,) = struct.unpack_from("<I", buf, off + 2 + 12 * n)
     return last_end <= first_data
+
+
+def _encode_slice_group(pdf, view, bands, out_dir, flavor, tile, levels):
+    """One time slice's rows -> an encoded GeoTIFF written executor-side.
+    Module-level (no Cube/DataFrame captured) so the grouped-map closure
+    pickles cleanly; ``view`` is the plain CubeView dataclass."""
+    import pandas as pd
+
+    it = int(pdf["it"].iloc[0])
+    planes = np.full((len(bands), view.ny, view.nx), np.nan)
+    iy = pdf["iy"].to_numpy()
+    ix = pdf["ix"].to_numpy()
+    for bi, b in enumerate(bands):
+        vals = pdf[b].to_numpy(dtype=np.float64, na_value=np.nan)
+        planes[bi, iy, ix] = vals
+    stamp = view.datetime_at(it).isoformat().replace(":", "")
+    path = os.path.join(out_dir, f"cube_{it:04d}_{stamp}.tif")
+    if flavor == "cog":
+        write_cog_slice(planes, view, bands, it, path, tile=tile, levels=levels)
+    else:
+        write_gtiff_slice(planes, view, bands, it, path)
+    return pd.DataFrame({"it": [it], "path": [path], "nbytes": [os.path.getsize(path)]})
+
+
+def write_gtiff_distributed(
+    cube, out_dir: str, flavor: str = "gtiff", tile: int = 256, levels=(2, 4)
+) -> list:
+    """Cube -> one GeoTIFF (or COG) per time slice, each slice assembled
+    and encoded on an EXECUTOR: one exchange keyed on the slice index
+    (applyInPandas per ``it``), the driver never holds pixel data — unlike
+    write_gtiff, whose single-process gather mirrors the reference
+    (src/cube.cpp:116-210) but caps at driver memory. Slices write
+    independently to ``out_dir`` (shared FS / object store on a real
+    cluster; encode-to-bytes + your blob writer is the same hook).
+    Output is byte-identical to the driver-side writer (pytest-asserted).
+    Returns [(it, path, nbytes)] sorted by slice."""
+    import functools
+
+    os.makedirs(out_dir, exist_ok=True)
+    fn = functools.partial(
+        _encode_slice_group, view=cube.view, bands=tuple(cube.bands),
+        out_dir=out_dir, flavor=flavor, tile=tile, levels=tuple(levels),
+    )
+    out = cube.df.groupBy("it").applyInPandas(
+        lambda pdf: fn(pdf), "it int, path string, nbytes long"
+    )
+    return sorted((r["it"], r["path"], r["nbytes"]) for r in out.collect())

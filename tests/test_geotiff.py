@@ -206,3 +206,34 @@ def test_translate_to_cog(spark):
         assert np.array_equal(np.moveaxis(parsed["planes"], 0, -1), raw)
         assert len(parsed["overviews"]) == 1
         assert np.array_equal(codecs.decode(r["bytes"], "cog"), raw)
+
+
+def test_write_gtiff_distributed_byte_identical(spark, tmp_path):
+    """The executor-side per-slice export produces byte-identical files to
+    the driver-side gather writer, for both flavors."""
+    from gdalcubes_cpp_spark.sources.collection import formula_cube
+    from gdalcubes_cpp_spark.sources.geotiff import (
+        write_cog,
+        write_gtiff,
+        write_gtiff_distributed,
+    )
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(
+        left=0.0, right=6.0, bottom=0.0, top=4.0, nx=6, ny=4,
+        t0="2020-01-01", t1="2020-03-31", dt="P1M",
+        aggregation="mean", resampling="near", chunk_size=(1, 4, 6),
+    )
+    c = formula_cube(spark, v, {"B1": "CAST(it*100 + iy*10 + ix AS DOUBLE)",
+                                "B2": "CASE WHEN ix = 2 THEN NULL ELSE CAST(ix AS DOUBLE) END"})
+    drv = write_gtiff(c, str(tmp_path / "drv"))
+    dist = write_gtiff_distributed(c, str(tmp_path / "dist"))
+    assert len(dist) == v.nt == len(drv)
+    for (it, dpath, nb), spath in zip(dist, drv):
+        a, b = open(dpath, "rb").read(), open(spath, "rb").read()
+        assert a == b and nb == len(a), it
+    # COG flavor
+    drv_c = write_cog(c, str(tmp_path / "drvc"))
+    dist_c = write_gtiff_distributed(c, str(tmp_path / "distc"), flavor="cog")
+    for (it, dpath, _), spath in zip(dist_c, drv_c):
+        assert open(dpath, "rb").read() == open(spath, "rb").read(), it
