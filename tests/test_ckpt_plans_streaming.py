@@ -163,3 +163,32 @@ def test_read_chunks_partition_pruning(spark, tmp_path):
     m = np.isfinite(want)
     assert (m == np.isfinite(got)).all()
     assert np.allclose(got[m], want[m], atol=0)
+
+
+def test_flagship_plan_single_narrow_exchange(spark):
+    """Plan-shape regression guard for the flagship cell_long build: the
+    ONLY exchange carries narrow partial-aggregate rows — image bytes are
+    decoded at the scan and never shuffle. (PLANS.md 'cube build,
+    cell_long strategy' — this pins it against future refactors.)"""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from gdalcubes_cpp_spark.operators.build import build_cube
+    from gdalcubes_cpp_spark.synth import images_df
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(
+        left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=40, ny=40,
+        t0="2020-01-01", t1="2020-12-31", dt="P1M",
+        aggregation="mean", resampling="near", chunk_size=(8, 20, 20),
+    )
+    cube = build_cube(images_df(spark, 200), v, bands=("B1", "B2"), strategy="cell_long")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cube.df.explain("formatted")
+    plan = buf.getvalue()
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    ins = [m.group(1) for m in re.finditer(r"\(\d+\) Exchange\n(Input.*)", plan)]
+    assert ins and "bytes" not in ins[0]
