@@ -52,6 +52,38 @@ def default_decode(data: bytes, fmt: str) -> np.ndarray:
     return codecs.decode(data, fmt)
 
 
+def srcdata_decode(nodata=None, scale: float = 1.0, offset: float = 0.0,
+                   base: Callable = default_decode) -> Callable:
+    """GDAL-read semantics for DECLARED band metadata, applied right after
+    decode and before warp: the reference feeds each band's nodata to the
+    warper so those pixels leave the interpolation entirely
+    (src/warp.cpp srcnodata -> NaN), and applies packed scale/offset on
+    read (auto_unpack, src/ncdf_cube.h:45). ``nodata`` is a scalar for
+    all channels or a per-channel sequence (None entries skip); then
+    v = raw*scale + offset. Returns a decode_fn for build_cube — it
+    composes with every strategy because masking happens at the decode
+    boundary, and the NaN-aware warp taps renormalize around the holes.
+    Collection-format presets carry these values per band
+    (sources/formats.py ingest_listing emits nodata/scale columns)."""
+
+    def fn(data: bytes, fmt: str) -> np.ndarray:
+        arr = np.asarray(base(data, fmt), dtype=np.float64)
+        if nodata is not None:
+            arr = arr.copy()
+            if np.isscalar(nodata):
+                arr[arr == float(nodata)] = np.nan
+            else:
+                for c, nd in enumerate(nodata):
+                    if nd is not None:
+                        ch = arr[:, :, c]
+                        ch[ch == float(nd)] = np.nan
+        if scale != 1.0 or offset != 0.0:
+            arr = arr * float(scale) + float(offset)
+        return arr
+
+    return fn
+
+
 class ValueMask:
     """value_mask: pixel ∈ set → masked (src/image_collection_cube.h:34-88)."""
 

@@ -12,7 +12,7 @@ from gdalcubes_cpp_spark import codecs, synth
 from gdalcubes_cpp_spark.operators.build import warp_plane
 
 
-def dense_cube(pdf, view, resampling="near", aggregation="mean", nb=2):
+def dense_cube(pdf, view, resampling="near", aggregation="mean", nb=2, decode=None):
     """Build the dense (nb, nt, ny, nx) array the reference would produce.
 
     Transliterates read_chunk (src/image_collection_cube.cpp:315-598):
@@ -58,7 +58,7 @@ def dense_cube(pdf, view, resampling="near", aggregation="mean", nb=2):
             it = v.time_index_of(r["ts"].to_pydatetime()) - bd["it0"]
             if it < 0 or it >= nt_c:
                 continue
-            raw = codecs.decode(r["bytes"], r["fmt"])
+            raw = (decode or codecs.decode)(r["bytes"], r["fmt"])
             planes = np.stack(
                 [
                     warp_plane(

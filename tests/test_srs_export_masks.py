@@ -341,3 +341,42 @@ def test_file_mask_metadata_value(spark):
             assert ((np.isnan(ga) == np.isnan(wa)) | ~np.isnan(ga)).all()
             mm = ~np.isnan(ga)
             assert np.allclose(ga[mm], wa[mm], atol=1e-12)
+
+
+def test_srcdata_decode_nodata_scale(spark):
+    """srcdata_decode (GDAL srcnodata + auto_unpack analog): declared
+    nodata values leave the aggregation entirely and scale/offset unpack
+    on read — cell-exact vs the numpy oracle with the SAME wrapped
+    decoder, on both build strategies."""
+    import numpy as np
+
+    from gdalcubes_cpp_spark.operators.build import build_cube, srcdata_decode
+    from gdalcubes_cpp_spark.synth import images_df, images_pdf
+    from gdalcubes_cpp_spark.view import CubeView
+
+    from .oracle_np import dense_cube
+
+    v = CubeView.create(
+        left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=20, ny=20,
+        t0="2020-01-01", t1="2020-12-31", dt="P2M",
+        aggregation="mean", resampling="near", chunk_size=(3, 10, 10),
+    )
+    # synth pixel values are uint8; declare a frequently-occurring value
+    # as channel-0 nodata, and unpack with a scale/offset
+    dec = srcdata_decode(nodata=[77, None], scale=0.5, offset=10.0)
+    imgs = images_df(spark, 150)
+    pdf = images_pdf(150)
+    for strategy in ("chunk_kernel", "cell_long"):
+        got = build_cube(imgs, v, bands=("B1", "B2"), decode_fn=dec,
+                         strategy=strategy).df.collect()
+        want = dense_cube(pdf, v, decode=dec)
+        dense_got = np.full_like(want, np.nan)
+        for r in got:
+            for bi, b in enumerate(("B1", "B2")):
+                if r[b] is not None:
+                    dense_got[bi, r["it"], r["iy"], r["ix"]] = r[b]
+        assert np.allclose(dense_got, want, equal_nan=True, atol=1e-9), strategy
+    # the oracle comparison above already proves masked-77 pixels are gone
+    # (a plain-decode oracle run would mismatch wherever 77 occurred)
+    plain = dense_cube(pdf, v)
+    assert not np.allclose(dense_cube(pdf, v, decode=dec), plain, equal_nan=True)
