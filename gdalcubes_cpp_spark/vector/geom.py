@@ -89,3 +89,66 @@ def polygon_contains_bbox(rings, left, right, bottom, top) -> bool:
         if inb.any():
             return False
     return True
+
+
+def _split_depth0(s: str) -> list:
+    """Split on commas at parenthesis depth 0."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def parse_wkt_geom(wkt: str):
+    """parse_wkt extended with MULTIPOLYGON (the common shape of real
+    zonal features — countries with islands, coastlines):
+    -> ('point', (x, y)) | ('polygon', [rings])
+     | ('multipolygon', [[rings], [rings], ...]).
+    A valid MULTIPOLYGON's members are disjoint, so containment is the OR
+    of the per-polygon even-odd tests (points_in_geom)."""
+    s = wkt.strip()
+    m = re.match(r"^MULTIPOLYGON\s*\((.*)\)$", s, re.I | re.S)
+    if m:
+        polys = []
+        for part in _split_depth0(m.group(1)):
+            polys.append(parse_wkt(f"POLYGON {part.strip()}")[1])
+        if not polys:
+            raise ValueError(f"empty MULTIPOLYGON: {wkt[:80]}")
+        return ("multipolygon", polys)
+    return parse_wkt(s)
+
+
+def points_in_geom(px: np.ndarray, py: np.ndarray, kind: str, g) -> np.ndarray:
+    """Containment for any parsed areal geometry."""
+    if kind == "polygon":
+        return points_in_polygon(px, py, g)
+    if kind == "multipolygon":
+        inside = np.zeros(len(px), dtype=bool)
+        for rings in g:
+            inside |= points_in_polygon(px, py, rings)
+        return inside
+    raise ValueError(f"not an areal geometry: {kind}")
+
+
+def geom_bbox(wkt: str):
+    """wkt_bbox extended with MULTIPOLYGON."""
+    kind, g = parse_wkt_geom(wkt)
+    if kind == "point":
+        x, y = g
+        return (x, x, y, y)
+    rings = g if kind == "polygon" else [r for poly in g for r in poly]
+    all_pts = np.vstack(rings)
+    return (
+        float(all_pts[:, 0].min()), float(all_pts[:, 0].max()),
+        float(all_pts[:, 1].min()), float(all_pts[:, 1].max()),
+    )

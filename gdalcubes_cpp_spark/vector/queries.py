@@ -77,7 +77,7 @@ def geom_cells(cube: Cube, geoms: DataFrame, shard_cells: int = 256) -> DataFram
 
     @F.pandas_udf("x0 double, x1 double, y0 double, y1 double")
     def wkt_bbox_udf(wkt: pd.Series) -> pd.DataFrame:
-        bbs = [geom.wkt_bbox(w) for w in wkt]
+        bbs = [geom.geom_bbox(w) for w in wkt]
         return pd.DataFrame(bbs, columns=["x0", "x1", "y0", "y1"])
 
     g = geoms.select("fid", "wkt", wkt_bbox_udf("wkt").alias("bb"))
@@ -106,14 +106,14 @@ def geom_cells(cube: Cube, geoms: DataFrame, shard_cells: int = 256) -> DataFram
             sy, sx = int(r["sy"]), int(r["sx"])
             wy0, wy1 = sy * S, min((sy + 1) * S - 1, v.ny - 1)
             wx0, wx1 = sx * S, min((sx + 1) * S - 1, v.nx - 1)
-            kind, gg = geom.parse_wkt(r["wkt"])
+            kind, gg = geom.parse_wkt_geom(r["wkt"])
             if kind == "point":
                 x, y = gg
                 ix, iy = v.ix_of(x), v.iy_of(y)
                 if wx0 <= ix <= wx1 and wy0 <= iy <= wy1 and 0 <= ix < v.nx and 0 <= iy < v.ny:
                     out_f.append(r["fid"]); out_y.append(iy); out_x.append(ix)
                 continue
-            left, right, bottom, top = geom.wkt_bbox(r["wkt"])
+            left, right, bottom, top = geom.geom_bbox(r["wkt"])
             ix0_, ix1_ = max(wx0, v.ix_of(left)), min(wx1, v.ix_of(right))
             iy0_, iy1_ = max(wy0, v.iy_of(top)), min(wy1, v.iy_of(bottom))
             if ix1_ < ix0_ or iy1_ < iy0_:
@@ -121,7 +121,7 @@ def geom_cells(cube: Cube, geoms: DataFrame, shard_cells: int = 256) -> DataFram
             xs = v.left + (np.arange(ix0_, ix1_ + 1) + 0.5) * v.dx
             ys = v.top - (np.arange(iy0_, iy1_ + 1) + 0.5) * v.dy
             XX, YY = np.meshgrid(xs, ys)
-            inside = geom.points_in_polygon(XX.ravel(), YY.ravel(), gg).reshape(XX.shape)
+            inside = geom.points_in_geom(XX.ravel(), YY.ravel(), kind, gg).reshape(XX.shape)
             yy, xx = np.nonzero(inside)
             out_f.extend([r["fid"]] * len(xx))
             out_y.extend((yy + iy0_).tolist())
@@ -187,10 +187,10 @@ def filter_geom(cube: Cube, wkt: str) -> Cube:
     vectorized pandas UDF over (x, y) centers (the per-cell rasterize test,
     src/filter_geom.cpp:105-230). Chunks fully inside the polygon shortcut
     to a cheap bbox test inside the same UDF batch."""
-    kind, rings = geom.parse_wkt(wkt)
-    if kind != "polygon":
-        raise ValueError("filter_geom needs a POLYGON")
-    left, right, bottom, top = geom.wkt_bbox(wkt)
+    kind, rings = geom.parse_wkt_geom(wkt)
+    if kind not in ("polygon", "multipolygon"):
+        raise ValueError("filter_geom needs a POLYGON or MULTIPOLYGON")
+    left, right, bottom, top = geom.geom_bbox(wkt)
     v = cube.view
     cropped = cube.crop_map(left, right, bottom, top, snap="out")
     nv = cropped.view
@@ -199,7 +199,7 @@ def filter_geom(cube: Cube, wkt: str) -> Cube:
     def inside(ix: pd.Series, iy: pd.Series) -> pd.Series:
         px = nv.left + (ix.to_numpy() + 0.5) * nv.dx
         py = nv.top - (iy.to_numpy() + 0.5) * nv.dy
-        return pd.Series(geom.points_in_polygon(px, py, rings))
+        return pd.Series(geom.points_in_geom(px, py, kind, rings))
 
     return Cube(
         cropped.df.filter(inside(F.col("ix"), F.col("iy"))), nv, cropped.bands

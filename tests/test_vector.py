@@ -197,3 +197,54 @@ def test_geom_cells_shards_huge_polygon(spark):
         .groupBy().count().collect()  # force execution
     )
     _ = n_shards
+
+
+def test_multipolygon_parse_and_containment():
+    wkt = ("MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2, 0 0)), "
+           "((5 5, 9 5, 9 9, 5 9, 5 5), (6 6, 8 6, 8 8, 6 8, 6 6)))")
+    kind, polys = geom.parse_wkt_geom(wkt)
+    assert kind == "multipolygon" and len(polys) == 2
+    px = np.array([1.0, 7.0, 5.5, 3.5])
+    py = np.array([1.0, 7.0, 5.5, 3.5])
+    # island, hole interior, second-poly shell, gap between polys
+    assert geom.points_in_geom(px, py, kind, polys).tolist() == [
+        True, False, True, False,
+    ]
+    assert geom.geom_bbox(wkt) == (0.0, 9.0, 0.0, 9.0)
+
+
+def test_extract_geom_multipolygon(spark, cube, dense):
+    """Two disjoint islands: extracted cells are exactly the union of the
+    per-island cell sets (no cell from the gap)."""
+    wkt = ("MULTIPOLYGON(((0.9 0.9, 3.1 0.9, 3.1 3.1, 0.9 3.1, 0.9 0.9)), "
+           "((4.9 4.9, 7.1 4.9, 7.1 7.1, 4.9 7.1, 4.9 4.9)))")
+    polys = pd.DataFrame({"fid": [5], "wkt": [wkt]})
+    out = extract_geom(cube, spark.createDataFrame(polys)).toPandas()
+    got_cells = set(zip(out["iy"], out["ix"]))
+    want = set()
+    for iy in range(NY):
+        for ix in range(NX):
+            cx, cy = ix + 0.5, NY - iy - 0.5
+            in1 = 0.9 < cx < 3.1 and 0.9 < cy < 3.1
+            in2 = 4.9 < cx < 7.1 and 4.9 < cy < 7.1
+            if in1 or in2:
+                want.add((iy, ix))
+    assert got_cells <= want
+    present = ~np.isnan(dense).all(axis=0)
+    want_rows = sum(present[t, iy, ix] for t in range(NT) for (iy, ix) in want)
+    assert len(out) == want_rows
+
+
+def test_filter_geom_multipolygon(spark, cube, dense):
+    wkt = ("MULTIPOLYGON(((0.9 0.9, 3.1 0.9, 3.1 3.1, 0.9 3.1, 0.9 0.9)), "
+           "((4.9 4.9, 7.1 4.9, 7.1 7.1, 4.9 7.1, 4.9 4.9)))")
+    out = filter_geom(cube, wkt)
+    rows = out.df.collect()
+    assert len(rows) > 0
+    nv = out.view
+    for r in rows:
+        cx = nv.left + (r["ix"] + 0.5) * nv.dx
+        cy = nv.top - (r["iy"] + 0.5) * nv.dy
+        in1 = 0.9 < cx < 3.1 and 0.9 < cy < 3.1
+        in2 = 4.9 < cx < 7.1 and 4.9 < cy < 7.1
+        assert in1 or in2, (cx, cy)
