@@ -11,6 +11,7 @@ GDAL's scanline burn for axis-aligned rectangles.
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -117,6 +118,9 @@ def parse_wkt_geom(wkt: str):
     A valid MULTIPOLYGON's members are disjoint, so containment is the OR
     of the per-polygon even-odd tests (points_in_geom)."""
     s = wkt.strip()
+    line = parse_wkt_line(s) if re.match(r"^LINESTRING", s, re.I) else None
+    if line is not None:
+        return ("linestring", line)
     m = re.match(r"^MULTIPOLYGON\s*\((.*)\)$", s, re.I | re.S)
     if m:
         polys = []
@@ -146,9 +150,54 @@ def geom_bbox(wkt: str):
     if kind == "point":
         x, y = g
         return (x, x, y, y)
-    rings = g if kind == "polygon" else [r for poly in g for r in poly]
+    if kind == "linestring":
+        rings = [g]
+    else:
+        rings = g if kind == "polygon" else [r for poly in g for r in poly]
     all_pts = np.vstack(rings)
     return (
         float(all_pts[:, 0].min()), float(all_pts[:, 0].max()),
         float(all_pts[:, 1].min()), float(all_pts[:, 1].max()),
     )
+
+
+def parse_wkt_line(wkt: str):
+    """LINESTRING -> (n,2) vertex array (None if not a linestring)."""
+    m = re.match(r"^LINESTRING\s*\(([^()]*)\)$", wkt.strip(), re.I | re.S)
+    if not m:
+        return None
+    pts = [
+        (float(pm.group(1)), float(pm.group(2)))
+        for pm in re.finditer(r"(" + _NUM + r")\s+(" + _NUM + r")", m.group(1))
+    ]
+    if len(pts) < 2:
+        raise ValueError(f"LINESTRING needs >= 2 vertices: {wkt[:80]}")
+    return np.asarray(pts, float)
+
+
+def line_cells(verts: np.ndarray, view) -> np.ndarray:
+    """Grid cells traversed by a polyline (transect extraction): each
+    segment is sampled at half-cell spacing, so every cell in which the
+    line spends at least ~half a cell of arc appears; corner-clipping
+    slivers shorter than the step can be skipped (sampling, not an
+    analytic supercover — same tolerance as rasterizing the transect).
+    Returns unique (iy, ix) rows inside the view, ordered along the line
+    (first traversal wins)."""
+    step = min(view.dx, view.dy) / 2.0
+    seen = set()
+    out = []
+    for (x0, y0), (x1, y1) in zip(verts[:-1], verts[1:]):
+        seg = math.hypot(x1 - x0, y1 - y0)
+        n = max(int(math.ceil(seg / step)), 1)
+        t = np.linspace(0.0, 1.0, n + 1)
+        xs = x0 + (x1 - x0) * t
+        ys = y0 + (y1 - y0) * t
+        ix = np.floor((xs - view.left) / view.dx).astype(int)
+        iy = np.floor((view.top - ys) / view.dy).astype(int)
+        ok = (ix >= 0) & (ix < view.nx) & (iy >= 0) & (iy < view.ny)
+        for yy, xx in zip(iy[ok], ix[ok]):
+            key = (int(yy), int(xx))
+            if key not in seen:
+                seen.add(key)
+                out.append(key)
+    return np.asarray(out, dtype=int).reshape(-1, 2)

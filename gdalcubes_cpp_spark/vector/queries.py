@@ -113,6 +113,12 @@ def geom_cells(cube: Cube, geoms: DataFrame, shard_cells: int = 256) -> DataFram
                 if wx0 <= ix <= wx1 and wy0 <= iy <= wy1 and 0 <= ix < v.nx and 0 <= iy < v.ny:
                     out_f.append(r["fid"]); out_y.append(iy); out_x.append(ix)
                 continue
+            if kind == "linestring":
+                # transect: cells traversed by the line, clipped to shard
+                for iy, ix in geom.line_cells(gg, v):
+                    if wx0 <= ix <= wx1 and wy0 <= iy <= wy1:
+                        out_f.append(r["fid"]); out_y.append(int(iy)); out_x.append(int(ix))
+                continue
             left, right, bottom, top = geom.geom_bbox(r["wkt"])
             ix0_, ix1_ = max(wx0, v.ix_of(left)), min(wx1, v.ix_of(right))
             iy0_, iy1_ = max(wy0, v.iy_of(top)), min(wy1, v.iy_of(bottom))

@@ -248,3 +248,21 @@ def test_filter_geom_multipolygon(spark, cube, dense):
         in1 = 0.9 < cx < 3.1 and 0.9 < cy < 3.1
         in2 = 4.9 < cx < 7.1 and 4.9 < cy < 7.1
         assert in1 or in2, (cx, cy)
+
+
+def test_extract_geom_linestring_transect(spark, cube, dense):
+    """A horizontal transect extracts exactly the row of cells it crosses,
+    for every time slice with data."""
+    polys = pd.DataFrame(
+        {"fid": [77], "wkt": ["LINESTRING(0.2 2.5, 7.8 2.5)"]}
+    )
+    out = extract_geom(cube, spark.createDataFrame(polys)).toPandas()
+    # y=2.5 lies in the row whose centers have cy = 2.5 -> iy = NY - 3
+    iy_want = NY - 3
+    assert set(out["iy"]) == {iy_want}
+    present = ~np.isnan(dense).all(axis=0)
+    want_rows = sum(
+        present[t, iy_want, ix] for t in range(NT) for ix in range(NX)
+    )
+    assert len(out) == want_rows
+    assert (out["fid"] == 77).all()
