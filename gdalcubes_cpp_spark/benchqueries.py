@@ -2235,6 +2235,42 @@ def ann_rp_lsh_pairs(spark, sf_dir):
     )
 
 
+@q("ann_approx_suite", None)  # rows-only: both approximate-ANN surfaces
+def ann_approx_suite(spark, sf_dir):
+    """Folded rows-only suite: IVF top-k + RP-LSH near-dup pairs
+    normalized to (kind, a, b, score_r) in one union — both approximate
+    by construction (recall/subset properties are pytest-gated:
+    test_ivf_recall, test_rp_lsh_pairs)."""
+    a = _DEFS["ann_ivf_topk"][0](spark, sf_dir).select(
+        F.lit("ivf_topk").alias("kind"), F.lit(0).cast("long").alias("a"),
+        F.col("vec_id").cast("long").alias("b"),
+        F.round("cos", 6).alias("score_r"),
+    )
+    b = _DEFS["ann_rp_lsh_pairs"][0](spark, sf_dir).select(
+        F.lit("rp_lsh").alias("kind"), F.col("vec_a").cast("long").alias("a"),
+        F.col("vec_b").cast("long").alias("b"), F.col("cos_r").alias("score_r"),
+    )
+    return a.unionAll(b)
+
+
+@q("images_multimodal", None)  # rows-only: binary-column multimodal surface
+def images_multimodal(spark, sf_dir):
+    """The multimodal family's driver entry: real image decode +
+    per-channel stats + perceptual hash via an Arrow-batched mapInPandas
+    over the synthetic encoded-bytes table (functions/image.py — the
+    audio/video arms are honest stubs sharing this plumbing). Value
+    exactness is pytest-gated (test_image_stats_and_thumbnails); no SQL
+    engine can replay an image codec, hence rows-only."""
+    from .functions.image import image_stats
+    from .synth import images_df
+
+    imgs = images_df(spark, 400)
+    return image_stats(imgs).select(
+        "image_id", "w", "h", "channels",
+        F.round("mean_b1", 6).alias("mean_b1_r"), "phash",
+    )
+
+
 # ---------------------------------------------------------------------------
 # folded suite entries — see the registry note above. Each suite is a tagged
 # UNION ALL of member queries (Spark) / member oracles (SQL): the driver's
@@ -2499,10 +2535,10 @@ _WINDOW_ORACLED = [
 ]
 
 _WINDOW_ROWS_ONLY = [
-    "ann_ivf_topk",
+    "ann_approx_suite",  # folds ann_ivf_topk + ann_rp_lsh_pairs
     "doc_near_dups_suite",
     "cube_decode_suite",  # folds simple_cube_decode + cube_mask_band_decode too
-    "ann_rp_lsh_pairs",
+    "images_multimodal",
 ]
 
 REGISTRY: dict = {}

@@ -9,7 +9,7 @@ REQUIRED_IN_WINDOW = [
     # r2 VERDICT #1 named entries
     "apply_time_udf_cumsum", "reduce_time_udf_range", "apply_pixel_udf_poly",
     "reduce_space_udf_spread", "format_ingest", "netcdf_roundtrip",
-    "ann_knn_join_ivf", "ann_rp_lsh_pairs",
+    "ann_knn_join_ivf", "ann_approx_suite", "images_multimodal",
     # r3 additions: dedup clustering + training-mix assembly
     "doc_dedup_clusters", "doc_training_mix",
     # folded suites covering the rest of SURVEY §2
@@ -22,7 +22,7 @@ REQUIRED_IN_WINDOW = [
     "zonal_topk", "filter_geom_rect", "packed_roundtrip", "cube_write_reread",
     "doc_stats", "doc_exact_dups", "doc_minhash", "doc_lsh_jaccard",
     "doc_simhash", "ann_topk", "ann_knn_join", "ann_dup_pairs",
-    "events_tumbling", "events_sessionize", "tpch_suite", "ann_ivf_topk",
+    "events_tumbling", "events_sessionize", "tpch_suite",
     "doc_near_dups_suite", "cube_decode_suite",
 ]
 
@@ -61,6 +61,7 @@ def test_every_def_reachable():
         "tpch_pricing", "tpch_market_revenue", "doc_near_dups_pipeline",
         "doc_simhash_near_dups", "cube_average_decode", "cube_real_decode",
         "simple_cube_decode", "cube_mask_band_decode",
+        "ann_ivf_topk", "ann_rp_lsh_pairs",
         "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
         "cube_laea_mean", "cube_aea_mean",
         "reduce_time_exact", "reduce_time_stats", "reduce_time_which",
