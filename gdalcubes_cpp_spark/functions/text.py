@@ -7,6 +7,8 @@ driver's oracle can value-check them.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # deliberately small, deterministic marker sets (not a real langid model —
@@ -115,3 +117,57 @@ def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    standard perplexity-style quality filter (CCNet-shape: score against
+    a reference distribution, drop the tail). Returns
+    (id, n_tokens, oov_ratio, lm_logprob) where lm_logprob is the mean
+    log p(token) under Laplace-smoothed unigram probabilities of the
+    ``vocab_size`` most frequent corpus tokens (OOV tokens take the
+    smoothing floor mass).
+
+    Scale shape: ONE token-count shuffle builds the vocabulary (capped —
+    broadcastable), one broadcast join scores tokens, one per-doc
+    aggregation. Pass ``vocab`` (the table this function returns via
+    .vocab, or any (token, logp) frame) to score a NEW corpus against a
+    reference corpus's distribution — the actual CCNet filtering setup —
+    without retraining."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    if vocab is None:
+        counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        top = counts.orderBy(F.desc("n"), "tok").limit(vocab_size)
+        # Laplace: p(t) = (n_t + 1) / (total + V + 1); OOV -> 1 / (total + V + 1)
+        tot = top.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("v")).collect()[0]
+        denom = float(tot["t"] + tot["v"] + 1)
+        vocab = top.select(
+            "tok", F.log((F.col("n") + 1) / F.lit(denom)).alias("logp")
+        )
+        floor = math.log(1.0 / denom)
+    else:
+        # reference vocab: the floor is the minimum vocab mass
+        floor = vocab.agg(F.min("logp")).collect()[0][0] - math.log(2.0)
+    from pyspark.sql.functions import broadcast
+
+    scored = toks.join(broadcast(vocab), "tok", "left").select(
+        "_id",
+        F.coalesce("logp", F.lit(float(floor))).alias("lp"),
+        F.col("logp").isNull().cast("int").alias("oov"),
+    )
+    out = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("oov") / F.count(F.lit(1))).alias("oov_ratio"),
+        F.avg("lp").alias("lm_logprob"),
+    ).withColumnRenamed("_id", id_col)
+    out.vocab = vocab  # expose for reference-corpus reuse
+    return out

@@ -525,3 +525,42 @@ def test_translate_collection_roundtrip(spark):
         codecs.decode(r0["bytes"], "png"),
         codecs.decode(pdf.iloc[0]["bytes"], pdf.iloc[0]["fmt"]),
     )
+
+
+def test_unigram_lm_scores(spark):
+    """Corpus-trained unigram LM: natural repeated-vocabulary text scores
+    higher (less negative) than junk; hand-computed parity on a tiny
+    corpus; reference-vocab reuse scores a new doc without retraining."""
+    import math
+
+    from gdalcubes_cpp_spark.functions.text import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the mat"),
+            (3, "zq xv qj wk vx jq"),  # junk: every token is rare
+        ],
+        "doc_id long, text string",
+    )
+    out = unigram_lm_scores(docs, vocab_size=100)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["lm_logprob"] > rows[3]["lm_logprob"]
+    assert rows[2]["lm_logprob"] > rows[3]["lm_logprob"]
+    assert rows[1]["oov_ratio"] == 0.0  # full corpus fits the vocab
+    # hand parity for doc 1: token counts over the 3-doc corpus
+    corpus = ("the cat sat on the mat the dog sat on the mat "
+              "zq xv qj wk vx jq").split()
+    from collections import Counter
+
+    c = Counter(corpus)
+    denom = sum(c.values()) + len(c) + 1
+    lp = {t: math.log((n + 1) / denom) for t, n in c.items()}
+    want = sum(lp[t] for t in "the cat sat on the mat".split()) / 6
+    assert abs(rows[1]["lm_logprob"] - want) < 1e-9
+    # reference-vocab reuse: new doc scored against the trained vocab
+    ref_vocab = out.vocab
+    new = spark.createDataFrame([(9, "the cat on the mat")], "doc_id long, text string")
+    scored = unigram_lm_scores(new, vocab=ref_vocab).collect()[0]
+    assert scored["oov_ratio"] == 0.0
+    assert scored["lm_logprob"] > rows[3]["lm_logprob"]
