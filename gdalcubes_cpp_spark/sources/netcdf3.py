@@ -31,10 +31,12 @@ NC_DIMENSION = 0x0A
 NC_VARIABLE = 0x0B
 NC_ATTRIBUTE = 0x0C
 NC_CHAR = 2
+NC_SHORT = 3
 NC_INT = 4
 NC_DOUBLE = 6
 
-_TYPE_SIZE = {NC_CHAR: 1, NC_INT: 4, NC_DOUBLE: 8}
+_TYPE_SIZE = {NC_CHAR: 1, NC_SHORT: 2, NC_INT: 4, NC_DOUBLE: 8}
+_TYPE_FMT = {NC_SHORT: ">i2", NC_INT: ">i4", NC_DOUBLE: ">f8"}
 
 
 def _pad4(n: int) -> int:
@@ -51,8 +53,7 @@ def _att_values(nc_type: int, values) -> bytes:
         b = values.encode() if isinstance(values, str) else bytes(values)
         return struct.pack(">i", len(b)) + b + b"\x00" * _pad4(len(b))
     arr = np.asarray(values)
-    fmt = {NC_INT: ">i4", NC_DOUBLE: ">f8"}[nc_type]
-    raw = arr.astype(fmt).tobytes()
+    raw = arr.astype(_TYPE_FMT[nc_type]).tobytes()
     return struct.pack(">i", arr.size) + raw + b"\x00" * _pad4(len(raw))
 
 
@@ -66,8 +67,14 @@ def _att_list(atts: list) -> bytes:
     return out
 
 
-def write_netcdf(cube, path: str) -> None:
-    """Materialize the cube and write ONE classic netCDF-3 file."""
+def write_netcdf(cube, path: str, packing: dict | None = None) -> None:
+    """Materialize the cube and write ONE classic netCDF-3 file.
+
+    ``packing`` = {"scale": s, "offset": o, "nodata": fill} writes band
+    variables as NC_SHORT with CF ``scale_factor``/``add_offset``
+    attributes — the reference's packed netCDF export (src/cube.cpp:149
+    packed_export; same packed = round((v - offset)/scale) rule as
+    operators/export.py). read_netcdf auto-unpacks (ncdf_cube.h:45)."""
     v = cube.view
     dense = cube.collect_dense()  # (nb, nt, ny, nx)
 
@@ -78,16 +85,33 @@ def write_netcdf(cube, path: str) -> None:
     y_vals = np.array([v.y_of(i) for i in range(v.ny)], dtype=np.float64)
     x_vals = np.array([v.x_of(i) for i in range(v.nx)], dtype=np.float64)
 
-    # (name, dimids, atts, data ndarray)
+    # (name, dimids, atts, data ndarray, nc_type)
     variables = [
-        ("time", [0], [("units", NC_CHAR, f"seconds since {v.t0.isoformat()}")], time_vals),
-        ("y", [1], [], y_vals),
-        ("x", [2], [], x_vals),
+        ("time", [0], [("units", NC_CHAR, f"seconds since {v.t0.isoformat()}")],
+         time_vals, NC_DOUBLE),
+        ("y", [1], [], y_vals, NC_DOUBLE),
+        ("x", [2], [], x_vals, NC_DOUBLE),
     ]
     for bi, b in enumerate(cube.bands):
-        variables.append(
-            (b, [0, 1, 2], [("_FillValue", NC_DOUBLE, [np.nan])], dense[bi])
-        )
+        if packing is None:
+            variables.append(
+                (b, [0, 1, 2], [("_FillValue", NC_DOUBLE, [np.nan])], dense[bi],
+                 NC_DOUBLE)
+            )
+        else:
+            s, o = float(packing["scale"]), float(packing["offset"])
+            fill = int(packing.get("nodata", -32768))
+            with np.errstate(invalid="ignore"):
+                packed = np.round((dense[bi] - o) / s)
+                packed = np.clip(packed, -32768, 32767)
+            packed = np.where(np.isnan(dense[bi]), fill, packed).astype(np.int16)
+            variables.append(
+                (b, [0, 1, 2], [
+                    ("_FillValue", NC_SHORT, [fill]),
+                    ("scale_factor", NC_DOUBLE, [s]),
+                    ("add_offset", NC_DOUBLE, [o]),
+                ], packed, NC_SHORT)
+            )
 
     gatts = [
         ("Conventions", NC_CHAR, "CF-1.6"),
@@ -104,15 +128,15 @@ def write_netcdf(cube, path: str) -> None:
             h += _name(dname) + struct.pack(">i", dsize)
         h += _att_list(gatts)
         h += struct.pack(">ii", NC_VARIABLE, len(variables))
-        for (vname, dimids, atts, data), begin in zip(variables, begins):
-            vsize = data.size * 8
+        for (vname, dimids, atts, data, nc_type), begin in zip(variables, begins):
+            vsize = data.size * _TYPE_SIZE[nc_type]
             vsize += _pad4(vsize)
             h += _name(vname)
             h += struct.pack(">i", len(dimids))
             for d in dimids:
                 h += struct.pack(">i", d)
             h += _att_list(atts)
-            h += struct.pack(">i", NC_DOUBLE)
+            h += struct.pack(">i", nc_type)
             h += struct.pack(">i", vsize)
             h += struct.pack(">i", begin)  # CDF-1: 32-bit offsets
         return h
@@ -120,17 +144,17 @@ def write_netcdf(cube, path: str) -> None:
     begins = [0] * len(variables)
     hlen = len(header(begins))
     off = hlen
-    for i, (_, _, _, data) in enumerate(variables):
+    for i, (_, _, _, data, nc_type) in enumerate(variables):
         begins[i] = off
-        sz = data.size * 8
+        sz = data.size * _TYPE_SIZE[nc_type]
         off += sz + _pad4(sz)
     if off > 2**31 - 1:
         raise ValueError("cube too large for CDF-1 (32-bit offsets); use write_chunks")
 
     with open(path, "wb") as f:
         f.write(header(begins))
-        for _, _, _, data in variables:
-            raw = np.ascontiguousarray(data, dtype=">f8").tobytes()
+        for _, _, _, data, nc_type in variables:
+            raw = np.ascontiguousarray(data, dtype=_TYPE_FMT[nc_type]).tobytes()
             f.write(raw + b"\x00" * _pad4(len(raw)))
 
 
@@ -159,7 +183,7 @@ def _read_atts(buf: memoryview, pos: int):
         if nc_type == NC_CHAR:
             atts[name] = raw.decode()
         else:
-            atts[name] = np.frombuffer(raw, {NC_INT: ">i4", NC_DOUBLE: ">f8"}[nc_type])
+            atts[name] = np.frombuffer(raw, _TYPE_FMT[nc_type])
     return atts, pos
 
 
@@ -196,8 +220,19 @@ def read_netcdf(path: str) -> dict:
         shape = tuple(dims[d][1] for d in dimids)
         n = int(np.prod(shape)) if shape else 1
         raw = bytes(buf[begin:begin + _TYPE_SIZE[nc_type] * n])
-        arr = np.frombuffer(raw, {NC_INT: ">i4", NC_DOUBLE: ">f8", NC_CHAR: "S1"}[nc_type])
-        out[name] = arr.astype(np.float64).reshape(shape) if nc_type != NC_CHAR else raw
+        if nc_type == NC_CHAR:
+            out[name] = raw
+            continue
+        arr = np.frombuffer(raw, _TYPE_FMT[nc_type]).astype(np.float64)
+        # auto_unpack (src/ncdf_cube.h:45): CF scale_factor/add_offset with
+        # _FillValue -> NaN BEFORE unpacking
+        if "scale_factor" in _atts or "add_offset" in _atts:
+            if "_FillValue" in _atts:
+                arr = np.where(arr == float(_atts["_FillValue"][0]), np.nan, arr)
+            arr = arr * float(_atts.get("scale_factor", [1.0])[0]) + float(
+                _atts.get("add_offset", [0.0])[0]
+            )
+        out[name] = arr.reshape(shape)
     return {"dims": dict(dims), "gatts": gatts, "vars": out}
 
 

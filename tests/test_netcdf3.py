@@ -65,3 +65,49 @@ def test_write_read_roundtrip(spark, tmp_path):
     mm = np.isfinite(want)
     assert (got[mm] == want[mm]).all()
 
+
+
+def test_packed_netcdf_roundtrip(spark, tmp_path):
+    """Packed NC_SHORT export with CF scale_factor/add_offset: reader
+    auto-unpacks (fill -> NaN BEFORE unpacking); values within scale/2;
+    the variable's on-disk type word really is NC_SHORT."""
+    import struct as st
+
+    import numpy as np
+
+    from gdalcubes_cpp_spark.sources.collection import formula_cube
+    from gdalcubes_cpp_spark.sources.netcdf3 import (
+        NC_SHORT,
+        read_netcdf,
+        read_netcdf_cube,
+        write_netcdf,
+    )
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(
+        left=0.0, right=4.0, bottom=0.0, top=3.0, nx=4, ny=3,
+        t0="2020-01-01", t1="2020-02-28", dt="P1M",
+        aggregation="mean", resampling="near", chunk_size=(1, 3, 4),
+    )
+    c = formula_cube(spark, v, {
+        "B1": "CASE WHEN ix = 1 THEN NULL ELSE CAST(it*1.5 + iy*0.25 + ix*0.125 AS DOUBLE) END"
+    })
+    path = str(tmp_path / "packed.nc")
+    write_netcdf(c, path, packing={"scale": 0.01, "offset": -2.0, "nodata": -32768})
+    nc = read_netcdf(path)
+    dense = c.collect_dense()[0]
+    got = nc["vars"]["B1"]
+    assert np.isnan(got[np.isnan(dense)]).all()  # fill -> NaN
+    ok = ~np.isnan(dense)
+    assert np.abs(got[ok] - dense[ok]).max() <= 0.005 + 1e-12  # scale/2
+    # on-disk type word: find the B1 variable entry and check NC_SHORT
+    buf = open(path, "rb").read()
+    i = buf.index(b"scale_factor")
+    # nc_type word follows the att list; just assert a big-endian NC_SHORT
+    # appears in the variable section after the name "B1"
+    j = buf.index(b"B1", i - 4096 if i > 4096 else 0)
+    assert st.pack(">i", NC_SHORT) in buf[j:j + 200]
+    # full cube roundtrip (values at quantization precision)
+    c2 = read_netcdf_cube(spark, path)
+    d2 = c2.collect_dense()[0]
+    assert np.allclose(d2, dense, atol=0.005 + 1e-12, equal_nan=True)
