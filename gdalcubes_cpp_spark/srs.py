@@ -1051,6 +1051,19 @@ def from_wgs84(lon, lat, srs: str):
     return _nonsep_forward(lon, lat, s)
 
 
+def points_to_wgs84(x, y, srs: str):
+    """Point-wise (x, y in srs) -> (lon, lat) (vectorized; the inverse of
+    from_wgs84 for arbitrary point sets, not axis grids)."""
+    s = normalize(srs)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if s == "EPSG:4326":
+        return x, y
+    if s == "EPSG:3857":
+        return x_to_lon(x), y_to_lat(y)
+    return _nonsep_inverse(x, y, s)
+
+
 def bbox_to_wgs84(left, right, bottom, top, srs: str, n_samples: int = 9):
     """Conservative 4326 bbox of a rectangle in ``srs``.
 

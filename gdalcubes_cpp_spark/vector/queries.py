@@ -210,3 +210,69 @@ def filter_geom(cube: Cube, wkt: str) -> Cube:
     return Cube(
         cropped.df.filter(inside(F.col("ix"), F.col("iy"))), nv, cropped.bands
     )
+
+
+def _transform_wkt_one(wkt: str, feature_srs: str, view_srs: str, densify_n: int) -> str:
+    """One WKT feature -> the same feature with vertices in the VIEW SRS.
+    Edges are subdivided ``densify_n`` times BEFORE transforming so curved
+    images of straight edges stay tight (the same densified-edge treatment
+    as srs.bbox_from_wgs84). Module-level so pandas UDF closures stay
+    small."""
+    from .. import srs as _srs
+
+    def ring_xform(ring: np.ndarray) -> np.ndarray:
+        a, b = ring[:-1], ring[1:]
+        t = np.linspace(0.0, 1.0, densify_n + 1)[:-1]
+        px = (a[:, 0][:, None] + (b[:, 0] - a[:, 0])[:, None] * t[None, :]).ravel()
+        py = (a[:, 1][:, None] + (b[:, 1] - a[:, 1])[:, None] * t[None, :]).ravel()
+        px = np.append(px, ring[-1, 0])
+        py = np.append(py, ring[-1, 1])
+        lon, lat = _srs.points_to_wgs84(px, py, feature_srs)
+        x, y = _srs.from_wgs84(lon, lat, view_srs)
+        return np.column_stack([x, y])
+
+    def fmt(ring: np.ndarray) -> str:
+        return "(" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + ")"
+
+    kind, g = geom.parse_wkt_geom(wkt)
+    if kind == "point":
+        lon, lat = _srs.points_to_wgs84(
+            np.array([g[0]]), np.array([g[1]]), feature_srs
+        )
+        x, y = _srs.from_wgs84(lon, lat, view_srs)
+        return f"POINT ({float(x[0])!r} {float(y[0])!r})"
+    if kind == "linestring":
+        return "LINESTRING " + fmt(ring_xform(g))[0:]
+    if kind == "polygon":
+        return "POLYGON (" + ", ".join(fmt(ring_xform(r)) for r in g) + ")"
+    return "MULTIPOLYGON (" + ", ".join(
+        "(" + ", ".join(fmt(ring_xform(r)) for r in poly) + ")" for poly in g
+    ) + ")"
+
+
+def transform_features(
+    geoms: DataFrame, view, feature_srs: str = "EPSG:4326",
+    wkt_col: str = "wkt", densify_n: int = 16,
+) -> DataFrame:
+    """Reproject a feature table's WKT into the cube view's SRS — the
+    reference transforms every query geometry to the cube SRS before
+    rasterizing (src/vector_queries.cpp); here it is a COLUMN op, so all
+    vector operators compose unchanged:
+
+        extract_geom(cube, transform_features(geoms, cube.view))
+
+    Handles POINT / LINESTRING / POLYGON (holes) / MULTIPOLYGON. Edges are
+    densified ``densify_n``-fold before transforming, bounding the chord
+    error of curved edge images (adequate for features spanning up to a
+    few degrees; raise for continent-sized features). A pandas UDF over
+    the WKT column — one scan, no shuffle, scales with the feature
+    table."""
+    v_srs = view.srs
+
+    @F.pandas_udf("string")
+    def xform(wkt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_transform_wkt_one(w, feature_srs, v_srs, densify_n) for w in wkt]
+        )
+
+    return geoms.withColumn(wkt_col, xform(F.col(wkt_col)))

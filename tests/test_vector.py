@@ -266,3 +266,71 @@ def test_extract_geom_linestring_transect(spark, cube, dense):
     )
     assert len(out) == want_rows
     assert (out["fid"] == 77).all()
+
+
+def test_transform_features_4326_to_utm(spark):
+    """The reference transforms query geometries to the cube SRS
+    (src/vector_queries.cpp); transform_features does it as a column op.
+    A 4326 rectangle over an EPSG:32633 cube extracts exactly the cells
+    whose center lon/lat falls inside the rectangle."""
+    from gdalcubes_cpp_spark import srs
+    from gdalcubes_cpp_spark.benchqueries import images_meta_utm
+    from gdalcubes_cpp_spark.operators.build import build_cube
+    from gdalcubes_cpp_spark.vector.queries import transform_features
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(
+        srs="EPSG:32633", left=350000.0, right=650000.0,
+        bottom=5090000.0, top=5430000.0, nx=24, ny=26,
+        t0="1995-01-01", nt=6, dt="P6M",
+        aggregation="mean", resampling="near", chunk_size=(3, 13, 12),
+    )
+    imgs = images_meta_utm(spark, "/root/testdata/sf0.001")
+    c = build_cube(
+        imgs, v, bands=("B1",),
+        value_fn=lambda i: (float(int(i) % 97),),
+    )
+    rect = (13.3, 15.2, 46.4, 48.1)  # lon0, lon1, lat0, lat1
+    feats = spark.createDataFrame(
+        [(1, f"POLYGON(({rect[0]} {rect[2]}, {rect[1]} {rect[2]}, "
+             f"{rect[1]} {rect[3]}, {rect[0]} {rect[3]}, {rect[0]} {rect[2]}))")],
+        "fid long, wkt string",
+    )
+    out = extract_geom(c, transform_features(feats, v)).toPandas()
+    assert len(out) > 0
+    # oracle: cell centers -> lon/lat; inside iff within the 4326 rect
+    xs = v.left + (np.arange(v.nx) + 0.5) * v.dx
+    ys = v.top - (np.arange(v.ny) + 0.5) * v.dy
+    LON, LAT = srs.grid_to_wgs84(xs, ys, v.srs)
+    want = {
+        (iy, ix)
+        for iy in range(v.ny) for ix in range(v.nx)
+        if rect[0] < LON[iy, ix] < rect[1] and rect[2] < LAT[iy, ix] < rect[3]
+    }
+    got = set(zip(out["iy"], out["ix"]))
+    assert got <= want
+    # every wanted cell WITH data appears (sparse model)
+    have_data = set(zip(*[c.df.select("iy", "ix").distinct().toPandas()[k] for k in ("iy", "ix")]))
+    assert got == (want & have_data)
+
+
+def test_transform_features_identity(spark):
+    from gdalcubes_cpp_spark.vector import geom as G
+    from gdalcubes_cpp_spark.vector.queries import transform_features
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(
+        left=0.0, right=8.0, bottom=0.0, top=8.0, nx=8, ny=8,
+        t0="2020-01-01", t1="2020-12-31", dt="P6M",
+        aggregation="mean", resampling="near", chunk_size=(1, 8, 8),
+    )  # 4326 view
+    feats = spark.createDataFrame(
+        [(1, "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))"), (2, "POINT (2.5 2.5)")],
+        "fid long, wkt string",
+    )
+    out = {r["fid"]: r["wkt"] for r in transform_features(feats, v).collect()}
+    k, rings = G.parse_wkt_geom(out[1])
+    assert k == "polygon"
+    assert np.allclose(rings[0][0], [1.0, 1.0]) and np.allclose(rings[0].max(0), [3.0, 3.0])
+    kp, pt = G.parse_wkt_geom(out[2])
+    assert kp == "point" and abs(pt[0] - 2.5) < 1e-12 and abs(pt[1] - 2.5) < 1e-12
