@@ -276,3 +276,27 @@ def transform_features(
         )
 
     return geoms.withColumn(wkt_col, xform(F.col(wkt_col)))
+
+
+def transform_points(
+    points: DataFrame, view, point_srs: str = "EPSG:4326",
+    x_col: str = "x", y_col: str = "y",
+) -> DataFrame:
+    """transform_features' companion for coordinate-PAIR tables: reproject
+    (x, y) columns into the cube view's SRS so query_points /
+    query_timeseries compose unchanged over projected cubes. One
+    vectorized pandas UDF, no shuffle."""
+    v_srs = view.srs
+
+    @F.pandas_udf("x double, y double")
+    def xform(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        from .. import srs as _srs
+
+        lon, lat = _srs.points_to_wgs84(x.to_numpy(), y.to_numpy(), point_srs)
+        vx, vy = _srs.from_wgs84(lon, lat, v_srs)
+        return pd.DataFrame({"x": vx, "y": vy})
+
+    t = points.withColumn("_xy", xform(F.col(x_col), F.col(y_col)))
+    return t.withColumn(x_col, F.col("_xy.x")).withColumn(
+        y_col, F.col("_xy.y")
+    ).drop("_xy")

@@ -334,3 +334,28 @@ def test_transform_features_identity(spark):
     assert np.allclose(rings[0][0], [1.0, 1.0]) and np.allclose(rings[0].max(0), [3.0, 3.0])
     kp, pt = G.parse_wkt_geom(out[2])
     assert kp == "point" and abs(pt[0] - 2.5) < 1e-12 and abs(pt[1] - 2.5) < 1e-12
+
+
+def test_transform_points_4326_over_utm(spark):
+    """query_points over a projected cube with 4326 point coordinates:
+    transform_points reprojects, the join hits the same cells as feeding
+    native UTM coordinates directly."""
+    from gdalcubes_cpp_spark import srs
+    from gdalcubes_cpp_spark.vector.queries import transform_points
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(
+        srs="EPSG:32633", left=350000.0, right=650000.0,
+        bottom=5090000.0, top=5430000.0, nx=24, ny=26,
+        t0="1995-01-01", nt=6, dt="P6M",
+        aggregation="mean", resampling="near", chunk_size=(3, 13, 12),
+    )
+    lon = np.array([13.5, 14.2, 15.0])
+    lat = np.array([46.8, 47.5, 48.0])
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": [1, 2, 3], "x": lon, "y": lat}),
+    )
+    t = transform_points(pts, v).toPandas().sort_values("point_id")
+    ux, uy = srs.from_wgs84(lon, lat, "EPSG:32633")
+    assert np.allclose(t["x"].to_numpy(), ux, atol=1e-6)
+    assert np.allclose(t["y"].to_numpy(), uy, atol=1e-6)
