@@ -242,7 +242,7 @@ def _transform_wkt_one(wkt: str, feature_srs: str, view_srs: str, densify_n: int
         x, y = _srs.from_wgs84(lon, lat, view_srs)
         return f"POINT ({float(x[0])!r} {float(y[0])!r})"
     if kind == "linestring":
-        return "LINESTRING " + fmt(ring_xform(g))[0:]
+        return "LINESTRING " + fmt(ring_xform(g))
     if kind == "polygon":
         return "POLYGON (" + ", ".join(fmt(ring_xform(r)) for r in g) + ")"
     return "MULTIPOLYGON (" + ", ".join(
