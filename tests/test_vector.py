@@ -359,3 +359,29 @@ def test_transform_points_4326_over_utm(spark):
     ux, uy = srs.from_wgs84(lon, lat, "EPSG:32633")
     assert np.allclose(t["x"].to_numpy(), ux, atol=1e-6)
     assert np.allclose(t["y"].to_numpy(), uy, atol=1e-6)
+
+
+def test_wkt_transform_roundtrip_property():
+    """Property (hypothesis): for random polygons, identity-SRS
+    transform_features' formatter round-trips through the parser with
+    exact vertex equality at the densified resolution endpoints."""
+    from hypothesis import given, settings, strategies as st
+
+    from gdalcubes_cpp_spark.vector.queries import _transform_wkt_one
+
+    coord = st.floats(-1e6, 1e6, allow_nan=False, width=32)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.tuples(coord, coord), min_size=3, max_size=8))
+    def check(pts):
+        ring = ", ".join(f"{x} {y}" for x, y in pts + pts[:1])
+        wkt = f"POLYGON(({ring}))"
+        out = _transform_wkt_one(wkt, "EPSG:4326", "EPSG:4326", densify_n=2)
+        k, rings = geom.parse_wkt_geom(out)
+        assert k == "polygon"
+        # original vertices appear exactly at every densify_n-th position
+        got = rings[0][::2]
+        want = np.asarray(pts + pts[:1], dtype=np.float64)
+        assert np.array_equal(got, want)
+
+    check()
