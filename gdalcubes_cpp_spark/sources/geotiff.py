@@ -58,7 +58,16 @@ TAG_TILE_WIDTH = 322
 TAG_TILE_LENGTH = 323
 TAG_TILE_OFFSETS = 324
 TAG_TILE_COUNTS = 325
+TAG_PREDICTOR = 317
 TAG_SAMPLE_FORMAT = 339
+
+# (sample_format, bits) -> numpy dtype for EXTERNAL files (our writer emits
+# float64 only; real GDAL rasters are mostly integer)
+_SF_DTYPE = {
+    (1, 8): "<u1", (1, 16): "<u2", (1, 32): "<u4",
+    (2, 8): "<i1", (2, 16): "<i2", (2, 32): "<i4",
+    (3, 32): "<f4", (3, 64): "<f8",
+}
 TAG_MODEL_PIXEL_SCALE = 33550
 TAG_MODEL_TIEPOINT = 33922
 TAG_GEO_KEYS = 34735
@@ -409,14 +418,32 @@ def _ifd_planes(buf: bytes, tags: dict) -> np.ndarray:
     comp = tags[TAG_COMPRESSION][0]
     if comp not in (1, 8):
         raise ValueError(f"unsupported compression {comp}")
-    if tags[TAG_PLANAR][0] != 2:
-        raise ValueError("expected band-sequential planes")
-    if tags[TAG_SAMPLE_FORMAT] != [3] * nb or tags[TAG_BITS] != [64] * nb:
-        raise ValueError("expected float64 IEEE samples")
+    if tags[TAG_PLANAR][0] != 2 and nb != 1:
+        raise ValueError("expected band-sequential planes (or a single band)")
+    sf = tags.get(TAG_SAMPLE_FORMAT, [1] * nb)
+    bits = tags[TAG_BITS]
+    if len(set(sf)) != 1 or len(set(bits)) != 1:
+        raise ValueError("mixed per-band sample formats are unsupported")
+    key = (sf[0], bits[0])
+    if key not in _SF_DTYPE:
+        raise ValueError(f"unsupported sample format/bits {key}")
+    dt = np.dtype(_SF_DTYPE[key])
+    predictor = tags.get(TAG_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+    if predictor == 2 and dt.kind == "f":
+        raise ValueError("predictor=2 applies to integer samples only")
 
-    def block(off, cnt):
+    def block(off, cnt, rows, cols):
         raw = buf[off:off + cnt]
-        return zlib.decompress(raw) if comp == 8 else raw
+        if comp == 8:
+            raw = zlib.decompress(raw)
+        a = np.frombuffer(raw, dtype=dt, count=rows * cols).reshape(rows, cols)
+        if predictor == 2:
+            # horizontal differencing: each sample stores the delta to its
+            # left neighbor; integer cumsum (wrapping) restores the row
+            a = np.cumsum(a, axis=1, dtype=dt)
+        return a
 
     planes = np.empty((nb, ny, nx))
     if TAG_TILE_OFFSETS in tags:
@@ -428,14 +455,27 @@ def _ifd_planes(buf: bytes, tags: dict) -> np.ndarray:
             for i in range(per_plane):
                 off = tags[TAG_TILE_OFFSETS][b * per_plane + i]
                 cnt = tags[TAG_TILE_COUNTS][b * per_plane + i]
-                t = np.frombuffer(block(off, cnt), dtype="<f8").reshape(th, tw)
+                t = block(off, cnt, th, tw)
                 ty, tx = divmod(i, ntx)
                 planes[b, ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw] = (
                     t[: min(th, ny - ty * th), : min(tw, nx - tx * tw)]
                 )
     else:
-        for b, (off, cnt) in enumerate(zip(tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_COUNTS])):
-            planes[b] = np.frombuffer(block(off, cnt), dtype="<f8", count=ny * nx).reshape(ny, nx)
+        offs, cnts = tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_COUNTS]
+        if len(offs) == nb:
+            # our layout: one full-plane strip per band
+            for b, (off, cnt) in enumerate(zip(offs, cnts)):
+                planes[b] = block(off, cnt, ny, nx)
+        elif nb == 1:
+            # external layout: single band split into rows_per_strip strips
+            rps = tags.get(TAG_ROWS_PER_STRIP, [ny])[0]
+            y = 0
+            for off, cnt in zip(offs, cnts):
+                rows = min(rps, ny - y)
+                planes[0, y:y + rows] = block(off, cnt, rows, nx)
+                y += rows
+        else:
+            raise ValueError("multi-band multi-strip layout unsupported")
     return planes
 
 
