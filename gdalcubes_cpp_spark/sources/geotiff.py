@@ -495,13 +495,18 @@ def read_cog_bytes(buf: bytes) -> dict:
         desc = json.loads(main.get(TAG_DESCRIPTION, "null"))
     except ValueError:
         desc = main.get(TAG_DESCRIPTION)
-    gk = main[TAG_GEO_KEYS]
+    # geo metadata is optional: plain external TIFF payloads (no GeoKeys)
+    # still decode — footprints then come from the collection table, like
+    # every other payload format
+    gk = main.get(TAG_GEO_KEYS)
     return {
         "planes": _ifd_planes(buf, main),
         "desc": desc,
-        "pixel_scale": main[TAG_MODEL_PIXEL_SCALE],
-        "tiepoint": main[TAG_MODEL_TIEPOINT],
-        "geo_keys": {gk[4 + 4 * i]: gk[7 + 4 * i] for i in range(gk[3])},
+        "pixel_scale": main.get(TAG_MODEL_PIXEL_SCALE),
+        "tiepoint": main.get(TAG_MODEL_TIEPOINT),
+        "geo_keys": (
+            {gk[4 + 4 * i]: gk[7 + 4 * i] for i in range(gk[3])} if gk else {}
+        ),
         "overviews": [
             {"planes": _ifd_planes(buf, t), "subfile_type": t.get(TAG_SUBFILE_TYPE, [0])[0]}
             for t in ifds[1:]

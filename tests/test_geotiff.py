@@ -348,3 +348,18 @@ def test_read_external_integer_tiffs():
         assert nxt == 0
         assert planes.shape == (1, *arr.shape)
         assert np.array_equal(planes[0], arr.astype(np.float64)), kw
+
+
+def test_codecs_decode_external_tiff_payload():
+    """A GDAL-style external uint16 tiff payload (no GeoKeys) flows
+    through codecs.decode into the standard (h, w, c) float64 shape —
+    i.e. external rasters feed build_cube like any other payload."""
+    import numpy as np
+
+    from gdalcubes_cpp_spark import codecs
+
+    arr = np.random.RandomState(1).randint(0, 60000, (16, 20)).astype(np.uint16)
+    buf = _mk_external_tiff(arr, tile=8, predictor=2, compression=8)
+    out = codecs.decode(buf)
+    assert out.shape == (16, 20, 1)
+    assert np.array_equal(out[:, :, 0], arr.astype(np.float64))
