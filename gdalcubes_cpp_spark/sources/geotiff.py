@@ -412,11 +412,63 @@ def _parse_ifd(buf: bytes, off: int):
     return tags, next_off
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first variable-width codes,
+    EarlyChange (code width bumps one code EARLY relative to plain LZW),
+    ClearCode=256, EOI=257 — the dominant compression in legacy GeoTIFFs
+    (Landsat-era archives). Pure-python; runs inside the Arrow-batched
+    decode UDF where correctness matters and per-file cost is bounded by
+    tile size."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list = []
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # EarlyChange + decoder lag: the decoder has added one FEWER
+            # entry than the encoder at the moment the next code is read,
+            # so it bumps when len(table) == 2^width - 2 (one earlier than
+            # plain LZW's 2^width - 1)
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _ifd_planes(buf: bytes, tags: dict) -> np.ndarray:
     nx, ny = tags[TAG_WIDTH][0], tags[TAG_LENGTH][0]
     nb = tags[TAG_SPP][0]
     comp = tags[TAG_COMPRESSION][0]
-    if comp not in (1, 8):
+    if comp not in (1, 5, 8):
         raise ValueError(f"unsupported compression {comp}")
     if tags[TAG_PLANAR][0] != 2 and nb != 1:
         raise ValueError("expected band-sequential planes (or a single band)")
@@ -438,6 +490,8 @@ def _ifd_planes(buf: bytes, tags: dict) -> np.ndarray:
         raw = buf[off:off + cnt]
         if comp == 8:
             raw = zlib.decompress(raw)
+        elif comp == 5:
+            raw = _lzw_decode(raw)
         a = np.frombuffer(raw, dtype=dt, count=rows * cols).reshape(rows, cols)
         if predictor == 2:
             # horizontal differencing: each sample stores the delta to its

@@ -363,3 +363,97 @@ def test_codecs_decode_external_tiff_payload():
     out = codecs.decode(buf)
     assert out.shape == (16, 20, 1)
     assert np.array_equal(out[:, :, 0], arr.astype(np.float64))
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Independent TIFF-LZW encoder (test-side; EarlyChange per TIFF 6.0
+    §13) — written against the spec, NOT against the reader."""
+    CLEAR, EOI = 256, 257
+    bits = []
+
+    def emit(code, width):
+        bits.append((code, width))
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for i in range(len(data)):
+        c = data[i:i + 1]
+        if w + c in table:
+            w = w + c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4093:  # table full: restart (any CLEAR is decodable)
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    out = bytearray()
+    acc = nb = 0
+    for code, wd in bits:
+        acc = (acc << wd) | code
+        nb += wd
+        while nb >= 8:
+            out.append((acc >> (nb - 8)) & 0xFF)
+            nb -= 8
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_tiff_roundtrip():
+    """LZW (compression=5): spec-built encoder vs the reader's decoder,
+    standalone and through a full hand-assembled uint8 strip TIFF with
+    enough data to force code widths past 9 and 10 bits."""
+    import numpy as np
+
+    from gdalcubes_cpp_spark.sources.geotiff import (
+        _ifd_planes,
+        _lzw_decode,
+        _parse_ifd,
+    )
+
+    rng = np.random.RandomState(9)
+    # structured + noisy mix, > 4KB so the code width grows
+    data = (np.repeat(rng.randint(0, 40, 3000), 3) + rng.randint(0, 4, 9000)).astype(np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(data)) == data
+    arr = np.frombuffer(data[:80 * 100], dtype=np.uint8).reshape(80, 100).copy()
+    buf = _mk_external_tiff_lzw(arr)
+    tags, _ = _parse_ifd(buf, 8)
+    planes = _ifd_planes(buf, tags)
+    assert np.array_equal(planes[0], arr.astype(np.float64))
+
+
+def _mk_external_tiff_lzw(arr):
+    """Single-strip uint8 TIFF with compression=5 (LZW)."""
+    import struct
+
+    ny, nx = arr.shape
+    block = _lzw_encode(arr.astype("<u1").tobytes())
+    tags = [
+        (256, 3, [nx]), (257, 3, [ny]), (258, 3, [8]), (259, 3, [5]),
+        (262, 3, [1]), (277, 3, [1]), (278, 3, [ny]), (284, 3, [1]),
+        (339, 3, [1]),
+    ]
+    n_entries = len(tags) + 2
+    ifd_size = 2 + n_entries * 12 + 4
+    data_base = 8 + ifd_size
+    tags += [(273, 4, [data_base]), (279, 4, [len(block)])]
+    tags.sort(key=lambda t: t[0])
+    out = struct.pack("<2sHI", b"II", 42, 8)
+    ifd = struct.pack("<H", n_entries)
+    for tag, ftype, vals in tags:
+        if ftype == 3:
+            ifd += struct.pack("<HHIHH", tag, ftype, 1, vals[0], 0)
+        else:
+            ifd += struct.pack("<HHII", tag, ftype, 1, vals[0])
+    ifd += struct.pack("<I", 0)
+    return out + ifd + block
