@@ -464,11 +464,29 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): n in [0,127] -> copy n+1 literals;
+    n in [-127,-1] -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += data[i:i + 1] * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
 def _ifd_planes(buf: bytes, tags: dict) -> np.ndarray:
     nx, ny = tags[TAG_WIDTH][0], tags[TAG_LENGTH][0]
     nb = tags[TAG_SPP][0]
     comp = tags[TAG_COMPRESSION][0]
-    if comp not in (1, 5, 8):
+    if comp not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported compression {comp}")
     if tags[TAG_PLANAR][0] != 2 and nb != 1:
         raise ValueError("expected band-sequential planes (or a single band)")
@@ -492,6 +510,8 @@ def _ifd_planes(buf: bytes, tags: dict) -> np.ndarray:
             raw = zlib.decompress(raw)
         elif comp == 5:
             raw = _lzw_decode(raw)
+        elif comp == 32773:
+            raw = _packbits_decode(raw)
         a = np.frombuffer(raw, dtype=dt, count=rows * cols).reshape(rows, cols)
         if predictor == 2:
             # horizontal differencing: each sample stores the delta to its

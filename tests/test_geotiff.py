@@ -457,3 +457,16 @@ def _mk_external_tiff_lzw(arr):
             ifd += struct.pack("<HHII", tag, ftype, 1, vals[0])
     ifd += struct.pack("<I", 0)
     return out + ifd + block
+
+
+def test_packbits_decode():
+    """PackBits RLE vs hand-built runs (TIFF 6.0 sec. 9 worked example)."""
+    from gdalcubes_cpp_spark.sources.geotiff import _packbits_decode
+
+    # the spec's canonical example
+    enc = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03,
+                 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    want = bytes([0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4
+                 + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10)
+    assert _packbits_decode(enc) == want
+    assert _packbits_decode(bytes([128]) + enc) == want  # leading no-op
