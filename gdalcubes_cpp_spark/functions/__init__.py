@@ -14,7 +14,7 @@ _EXPORTS = {
     "pack_shards": ".mix", "training_mix": ".mix", "corpus_pipeline": ".mix",
     # text analysis
     "analyze": ".text", "lang_id": ".text", "quality_score": ".text",
-    "unigram_lm_scores": ".text",
+    "unigram_lm_scores": ".text", "unigram_lm_vocab": ".text",
     # embeddings / ANN
     "cosine_topk": ".ann", "ivf_topk": ".ann", "knn_join_bruteforce": ".ann",
     "knn_join_ivf": ".ann", "kmeans_centroids": ".ann",

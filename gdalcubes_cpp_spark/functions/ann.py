@@ -297,7 +297,9 @@ def deterministic_centroids(emb: DataFrame, nlist: int = 8,
                             id_col: str = "vec_id", vec_col: str = "embedding") -> list:
     """Centroids = embeddings of the nlist smallest ids (deterministic,
     no iterative training — a k-means init kept for oracle-reproducible
-    paths; use kmeans_centroids for real bucket balance/recall)."""
+    paths; use kmeans_centroids for real bucket balance/recall). The
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition heap of
+    nlist rows + driver merge), not a global sort — safe at any scale."""
     rows = emb.orderBy(id_col).limit(nlist).collect()
     return [list(map(float, r[vec_col])) for r in rows]
 

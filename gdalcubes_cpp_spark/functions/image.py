@@ -139,7 +139,7 @@ def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
     if to_fmt not in ("gtiff", "cog", "png", "lossy"):
         raise ValueError(f"unsupported target format {to_fmt!r}")
     cols = images.columns
-    for need in ("bytes", "fmt", "left", "right", "top", "w", "h"):
+    for need in ("bytes", "fmt", "left", "right", "top", "bottom", "w", "h"):
         if need not in cols:
             raise ValueError(f"translate_collection needs column {need!r}")
 

@@ -119,6 +119,29 @@ def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_lm_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """Build the Laplace-smoothed unigram vocabulary (token, logp) of the
+    ``vocab_size`` most frequent corpus tokens — the reference
+    distribution to pass as ``vocab=`` to :func:`unigram_lm_scores` for
+    the CCNet setup (score a NEW corpus against a held reference corpus).
+    One capped token-count shuffle; the result is broadcastable."""
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), "tok").limit(vocab_size)
+    # Laplace: p(t) = (n_t + 1) / (total + V + 1); OOV -> 1 / (total + V + 1)
+    tot = top.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("v")).collect()[0]
+    denom = float(tot["t"] + tot["v"] + 1)
+    return top.select(
+        "tok", F.log((F.col("n") + 1) / F.lit(denom)).alias("logp")
+    )
+
+
 def unigram_lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -136,27 +159,21 @@ def unigram_lm_scores(
 
     Scale shape: ONE token-count shuffle builds the vocabulary (capped —
     broadcastable), one broadcast join scores tokens, one per-doc
-    aggregation. Pass ``vocab`` (the table this function returns via
-    .vocab, or any (token, logp) frame) to score a NEW corpus against a
-    reference corpus's distribution — the actual CCNet filtering setup —
-    without retraining."""
+    aggregation. Pass ``vocab`` (from :func:`unigram_lm_vocab`, or any
+    (token, logp) frame) to score a NEW corpus against a reference
+    corpus's distribution — the actual CCNet filtering setup — without
+    retraining."""
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
     if vocab is None:
-        counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-        top = counts.orderBy(F.desc("n"), "tok").limit(vocab_size)
-        # Laplace: p(t) = (n_t + 1) / (total + V + 1); OOV -> 1 / (total + V + 1)
-        tot = top.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("v")).collect()[0]
-        denom = float(tot["t"] + tot["v"] + 1)
-        vocab = top.select(
-            "tok", F.log((F.col("n") + 1) / F.lit(denom)).alias("logp")
-        )
-        floor = math.log(1.0 / denom)
-    else:
-        # reference vocab: the floor is the minimum vocab mass
-        floor = vocab.agg(F.min("logp")).collect()[0][0] - math.log(2.0)
+        vocab = unigram_lm_vocab(docs, text_col=text_col, vocab_size=vocab_size)
+    # the OOV floor is one notch under the minimum vocab mass (for a
+    # self-trained Laplace vocab this is exactly log(1/denom) when the
+    # rarest kept token has n=1; for a reference vocab it is the same
+    # conservative floor rule)
+    floor = vocab.agg(F.min("logp")).collect()[0][0] - math.log(2.0)
     from pyspark.sql.functions import broadcast
 
     scored = toks.join(broadcast(vocab), "tok", "left").select(
@@ -164,10 +181,8 @@ def unigram_lm_scores(
         F.coalesce("logp", F.lit(float(floor))).alias("lp"),
         F.col("logp").isNull().cast("int").alias("oov"),
     )
-    out = scored.groupBy("_id").agg(
+    return scored.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.sum("oov") / F.count(F.lit(1))).alias("oov_ratio"),
         F.avg("lp").alias("lm_logprob"),
     ).withColumnRenamed("_id", id_col)
-    out.vocab = vocab  # expose for reference-corpus reuse
-    return out

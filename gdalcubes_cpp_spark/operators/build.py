@@ -152,8 +152,12 @@ class FileMask(BandMask):
 
     def __init__(self, values=None, vmin: float | None = None,
                  vmax: float | None = None, invert: bool = False,
-                 channel: int = 0):
+                 channel: int = 0, decode_fn: Callable | None = None):
         super().__init__(channel, values, vmin, vmax, invert)
+        # The mask file has its OWN per-band metadata: a data-band
+        # srcdata_decode (nodata/scale/offset) must NOT shift SCL-style
+        # class values before test() matches them. None -> raw decode.
+        self.decode_fn = decode_fn
 
     def test_scalar(self, v) -> bool:
         if v is None:
@@ -756,7 +760,7 @@ def build_cells(
                             )
                         if file_mask:
                             if a_mb is not None and a_mb[k] is not None:
-                                mraw = decode_fn(a_mb[k], a_mf[k])
+                                mraw = (mask.decode_fn or default_decode)(a_mb[k], a_mf[k])
                                 mp = warp_plane(
                                     mraw[:, :, mask.channel], img_bounds,
                                     xs[x0:x1], ys[y0:y1], "near",
@@ -793,7 +797,7 @@ def build_cells(
                             win[wm] = sub[wm]
                         if file_mask:
                             if a_mb is not None and a_mb[k] is not None:
-                                mraw = decode_fn(a_mb[k], a_mf[k])
+                                mraw = (mask.decode_fn or default_decode)(a_mb[k], a_mf[k])
                                 mp = warp_plane(
                                     mraw[:, :, mask.channel], img_bounds,
                                     LON[y0:y1, x0:x1], LAT[y0:y1, x0:x1], "near",
@@ -1086,7 +1090,7 @@ def build_cells_long(
                     )
                     if file_mask:
                         if a_mb is not None and a_mb[k] is not None:
-                            mraw = decode_fn(a_mb[k], a_mf[k])
+                            mraw = (mask.decode_fn or default_decode)(a_mb[k], a_mf[k])
                             mp = warp_plane(
                                 mraw[:, :, mask.channel], (a_l[k], a_r[k], a_b[k], a_t[k]),
                                 xs, ys, "near",

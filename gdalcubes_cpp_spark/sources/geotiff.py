@@ -394,19 +394,36 @@ def write_cog(cube, out_dir: str, tile: int = 256, levels=(2, 4)) -> list:
     return paths
 
 
+# Full TIFF 6.0 §2 field-type table (size in bytes, struct letter or None
+# for types parsed specially). Entries absent from the writer's
+# _TYPE_SIZE/_TYPE_FMT still appear in external files (RATIONAL
+# XResolution, BYTE GDAL tags) and must parse — or be skipped — cleanly.
+_IFD_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+                  10: 8, 11: 4, 12: 8}
+_IFD_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i",
+                 11: "f", 12: "d"}
+
+
 def _parse_ifd(buf: bytes, off: int):
     (n,) = struct.unpack_from("<H", buf, off)
     tags = {}
     for i in range(n):
         tag, ftype, count = struct.unpack_from("<HHI", buf, off + 2 + 12 * i)
-        size = _TYPE_SIZE[ftype] * count
+        if ftype not in _IFD_TYPE_SIZE:
+            continue  # unknown/vendor field type: skip, don't crash
+        size = _IFD_TYPE_SIZE[ftype] * count
         vo = off + 2 + 12 * i + 8
         if size > 4:
             (vo,) = struct.unpack_from("<I", buf, vo)
         if ftype == T_ASCII:
             tags[tag] = buf[vo:vo + count].split(b"\x00")[0].decode()
+        elif ftype in (5, 10):  # (S)RATIONAL: pairs of (s)longs -> float
+            fmt = "<" + ("ii" if ftype == 10 else "II") * count
+            raw = struct.unpack_from(fmt, buf, vo)
+            tags[tag] = [raw[2 * k] / raw[2 * k + 1] if raw[2 * k + 1] else 0.0
+                         for k in range(count)]
         else:
-            fmt = "<" + _TYPE_FMT[ftype][1] * count
+            fmt = "<" + _IFD_TYPE_FMT[ftype] * count
             tags[tag] = list(struct.unpack_from(fmt, buf, vo))
     (next_off,) = struct.unpack_from("<I", buf, off + 2 + 12 * n)
     return tags, next_off
@@ -484,11 +501,13 @@ def _packbits_decode(data: bytes) -> bytes:
 
 def _ifd_planes(buf: bytes, tags: dict) -> np.ndarray:
     nx, ny = tags[TAG_WIDTH][0], tags[TAG_LENGTH][0]
-    nb = tags[TAG_SPP][0]
-    comp = tags[TAG_COMPRESSION][0]
+    nb = tags.get(TAG_SPP, [1])[0]
+    comp = tags.get(TAG_COMPRESSION, [1])[0]
     if comp not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported compression {comp}")
-    if tags[TAG_PLANAR][0] != 2 and nb != 1:
+    # PlanarConfiguration defaults to 1 (chunky) and may be absent in
+    # minimal single-band files (TIFF 6.0 baseline default)
+    if tags.get(TAG_PLANAR, [1])[0] != 2 and nb != 1:
         raise ValueError("expected band-sequential planes (or a single band)")
     sf = tags.get(TAG_SAMPLE_FORMAT, [1] * nb)
     bits = tags[TAG_BITS]

@@ -232,7 +232,9 @@ def _transform_wkt_one(wkt: str, feature_srs: str, view_srs: str, densify_n: int
         return np.column_stack([x, y])
 
     def fmt(ring: np.ndarray) -> str:
-        return "(" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + ")"
+        # float() first: numpy>=2.0 repr of float64 scalars is
+        # 'np.float64(...)', which would corrupt the WKT
+        return "(" + ", ".join(f"{float(x)!r} {float(y)!r}" for x, y in ring) + ")"
 
     kind, g = geom.parse_wkt_geom(wkt)
     if kind == "point":

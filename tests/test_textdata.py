@@ -533,7 +533,10 @@ def test_unigram_lm_scores(spark):
     corpus; reference-vocab reuse scores a new doc without retraining."""
     import math
 
-    from gdalcubes_cpp_spark.functions.text import unigram_lm_scores
+    from gdalcubes_cpp_spark.functions.text import (
+        unigram_lm_scores,
+        unigram_lm_vocab,
+    )
 
     docs = spark.createDataFrame(
         [
@@ -559,7 +562,7 @@ def test_unigram_lm_scores(spark):
     want = sum(lp[t] for t in "the cat sat on the mat".split()) / 6
     assert abs(rows[1]["lm_logprob"] - want) < 1e-9
     # reference-vocab reuse: new doc scored against the trained vocab
-    ref_vocab = out.vocab
+    ref_vocab = unigram_lm_vocab(docs, vocab_size=100)
     new = spark.createDataFrame([(9, "the cat on the mat")], "doc_id long, text string")
     scored = unigram_lm_scores(new, vocab=ref_vocab).collect()[0]
     assert scored["oov_ratio"] == 0.0
