@@ -26,7 +26,7 @@ BENCH_QUERIES = [
     "stjoin_rows", "cube_mean", "cube_median", "cube_count_images",
     "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
     "cube_mask_value",
-    "format_ingest",
+    "format_ingest", "hdf4_modis_pixels",
     "reduce_time_exact", "reduce_time_stats", "window_time_mean",
     "fill_time_linear", "aggregate_time", "aggregate_space",
     "apply_time_udf_cumsum", "apply_pixel_udf_poly",

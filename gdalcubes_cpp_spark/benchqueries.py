@@ -1825,6 +1825,42 @@ def zonal_topk(spark, sf_dir):
     )
 
 
+_ZONAL_STAT_COLS = [
+    "B1_mean", "B1_count", "B1_min", "B1_max", "B1_median",
+    "B2_mean", "B2_count", "B2_min", "B2_max", "B2_median",
+]
+
+
+@q(
+    "zonal_suite",
+    f"""
+SELECT 'stats' AS part, fid, it,
+       {", ".join(_ZONAL_STAT_COLS)}, CAST(0 AS INT) AS rk
+FROM ({_DEFS["zonal_statistics"][1]}) s
+UNION ALL
+SELECT 'topk' AS part, fid, it,
+       B1_mean, {", ".join("CAST(NULL AS DOUBLE) AS " + c for c in _ZONAL_STAT_COLS[1:])},
+       rk
+FROM ({_DEFS["zonal_topk"][1]}) t
+""",
+)
+def zonal_suite(spark, sf_dir):
+    """Folded driver suite: zonal_statistics (src/vector_queries.cpp:603-
+    1160, 5 stats x 2 bands) + the zonal top-k ranking extension, one
+    tagged union (frees a registry-window slot for hdf4_modis_pixels)."""
+    a = _DEFS["zonal_statistics"][0](spark, sf_dir).select(
+        F.lit("stats").alias("part"), "fid", "it",
+        *_ZONAL_STAT_COLS, F.lit(0).alias("rk"),
+    )
+    b = _DEFS["zonal_topk"][0](spark, sf_dir).select(
+        F.lit("topk").alias("part"), "fid", "it",
+        "B1_mean",
+        *[F.lit(None).cast("double").alias(c) for c in _ZONAL_STAT_COLS[1:]],
+        "rk",
+    )
+    return a.unionAll(b)
+
+
 # ------------------------------------------------- masks (value/range)
 
 @q(
@@ -2105,6 +2141,141 @@ def format_ingest(spark, sf_dir):
     from .sources.formats import ingest_listing
 
     return ingest_listing(_s2_listing(spark, sf_dir), "Sentinel2_L2A")
+
+
+# ------------------------------------------------- MODIS HDF4 end-to-end
+
+# The reference's ONLY end-to-end test (src/test/test_sampledata.cpp:28-70,
+# disabled "DEPENDS ON LOCAL FILES") ingests a MODIS MOD13A2 HDF4 granule
+# through the MOD13A2 collection format into a sinusoidal-grid cube with
+# AGG_MIN / RSMPL_NEAR. This query replays that scenario end-to-end on a
+# spec-built deterministic granule: MxD13A2 preset regex ingest -> HDF4 SDS
+# decode (sources/hdf4.py, deflate-compressed int16) -> declared nodata
+# -3000 from the preset -> sinusoidal warp (the exact proj4 string of the
+# reference test) -> min aggregation. Values are formulaic ints, so DuckDB
+# replays decode+warp constructively: the sinu inverse series maps each
+# cell center to (lon, lat), floor() picks the near-gathered source pixel,
+# and the pixel formula reproduces the decoded value EXACTLY.
+#
+# Margin audit (tests/test_hdf4.py): every cell center is >= 7.3e-5 deg
+# from the granule's 0.04-deg pixel grid lines and >= 0.51 deg from the
+# footprint edges, so ~1e-14 cross-engine transcendental noise can never
+# flip a floor()/membership decision.
+_MODIS_SINU = ("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +a=6371007.181 "
+               "+b=6371007.181 +units=m +no_defs")
+V_MODIS = CubeView.create(
+    srs=_MODIS_SINU, left=1516803.0, right=1596803.0,
+    bottom=5368004.0, top=5448004.0, nx=40, ny=40,
+    t0="2015-07-12", t1="2015-07-12", dt="P1D",
+    aggregation="min", resampling="near", chunk_size=(1, 20, 20),
+)
+_MODIS_IMG = dict(left=20.0, right=22.56, bottom=47.44, top=50.0, n=64)
+
+
+def _modis_granule_planes():
+    """The deterministic granule: shared nodata pattern + per-band formulas
+    (int16, the MxD13A2 NDVI value shape)."""
+    import numpy as np
+
+    n = _MODIS_IMG["n"]
+    r = np.arange(n)[:, None]
+    c = np.arange(n)[None, :]
+    nod = (r * 7 + c * 11) % 37 == 0
+    ndvi = np.where(nod, -3000, (r * 31 + c * 17) % 9000 - 2000).astype(np.int16)
+    evi = np.where(nod, -3000, (r * 13 + c * 29) % 9000 - 2500).astype(np.int16)
+    return ndvi, evi
+
+
+def _modis_cells_sql(v: CubeView) -> str:
+    from . import srs as _srs
+
+    p = _srs._sinu_of(_srs.normalize(v.srs))
+    x_sql = f"({_srs._flit(v.left)} + (x.ix + 0.5) * {_srs._flit(v.dx)})"
+    y_sql = f"({_srs._flit(v.top)} - (y.iy + 0.5) * {_srs._flit(v.dy)})"
+    lon_sql, lat_sql = _srs.sinu_inverse_sql(x_sql, y_sql, p)
+    return f"""
+  SELECT CAST(0 AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         {lon_sql} AS cx, {lat_sql} AS cy
+  FROM range({v.ny}) y(iy), range({v.nx}) x(ix)
+"""
+
+
+def _modis_pixels_sql() -> str:
+    from . import srs as _srs
+
+    m = _MODIS_IMG
+    il, ir = _srs._flit(m["left"]), _srs._flit(m["right"])
+    ib, it = _srs._flit(m["bottom"]), _srs._flit(m["top"])
+    n = m["n"]
+    # mirror warp_plane 'near' op order exactly: pd = (right-left)/w first,
+    # then floor((coord - origin) / pd)
+    pdx = f"(({ir}) - ({il})) / {n}"
+    pdy = f"(({it}) - ({ib})) / {n}"
+    return f"""
+WITH px AS (
+  SELECT r.r AS pr, c.c AS pc,
+    CASE WHEN (r.r*7 + c.c*11) % 37 = 0 THEN NULL
+         ELSE CAST((r.r*31 + c.c*17) % 9000 - 2000 AS DOUBLE) END AS ndvi,
+    CASE WHEN (r.r*7 + c.c*11) % 37 = 0 THEN NULL
+         ELSE CAST((r.r*13 + c.c*29) % 9000 - 2500 AS DOUBLE) END AS evi
+  FROM range({n}) r(r), range({n}) c(c)
+),
+cells AS ({_modis_cells_sql(V_MODIS)})
+SELECT cells.it, cells.iy, cells.ix, px.ndvi AS NDVI, px.evi AS EVI
+FROM cells JOIN px
+  ON px.pr = CAST(floor((({it}) - cells.cy) / ({pdy})) AS INT)
+ AND px.pc = CAST(floor((cells.cx - ({il})) / ({pdx})) AS INT)
+WHERE cells.cx >= ({il}) AND cells.cx < ({ir})
+  AND cells.cy > ({ib}) AND cells.cy <= ({it})
+  AND px.ndvi IS NOT NULL
+"""
+
+
+@q("hdf4_modis_pixels", _modis_pixels_sql())
+def hdf4_modis_pixels(spark, sf_dir):
+    """The test_sampledata scenario end-to-end (see block comment above):
+    MODIS granule listing -> MxD13A2 preset ingest (regex; nodata/ts flow
+    from the preset tables, not hardcoded) -> HDF4 SDS decode -> sinusoidal
+    min-cube. Real-payload HDF4 bytes decode inside the scan; the oracle
+    reconstructs every decoded pixel from the granule formula."""
+    import numpy as np
+
+    from .operators.build import build_cube, srcdata_decode
+    from .sources.formats import ingest_listing
+    from .sources.hdf4 import hdf4_sds_bytes
+
+    gran = "/granules/MOD13A2.A2015193.h23v03.006.2015304013141"
+    sub = f'HDF4_EOS:EOS_GRID:"{gran}.hdf":MODIS_Grid_16DAY_1km_VI:1 km 16 days '
+    listing = spark.createDataFrame(
+        [(sub + "NDVI",), (sub + "EVI",), ("/granules/readme.txt",)],
+        "path string",
+    )
+    refs = ingest_listing(listing, "MxD13A2")
+    meta = {r["band"]: r for r in refs.collect()}  # 2 rows — metadata only
+    if set(meta) != {"NDVI", "EVI"}:
+        raise AssertionError(f"preset ingest produced bands {set(meta)}")
+    nodata = [float(meta["NDVI"]["nodata"]), float(meta["EVI"]["nodata"])]
+
+    ndvi, evi = _modis_granule_planes()
+    payload = hdf4_sds_bytes(
+        [ndvi, evi],
+        names=["1 km 16 days NDVI", "1 km 16 days EVI"],
+        compress="deflate",
+    )
+    m = _MODIS_IMG
+    images = spark.createDataFrame(
+        [(
+            meta["NDVI"]["image_id"], bytearray(payload), m["n"], m["n"], "hdf",
+            meta["NDVI"]["ts"], m["left"], m["right"], m["bottom"], m["top"],
+        )],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "ts timestamp, left double, right double, bottom double, top double",
+    )
+    cube = build_cube(
+        images, V_MODIS, bands=("NDVI", "EVI"),
+        decode_fn=srcdata_decode(nodata=nodata),
+    )
+    return cube.df.select("it", "iy", "ix", "NDVI", "EVI")
 
 
 @q("cube_mask_band_decode", None)  # rows-only: real decode + separate mask band
@@ -2512,11 +2683,11 @@ _WINDOW_ORACLED = [
     # vector
     "query_points_timeseries",
     "extract_geom",
-    "zonal_statistics",
-    "zonal_topk",
+    "zonal_suite",  # folds zonal_statistics + zonal_topk
     "filter_geom_rect",
     # sources / sinks
     "format_ingest",
+    "hdf4_modis_pixels",  # the test_sampledata MODIS HDF4 scenario
     "netcdf_roundtrip",
     "geotiff_roundtrip",
     "packed_roundtrip",

@@ -158,6 +158,10 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         from .sources.geotiff import read_gtiff_bytes
 
         return np.moveaxis(read_gtiff_bytes(bytes(data))["planes"], 0, -1)
+    if data[:4] == b"\x0e\x03\x13\x01":  # HDF4 (MODIS granules)
+        from .sources.hdf4 import decode_hdf4
+
+        return decode_hdf4(bytes(data))
     if data[:4] == b"LOSY":
         return decode_png(bytes(data[4:]))
     return decode_png(bytes(data))

@@ -1,0 +1,290 @@
+"""Pure-python HDF4 Scientific Data Set (SDS) writer + reader.
+
+The reference ingests MODIS granules through GDAL's HDF4 driver — its only
+end-to-end test (src/test/test_sampledata.cpp:28-70, disabled "DEPENDS ON
+LOCAL FILES") opens ``HDF4_EOS:EOS_GRID:"MOD13A2....hdf":...:NDVI`` — and
+8 of the 18 collection-format presets (formats/MxD*.json) point at HDF4
+payloads.  This module implements the container itself from the public
+spec ("HDF Specification and Developer's Guide", NCSA/The HDF Group,
+HDF 4.2), the same pure-struct scope as sources/netcdf3.py (NetCDF
+Classic) and sources/geotiff.py (TIFF 6.0):
+
+- file header magic ``0e 03 13 01`` + chained Data Descriptor blocks
+  (ndds:u16, next:u32, then 12-byte tag/ref/offset/length entries, all
+  big-endian);
+- the DFSD scientific-dataset object model: DFTAG_NDG (720) groups one
+  DFTAG_SDD (701) dimension record (rank, dims, data number-type ref),
+  DFTAG_NT (106) number types, DFTAG_SD (702) raw data, DFTAG_SDL (704)
+  label;
+- number types DFNT_FLOAT32/FLOAT64/INT8/UINT8/INT16/UINT16/INT32/UINT32,
+  big-endian data as the spec's default (class IEEE / MBO);
+- compressed data elements: the special-tag mechanism (tag | 0x4000), the
+  SPECIAL_COMP (3) header (version, uncompressed length, ref of the
+  DFTAG_COMPRESSED (40) stream element, model, coder), with DEFLATE
+  (zlib stream, comp code 4) and the HDF byte-RLE coder (comp code 1:
+  control byte < 128 -> that+1 literal bytes follow; >= 128 -> the next
+  byte repeats (control-128)+3 times).
+
+Out of scope (raises cleanly): SPECIAL_CHUNKED tiling, external-file
+elements, and the Vgroup/Vdata attribute layer of the newer SD API — the
+per-band metadata (nodata/scale) of the MODIS presets travels through the
+collection-format tables (sources/formats.py) exactly as it does for
+every other codec, so cube semantics never depend on in-file attributes.
+
+Spark-side use: granule bytes live in a binary column; codecs.decode
+dispatches on the HDF4 magic and stacks the file's SDS planes as
+channels, so MODIS-preset collections flow through the same Arrow-batched
+chunk kernel as PNG/GeoTIFF payloads (operators/build.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"\x0e\x03\x13\x01"
+
+# tags (HDF 4.2 spec, "Tag Specifications")
+DFTAG_NULL = 1
+DFTAG_VERSION = 30
+DFTAG_COMPRESSED = 40
+DFTAG_NT = 106
+DFTAG_SDD = 701
+DFTAG_SD = 702
+DFTAG_SDL = 704
+DFTAG_NDG = 720
+
+SPECIAL_BIT = 0x4000  # extended-tag bit: special element stand-in for tag
+SPECIAL_LINKED = 1
+SPECIAL_EXT = 2
+SPECIAL_COMP = 3
+SPECIAL_CHUNKED = 5
+
+COMP_NONE = 0
+COMP_RLE = 1
+COMP_DEFLATE = 4
+
+# DFNT number-type codes -> (numpy big-endian dtype, width bits)
+_DFNT = {
+    5: (">f4", 32), 6: (">f8", 64),
+    20: ("i1", 8), 21: ("u1", 8),
+    22: (">i2", 16), 23: (">u2", 16),
+    24: (">i4", 32), 25: (">u4", 32),
+}
+_DTYPE_TO_DFNT = {
+    "float32": 5, "float64": 6, "int8": 20, "uint8": 21,
+    "int16": 22, "uint16": 23, "int32": 24, "uint32": 25,
+}
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """HDF byte-RLE: runs of >=3 identical bytes -> (0x80|(n-3), byte),
+    n <= 130; anything else -> (n-1, literals), n <= 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 130 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out.append(0x80 | (j - i - 3))
+            out.append(data[i])
+            i = j
+        else:
+            # literal run: until the next >=3 run or 128 bytes
+            k = i
+            while k < n and k - i < 128:
+                if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                    break
+                k += 1
+            out.append(k - i - 1)
+            out += data[i:k]
+            i = k
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c & 0x80:
+            out += data[i:i + 1] * ((c & 0x7F) + 3)
+            i += 1
+        else:
+            out += data[i:i + c + 1]
+            i += c + 1
+    return bytes(out)
+
+
+def hdf4_sds_bytes(arrays, names=None, compress: str | None = None) -> bytes:
+    """Encode 2-D numpy arrays as an HDF4 file of labeled SDS objects.
+
+    ``arrays``: one (h, w) array or a list of them (one SDS each — the
+    multi-subdataset granule shape of a MODIS product file).
+    ``names``: optional per-SDS labels (DFTAG_SDL).
+    ``compress``: None | 'deflate' | 'rle' — applied to every SDS via the
+    SPECIAL_COMP element mechanism.
+    """
+    if isinstance(arrays, np.ndarray):
+        arrays = [arrays]
+    arrays = [np.asarray(a) for a in arrays]
+    for a in arrays:
+        if a.ndim != 2:
+            raise ValueError("each SDS must be a 2-D array")
+        if str(a.dtype.name) not in _DTYPE_TO_DFNT:
+            raise ValueError(f"unsupported dtype {a.dtype}")
+    if names is None:
+        names = [f"SDS_{i}" for i in range(len(arrays))]
+    if len(names) != len(arrays):
+        raise ValueError("names/arrays length mismatch")
+
+    # element payloads in file order, as (tag, ref, bytes)
+    elems: list[tuple[int, int, bytes]] = []
+    ver = struct.pack(">III", 4, 2, 15) + b"gdalcubes_cpp_spark hdf4\x00"
+    elems.append((DFTAG_VERSION, 1, ver))
+    for i, (a, name) in enumerate(zip(arrays, names)):
+        ref = i + 1
+        dfnt = _DTYPE_TO_DFNT[str(a.dtype.name)]
+        dt, width = _DFNT[dfnt]
+        # NT: version=1, type, width(bits), class (IEEE/MBO = 1)
+        elems.append((DFTAG_NT, ref, struct.pack(">BBBB", 1, dfnt, width, 1)))
+        # SDD: rank, dims, (tag,ref) of data NT, rank x (tag,ref) scale NTs
+        h, w = a.shape
+        sdd = struct.pack(">H", 2) + struct.pack(">II", h, w)
+        sdd += struct.pack(">HH", DFTAG_NT, ref)
+        sdd += struct.pack(">HH", DFTAG_NT, ref) * 2
+        elems.append((DFTAG_SDD, ref, sdd))
+        elems.append((DFTAG_SDL, ref, name.encode() + b"\x00"))
+        raw = np.ascontiguousarray(a, dtype=np.dtype(dt)).tobytes()
+        if compress is None:
+            elems.append((DFTAG_SD, ref, raw))
+        else:
+            code = {"deflate": COMP_DEFLATE, "rle": COMP_RLE}[compress]
+            stream = zlib.compress(raw, 6) if code == COMP_DEFLATE else _rle_encode(raw)
+            elems.append((DFTAG_COMPRESSED, ref, stream))
+            # special-element stand-in for the SD data: special code,
+            # comp header (version, uncomp length, comp ref, model, coder)
+            # + coder info (deflate level)
+            sp = struct.pack(">HHIHHH", SPECIAL_COMP, 0, len(raw), ref, 0, code)
+            if code == COMP_DEFLATE:
+                sp += struct.pack(">H", 6)
+            elems.append((DFTAG_SD | SPECIAL_BIT, ref, sp))
+        # NDG members reference the BASE data tag; readers must probe the
+        # special tag too (the HDF library's Hstartread behavior)
+        ndg = struct.pack(">HH", DFTAG_SDD, ref) + struct.pack(">HH", DFTAG_SD, ref)
+        ndg += struct.pack(">HH", DFTAG_SDL, ref)
+        elems.append((DFTAG_NDG, ref, ndg))
+
+    ndds = len(elems)
+    dd_block = struct.pack(">HI", ndds, 0)
+    off = len(MAGIC) + len(dd_block) + 12 * ndds
+    dds = b""
+    payload = b""
+    for tag, ref, data in elems:
+        dds += struct.pack(">HHII", tag, ref, off, len(data))
+        payload += data
+        off += len(data)
+    return MAGIC + dd_block + dds + payload
+
+
+def _walk_dds(buf: bytes) -> dict:
+    """DD-block chain -> {(tag, ref): (offset, length)}."""
+    if buf[:4] != MAGIC:
+        raise ValueError("not an HDF4 file")
+    dds = {}
+    pos = 4
+    while pos:
+        ndds, nxt = struct.unpack_from(">HI", buf, pos)
+        p = pos + 6
+        for _ in range(ndds):
+            tag, ref, off, length = struct.unpack_from(">HHII", buf, p)
+            p += 12
+            if tag != DFTAG_NULL:
+                dds[(tag, ref)] = (off, length)
+        pos = nxt
+    return dds
+
+
+def _element(buf: bytes, dds: dict, tag: int, ref: int) -> bytes:
+    """Fetch an element's (decompressed) bytes, resolving the special-tag
+    stand-in exactly as the HDF library's Hstartread does."""
+    if (tag, ref) in dds:
+        off, length = dds[(tag, ref)]
+        return buf[off:off + length]
+    key = (tag | SPECIAL_BIT, ref)
+    if key not in dds:
+        raise KeyError(f"no element tag={tag} ref={ref}")
+    off, length = dds[key]
+    (code,) = struct.unpack_from(">H", buf, off)
+    if code != SPECIAL_COMP:
+        raise ValueError(f"unsupported special element code {code} "
+                         f"(chunked/linked/external not implemented)")
+    _ver, ulen, comp_ref, _model, ctype = struct.unpack_from(">HIHHH", buf, off + 2)
+    coff, clen = dds[(DFTAG_COMPRESSED, comp_ref)]
+    stream = buf[coff:coff + clen]
+    if ctype == COMP_NONE:
+        out = stream
+    elif ctype == COMP_DEFLATE:
+        out = zlib.decompress(stream)
+    elif ctype == COMP_RLE:
+        out = _rle_decode(stream)
+    else:
+        raise ValueError(f"unsupported HDF4 compression code {ctype}")
+    if len(out) != ulen:
+        raise ValueError("corrupt HDF4 compressed element")
+    return out
+
+
+def read_hdf4_bytes(data: bytes) -> list[dict]:
+    """Decode every SDS: [{'name', 'data' (native-endian 2-D array)}],
+    in NDG ref order."""
+    buf = bytes(data)
+    dds = _walk_dds(buf)
+    out = []
+    for (tag, ref) in sorted(dds):
+        if tag != DFTAG_NDG:
+            continue
+        members = buf_pairs = _element(buf, dds, DFTAG_NDG, ref)
+        mem = {}
+        for i in range(0, len(buf_pairs), 4):
+            t, r = struct.unpack_from(">HH", members, i)
+            mem[t] = r
+        if DFTAG_SDD not in mem:
+            continue
+        sdd = _element(buf, dds, DFTAG_SDD, mem[DFTAG_SDD])
+        (rank,) = struct.unpack_from(">H", sdd, 0)
+        dims = struct.unpack_from(">" + "I" * rank, sdd, 2)
+        nt_tag, nt_ref = struct.unpack_from(">HH", sdd, 2 + 4 * rank)
+        nt = _element(buf, dds, nt_tag, nt_ref)
+        _v, dfnt, _wbits, _cls = struct.unpack_from(">BBBB", nt, 0)
+        if dfnt not in _DFNT:
+            raise ValueError(f"unsupported DFNT code {dfnt}")
+        dt = np.dtype(_DFNT[dfnt][0])
+        raw = _element(buf, dds, DFTAG_SD, mem.get(DFTAG_SD, ref))
+        n = int(np.prod(dims))
+        arr = np.frombuffer(raw, dtype=dt, count=n).reshape(dims)
+        name = None
+        if DFTAG_SDL in mem:
+            name = _element(buf, dds, DFTAG_SDL, mem[DFTAG_SDL]).split(b"\x00")[0].decode()
+        out.append({
+            "name": name,
+            "data": arr.astype(arr.dtype.newbyteorder("=")),
+        })
+    return out
+
+
+def decode_hdf4(data: bytes) -> np.ndarray:
+    """codecs.decode entry: stack the file's SDS planes -> (h, w, c),
+    native dtype preserved (int16 MODIS NDVI stays int16 so declared
+    nodata matching in srcdata_decode sees exact values)."""
+    sds = read_hdf4_bytes(data)
+    if not sds:
+        raise ValueError("HDF4 file contains no SDS")
+    shapes = {s["data"].shape for s in sds}
+    if len(shapes) != 1:
+        raise ValueError(f"SDS shapes differ: {shapes}")
+    return np.stack([s["data"] for s in sds], axis=-1)

@@ -18,8 +18,10 @@ REQUIRED_IN_WINDOW = [
     "reduce_time_full", "reduce_space", "aggregate_time_space",
     "window_time_suite", "fill_time_suite", "apply_filter_pixel",
     "join_bands", "slice_crop", "select_time_labeled", "fill_space_knn",
-    "query_points_timeseries", "extract_geom", "zonal_statistics",
-    "zonal_topk", "filter_geom_rect", "packed_roundtrip", "cube_write_reread",
+    "query_points_timeseries", "extract_geom", "zonal_suite",
+    "filter_geom_rect", "packed_roundtrip", "cube_write_reread",
+    # r4: the test_sampledata MODIS HDF4 end-to-end scenario
+    "hdf4_modis_pixels",
     "doc_stats", "doc_exact_dups", "doc_minhash", "doc_lsh_jaccard",
     "doc_simhash", "ann_topk", "ann_knn_join", "ann_dup_pairs",
     "events_tumbling", "events_sessionize", "tpch_suite",
@@ -63,7 +65,7 @@ def test_every_def_reachable():
         "simple_cube_decode", "cube_mask_band_decode",
         "ann_ivf_topk", "ann_rp_lsh_pairs",
         "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
-        "cube_laea_mean", "cube_aea_mean",
+        "cube_laea_mean", "cube_aea_mean", "zonal_statistics", "zonal_topk",
         "reduce_time_exact", "reduce_time_stats", "reduce_time_which",
     }
     window = set(REGISTRY)
