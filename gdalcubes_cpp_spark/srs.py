@@ -118,6 +118,40 @@ def _proj4_kv(s: str) -> dict:
     return out
 
 
+def _proj4_ellps(kv: dict, s: str):
+    """(a, e2) from +ellps= / +a=+b= / +a=+rf= (defaults to WGS84)."""
+    if "ellps" in kv and kv["ellps"] is not True:
+        known = _ELLPS.get(kv["ellps"])
+        if known is None:
+            raise ValueError(f"unknown +ellps={kv['ellps']} in {s!r}")
+        return known[0], _e2_of(*known)
+    if "a" in kv:
+        a = float(kv["a"])
+        if "rf" in kv:
+            return a, _e2_of(a, float(kv["rf"]))
+        b = float(kv.get("b", a))
+        f = (a - b) / a
+        return a, f * (2.0 - f)
+    return A_WGS84, E2
+
+
+def _proj4_towgs84(kv: dict, s: str):
+    """7-tuple (tx,ty,tz,rx",ry",rz",ds_ppm) from +towgs84=, or None.
+    3-param form pads zero rotations/scale (the EPSG geocentric
+    translation special case)."""
+    tw = kv.get("towgs84")
+    if tw in (None, True):
+        return None
+    vals = [float(v) for v in str(tw).split(",")]
+    if len(vals) == 3:
+        vals += [0.0, 0.0, 0.0, 0.0]
+    if len(vals) != 7:
+        raise ValueError(f"+towgs84 needs 3 or 7 values in {s!r}")
+    if all(v == 0.0 for v in vals):
+        return None
+    return tuple(vals)
+
+
 def _from_proj4(s: str) -> str:
     """Resolve a proj4 string to a supported SRS (the reference feeds any
     user SRS string to GDAL, src/view.h:703-711; we resolve the families
@@ -196,6 +230,44 @@ def _from_proj4(s: str) -> str:
         )
         _LCC[key] = p
         return key
+    if proj in ("tmerc", "somerc"):
+        a, e2 = _proj4_ellps(kv, s)
+        helm = _proj4_towgs84(kv, s)
+        if proj == "tmerc":
+            p = EtmParams(
+                a=a, e2=e2, k0=float(kv.get("k", kv.get("k_0", 1.0))),
+                lat0=float(kv.get("lat_0", 0.0)), lon0=float(kv.get("lon_0", 0.0)),
+                fe=float(kv.get("x_0", 0.0)), fn=float(kv.get("y_0", 0.0)),
+                helm=helm,
+            )
+            for code, known in _ETM.items():
+                if known == p:
+                    return code
+            key = "ETM:" + ":".join(
+                repr(v) for v in (p.a, p.e2, p.k0, p.lat0, p.lon0, p.fe, p.fn)
+            )
+            if helm is not None:
+                key += ":" + ":".join(repr(v) for v in helm)
+            _ETM[key] = p
+            return key
+        pw = SwissParams(
+            a=a, e2=e2,
+            lat0=float(kv.get("lat_0", 0.0)), lon0=float(kv.get("lon_0", 0.0)),
+            fe=float(kv.get("x_0", 0.0)), fn=float(kv.get("y_0", 0.0)),
+            helm=helm,
+        )
+        if float(kv.get("k", kv.get("k_0", 1.0))) != 1.0:
+            raise ValueError(f"+proj=somerc supports k_0=1 only (Swiss): {s!r}")
+        for code, known in _SWISS.items():
+            if known == pw:
+                return code
+        key = "SOMERC:" + ":".join(
+            repr(v) for v in (pw.a, pw.e2, pw.lat0, pw.lon0, pw.fe, pw.fn)
+        )
+        if helm is not None:
+            key += ":" + ":".join(repr(v) for v in helm)
+        _SWISS[key] = pw
+        return key
     if proj == "sinu":
         # spherical form (the MODIS grid): radius from +R= (or a sphere
         # given as +a=); the ellipsoidal series is not implemented
@@ -231,14 +303,15 @@ def normalize(srs: str) -> str:
             code = hits[-1][0] or hits[-1][1]
             return normalize(f"EPSG:{code}")
         raise ValueError(f"WKT without an EPSG authority is unsupported: {raw[:60]}...")
-    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:", "AEA:")):
+    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:", "AEA:", "ETM:", "SOMERC:")):
         # dynamic keys are SELF-DESCRIBING (parse-on-demand): executor
         # python workers import srs.py fresh, so a driver-side registry
         # alone would not resolve them inside kernels
         if (
             _polar_of(raw) is None and _laea_of(raw) is None
             and _sinu_of(raw) is None and _lcc_of(raw) is None
-            and _aea_of(raw) is None
+            and _aea_of(raw) is None and _etm_of(raw) is None
+            and _swiss_of(raw) is None
         ):
             raise ValueError(f"malformed dynamic SRS key {raw!r}")
         return raw
@@ -247,7 +320,7 @@ def normalize(srs: str) -> str:
         return "EPSG:4326"
     if s in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
         return "EPSG:3857"
-    if s in _POLAR or s in _LAEA or s in _LCC or s in _AEA:
+    if s in _POLAR or s in _LAEA or s in _LCC or s in _AEA or s in _ETM or s in _SWISS:
         return s
     m = _UTM_RE.match(s)
     if m:
@@ -259,8 +332,10 @@ def normalize(srs: str) -> str:
         f"EPSG:326xx/327xx UTM zones, EPSG:3031/3413 polar stereographic, "
         f"EPSG:3035 LAEA Europe, spherical sinusoidal (the MODIS grid), "
         f"EPSG:2154 Lambert-93 conformal conic, EPSG:5070 Conus Albers, "
-        f"equivalent proj4/WKT strings, and any polar-stereographic/LAEA/"
-        f"sinusoidal/LCC/Albers proj4 parameter set)"
+        f"EPSG:27700 British National Grid (OSGB36 datum), EPSG:2056/21781 "
+        f"Swiss oblique Mercator (CH1903 datum), equivalent proj4/WKT "
+        f"strings, and any polar-stereographic/LAEA/sinusoidal/LCC/Albers/"
+        f"tmerc/somerc proj4 parameter set incl. +towgs84 datum shifts)"
     )
 
 
@@ -890,6 +965,500 @@ def aea_inverse_sql(x_expr: str, y_expr: str, p: AeaParams):
     return lon, lat
 
 
+# -- datums: 7-parameter Helmert (EPSG method 9606, position vector) ----------
+#
+# The reference accepts ANY PROJ SRS including non-WGS84 datums
+# (src/view.h:703-711; PROJ resolves +towgs84= internally). Here the
+# transform is explicit: geodetic (source ellipsoid, h=0) -> geocentric
+# XYZ -> position-vector 7-param similarity -> WGS84 geodetic via
+# Bowring's closed formula. All stages are closed-form so the DuckDB
+# oracle replays them exactly (no iteration).
+
+_RAD = math.pi / 180.0
+_DEG = 180.0 / math.pi
+_AS2RAD = math.pi / 648000.0  # arc-seconds -> radians
+
+_B_WGS84 = A_WGS84 * math.sqrt(1.0 - E2)  # WGS84 semi-minor axis
+
+# ellipsoids: name -> (a, 1/f)
+_ELLPS = {
+    "wgs84": (6378137.0, 298.257223563),
+    "grs80": (6378137.0, 298.257222101),
+    "airy": (6377563.396, 299.3249646),
+    "bessel": (6377397.155, 299.1528128),
+    "intl": (6378388.0, 297.0),
+    "clrk66": (6378206.4, 294.978698214),  # 1/f from a/(a-b), Clarke 1866
+}
+
+
+def _e2_of(a: float, inv_f: float) -> float:
+    f = 1.0 / inv_f
+    return f * (2.0 - f)
+
+
+def _helm_consts(helm):
+    """(tx, ty, tz, rx, ry, rz, m) with rotations in radians and the scale
+    factor applied — precomputed python floats so numpy and SQL consume
+    identical literals."""
+    tx, ty, tz, rxs, rys, rzs, ds = helm
+    return (tx, ty, tz, rxs * _AS2RAD, rys * _AS2RAD, rzs * _AS2RAD,
+            1.0 + ds * 1e-6)
+
+
+def geodetic_to_xyz(lon_deg, lat_deg, a: float, e2: float):
+    """Geodetic (h=0) -> geocentric XYZ on the given ellipsoid."""
+    phs = np.asarray(lat_deg, dtype=np.float64) * _RAD
+    lms = np.asarray(lon_deg, dtype=np.float64) * _RAD
+    sinp = np.sin(phs)
+    nu = a / np.sqrt(1.0 - e2 * sinp * sinp)
+    cosp = np.cos(phs)
+    return (nu * cosp * np.cos(lms), nu * cosp * np.sin(lms),
+            nu * (1.0 - e2) * sinp)
+
+
+def helmert_forward(X, Y, Z, helm):
+    """Source-datum XYZ -> WGS84 XYZ (the +towgs84 direction): position-
+    vector small-angle similarity, X' = t + m (I + R) X."""
+    tx, ty, tz, rx, ry, rz, m = _helm_consts(helm)
+    X2 = tx + m * (X - rz * Y + ry * Z)
+    Y2 = ty + m * (rz * X + Y - rx * Z)
+    Z2 = tz + m * (-ry * X + rx * Y + Z)
+    return X2, Y2, Z2
+
+
+def helmert_inverse(X, Y, Z, helm):
+    """WGS84 XYZ -> source-datum XYZ: the EXACT inverse of the linearized
+    forward map (3x3 solve via the closed adjugate), so forward∘inverse
+    round-trips to float precision — not the sign-flipped approximation."""
+    tx, ty, tz, rx, ry, rz, m = _helm_consts(helm)
+    u, v, w = (X - tx) / m, (Y - ty) / m, (Z - tz) / m
+    # inverse of [[1,-rz,ry],[rz,1,-rx],[-ry,rx,1]] (det = 1 + rx²+ry²+rz²)
+    det = 1.0 + rx * rx + ry * ry + rz * rz
+    X2 = ((1.0 + rx * rx) * u + (rz + rx * ry) * v + (rx * rz - ry) * w) / det
+    Y2 = ((rx * ry - rz) * u + (1.0 + ry * ry) * v + (rx + ry * rz) * w) / det
+    Z2 = ((ry + rx * rz) * u + (ry * rz - rx) * v + (1.0 + rz * rz) * w) / det
+    return X2, Y2, Z2
+
+
+def xyz_to_wgs84_geodetic(X, Y, Z):
+    """Geocentric WGS84 XYZ -> (lon, lat) degrees, Bowring's single-pass
+    closed formula (sub-mm for earth-surface points)."""
+    pr = np.sqrt(X * X + Y * Y)
+    th = np.arctan2(Z * A_WGS84, pr * _B_WGS84)
+    sth = np.sin(th)
+    cth = np.cos(th)
+    phi = np.arctan2(Z + EP2 * _B_WGS84 * sth * sth * sth,
+                     pr - E2 * A_WGS84 * cth * cth * cth)
+    return np.arctan2(Y, X) * _DEG, phi * _DEG
+
+
+def datum_to_wgs84(lon_deg, lat_deg, a: float, e2: float, helm):
+    """Source-datum geodetic -> WGS84 geodetic (degrees); the op order the
+    SQL mirrors replay stage by stage."""
+    X, Y, Z = geodetic_to_xyz(lon_deg, lat_deg, a, e2)
+    return xyz_to_wgs84_geodetic(*helmert_forward(X, Y, Z, helm))
+
+
+def wgs84_to_datum(lon_deg, lat_deg, a: float, e2: float, helm):
+    """WGS84 geodetic -> source-datum geodetic (degrees). The target-side
+    geodetic conversion uses Bowring with the SOURCE ellipsoid."""
+    X, Y, Z = geodetic_to_xyz(lon_deg, lat_deg, A_WGS84, E2)
+    u, v, w = helmert_inverse(X, Y, Z, helm)
+    b = a * math.sqrt(1.0 - e2)
+    ep2 = e2 / (1.0 - e2)
+    pr = np.sqrt(u * u + v * v)
+    th = np.arctan2(w * a, pr * b)
+    sth = np.sin(th)
+    cth = np.cos(th)
+    phi = np.arctan2(w + ep2 * b * sth * sth * sth,
+                     pr - e2 * a * cth * cth * cth)
+    return np.arctan2(v, u) * _DEG, phi * _DEG
+
+
+def _datum_sql(lon_expr: str, lat_expr: str, a: float, e2: float, helm):
+    """(lon_sql, lat_sql): SQL mirror of datum_to_wgs84 with the same op
+    order. Stage values are textually substituted — the chain stays small
+    because every stage is closed-form (callers put cells in a CTE so x/y
+    appear once)."""
+    L = _flit
+    tx, ty, tz, rx, ry, rz, m = _helm_consts(helm)
+    phs = f"(({lat_expr}) * {L(_RAD)})"
+    lms = f"(({lon_expr}) * {L(_RAD)})"
+    nu = f"({L(a)} / sqrt(1.0 - {L(e2)} * sin({phs}) * sin({phs})))"
+    gx = f"({nu} * cos({phs}) * cos({lms}))"
+    gy = f"({nu} * cos({phs}) * sin({lms}))"
+    gz = f"({nu} * {L(1.0 - e2)} * sin({phs}))"
+    wx = f"({L(tx)} + {L(m)} * ({gx} - {L(rz)} * {gy} + {L(ry)} * {gz}))"
+    wy = f"({L(ty)} + {L(m)} * ({L(rz)} * {gx} + {gy} - {L(rx)} * {gz}))"
+    wz = f"({L(tz)} + {L(m)} * ({L(-ry)} * {gx} + {L(rx)} * {gy} + {gz}))"
+    pr = f"sqrt({wx} * {wx} + {wy} * {wy})"
+    th = f"atan2({wz} * {L(A_WGS84)}, {pr} * {L(_B_WGS84)})"
+    phi = (
+        f"atan2({wz} + {L(EP2 * _B_WGS84)} * sin({th}) * sin({th}) * sin({th}), "
+        f"{pr} - {L(E2 * A_WGS84)} * cos({th}) * cos({th}) * cos({th}))"
+    )
+    return (f"(atan2({wy}, {wx}) * {L(_DEG)})", f"({phi} * {L(_DEG)})")
+
+
+# -- generalized transverse Mercator on any ellipsoid + datum -----------------
+#
+# EPSG:27700 (British National Grid: TM on Airy 1830, OSGB36 datum via the
+# published towgs84 7-param Helmert) is the registered instance; any
+# +proj=tmerc string resolves here. Snyder 1987 eq. 8-9..8-25 with
+# per-ellipsoid series constants and the lat_0 meridional-arc offset M0.
+
+@dataclass(frozen=True)
+class EtmParams:
+    a: float
+    e2: float
+    k0: float
+    lat0: float
+    lon0: float
+    fe: float
+    fn: float
+    helm: tuple | None  # (tx,ty,tz,rx",ry",rz",ds_ppm) source -> WGS84
+
+
+def _tm_consts(e2: float):
+    """Meridional-arc + footpoint series constants for any e2."""
+    c0 = 1.0 - e2 / 4.0 - 3.0 * e2 ** 2 / 64.0 - 5.0 * e2 ** 3 / 256.0
+    c2 = 3.0 * e2 / 8.0 + 3.0 * e2 ** 2 / 32.0 + 45.0 * e2 ** 3 / 1024.0
+    c4 = 15.0 * e2 ** 2 / 256.0 + 45.0 * e2 ** 3 / 1024.0
+    c6 = 35.0 * e2 ** 3 / 3072.0
+    e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    return c0, c2, c4, c6, e1
+
+
+def _etm_m0(p: EtmParams) -> float:
+    c0, c2, c4, c6, _ = _tm_consts(p.e2)
+    phi0 = p.lat0 * _RAD
+    return p.a * (c0 * phi0 - c2 * math.sin(2.0 * phi0)
+                  + c4 * math.sin(4.0 * phi0) - c6 * math.sin(6.0 * phi0))
+
+
+# OSGB36 -> WGS84 (the published national 7-param set)
+_OSGB_HELM = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+
+_ETM: dict = {
+    "EPSG:27700": EtmParams(
+        a=_ELLPS["airy"][0], e2=_e2_of(*_ELLPS["airy"]), k0=0.9996012717,
+        lat0=49.0, lon0=-2.0, fe=400000.0, fn=-100000.0, helm=_OSGB_HELM,
+    ),
+}
+
+
+def etm_forward(lon, lat, p: EtmParams):
+    """(lon, lat) degrees IN THE PROJECTION'S DATUM -> grid (x, y)."""
+    c0, c2, c4, c6, _ = _tm_consts(p.e2)
+    ep2 = p.e2 / (1.0 - p.e2)
+    m0 = _etm_m0(p)
+    phi = np.asarray(lat, dtype=np.float64) * _RAD
+    lam = (np.asarray(lon, dtype=np.float64) - p.lon0) * _RAD
+    sinp = np.sin(phi)
+    cosp = np.cos(phi)
+    tanp = np.tan(phi)
+    N = p.a / np.sqrt(1.0 - p.e2 * sinp * sinp)
+    T = tanp * tanp
+    C = ep2 * cosp * cosp
+    Aa = cosp * lam
+    M = p.a * (c0 * phi - c2 * np.sin(2.0 * phi)
+               + c4 * np.sin(4.0 * phi) - c6 * np.sin(6.0 * phi))
+    x = p.fe + p.k0 * N * (
+        Aa
+        + (1.0 - T + C) * Aa ** 3 / 6.0
+        + (5.0 - 18.0 * T + T * T + 72.0 * C - 58.0 * ep2) * Aa ** 5 / 120.0
+    )
+    y = p.fn + p.k0 * (
+        M - m0
+        + N * tanp * (
+            Aa * Aa / 2.0
+            + (5.0 - T + 9.0 * C + 4.0 * C * C) * Aa ** 4 / 24.0
+            + (61.0 - 58.0 * T + T * T + 600.0 * C - 330.0 * ep2) * Aa ** 6 / 720.0
+        )
+    )
+    return x, y
+
+
+def etm_inverse(x, y, p: EtmParams):
+    """Grid (x, y) -> (lon, lat) degrees in the projection's datum.
+    Operation order mirrors etm_inverse_sql EXACTLY."""
+    c0, _c2, _c4, _c6, e1 = _tm_consts(p.e2)
+    ep2 = p.e2 / (1.0 - p.e2)
+    m0 = _etm_m0(p)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    M = m0 + (y - p.fn) / p.k0
+    mu = M / (p.a * c0)
+    phi1 = (
+        mu
+        + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu)
+        + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0) * np.sin(4.0 * mu)
+        + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu)
+        + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu)
+    )
+    sin1 = np.sin(phi1)
+    cos1 = np.cos(phi1)
+    tan1 = np.tan(phi1)
+    C1 = ep2 * cos1 * cos1
+    T1 = tan1 * tan1
+    N1 = p.a / np.sqrt(1.0 - p.e2 * sin1 * sin1)
+    R1 = p.a * (1.0 - p.e2) / (1.0 - p.e2 * sin1 * sin1) ** 1.5
+    D = (x - p.fe) / (N1 * p.k0)
+    lat = (
+        phi1
+        - (N1 * tan1 / R1) * (
+            D * D / 2.0
+            - (5.0 + 3.0 * T1 + 10.0 * C1 - 4.0 * C1 * C1 - 9.0 * ep2) * D ** 4 / 24.0
+            + (61.0 + 90.0 * T1 + 298.0 * C1 + 45.0 * T1 * T1 - 252.0 * ep2 - 3.0 * C1 * C1)
+            * D ** 6 / 720.0
+        )
+    ) * _DEG
+    lon = p.lon0 + (
+        (
+            D
+            - (1.0 + 2.0 * T1 + C1) * D ** 3 / 6.0
+            + (5.0 - 2.0 * C1 + 28.0 * T1 - 3.0 * C1 * C1 + 8.0 * ep2 + 24.0 * T1 * T1)
+            * D ** 5 / 120.0
+        )
+        / cos1
+    ) * _DEG
+    return lon, lat
+
+
+def etm_inverse_wgs84(x, y, p: EtmParams):
+    """Grid (x, y) -> WGS84 (lon, lat): projection inverse then the datum
+    Helmert (identity when helm is None)."""
+    lon, lat = etm_inverse(x, y, p)
+    if p.helm is None:
+        return lon, lat
+    return datum_to_wgs84(lon, lat, p.a, p.e2, p.helm)
+
+
+def etm_forward_wgs84(lon, lat, p: EtmParams):
+    if p.helm is not None:
+        lon, lat = wgs84_to_datum(
+            np.asarray(lon, dtype=np.float64),
+            np.asarray(lat, dtype=np.float64), p.a, p.e2, p.helm,
+        )
+    return etm_forward(lon, lat, p)
+
+
+def etm_inverse_sql(x_expr: str, y_expr: str, p: EtmParams):
+    """(lon_sql, lat_sql) in the projection's DATUM — the parameterized
+    form of tm_inverse_sql (same series, per-ellipsoid constants + M0)."""
+    c0, _c2, _c4, _c6, e1 = _tm_consts(p.e2)
+    ep2 = p.e2 / (1.0 - p.e2)
+    m0 = _etm_m0(p)
+    L = _flit
+    a = L(p.a)
+    deg = L(_DEG)
+    mu = f"(({L(m0)} + (({y_expr}) - {L(p.fn)}) / {L(p.k0)}) / ({a} * {L(c0)}))"
+    phi1 = (
+        f"({mu} + {L(3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0)} * sin(2.0 * {mu})"
+        f" + {L(21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0)} * sin(4.0 * {mu})"
+        f" + {L(151.0 * e1 ** 3 / 96.0)} * sin(6.0 * {mu})"
+        f" + {L(1097.0 * e1 ** 4 / 512.0)} * sin(8.0 * {mu}))"
+    )
+    c1 = f"({L(ep2)} * cos({phi1}) * cos({phi1}))"
+    t1 = f"(tan({phi1}) * tan({phi1}))"
+    n1 = f"({a} / sqrt(1.0 - {L(p.e2)} * sin({phi1}) * sin({phi1})))"
+    r1 = f"({a} * {L(1.0 - p.e2)} / pow(1.0 - {L(p.e2)} * sin({phi1}) * sin({phi1}), 1.5))"
+    d = f"((({x_expr}) - {L(p.fe)}) / ({n1} * {L(p.k0)}))"
+    lat = (
+        f"(({phi1} - ({n1} * tan({phi1}) / {r1}) * ({d} * {d} / 2.0"
+        f" - (5.0 + 3.0 * {t1} + 10.0 * {c1} - 4.0 * {c1} * {c1} - 9.0 * {L(ep2)})"
+        f" * pow({d}, 4) / 24.0"
+        f" + (61.0 + 90.0 * {t1} + 298.0 * {c1} + 45.0 * {t1} * {t1}"
+        f" - {L(252.0 * ep2)} - 3.0 * {c1} * {c1}) * pow({d}, 6) / 720.0)) * {deg})"
+    )
+    lon = (
+        f"({L(p.lon0)} + (({d} - (1.0 + 2.0 * {t1} + {c1}) * pow({d}, 3) / 6.0"
+        f" + (5.0 - 2.0 * {c1} + 28.0 * {t1} - 3.0 * {c1} * {c1} + {L(8.0 * ep2)}"
+        f" + 24.0 * {t1} * {t1}) * pow({d}, 5) / 120.0) / cos({phi1})) * {deg})"
+    )
+    return lon, lat
+
+
+# -- Swiss oblique Mercator (EPSG method 9814, Rosenmund) ---------------------
+#
+# EPSG:2056 (CH1903+ / LV95) and EPSG:21781 (CH1903 / LV03): the double
+# projection Bessel-1841 -> conformal sphere -> rotated (oblique)
+# equatorial Mercator, the swisstopo published formulation. The inverse
+# closes through the standard inverse-conformal-latitude series (the same
+# series family ps_inverse uses), so the SQL mirror needs no iteration.
+
+@dataclass(frozen=True)
+class SwissParams:
+    a: float
+    e2: float
+    lat0: float
+    lon0: float
+    fe: float
+    fn: float
+    helm: tuple | None
+
+
+_SWISS_LAT0 = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0   # Bern: 46°57'08.66"N
+_SWISS_LON0 = 7.0 + 26.0 / 60.0 + 22.5 / 3600.0    # Bern: 7°26'22.50"E
+# CH1903(+) -> WGS84: the published 3-param geocentric translation
+_SWISS_HELM = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+
+_SWISS: dict = {
+    "EPSG:2056": SwissParams(
+        a=_ELLPS["bessel"][0], e2=_e2_of(*_ELLPS["bessel"]),
+        lat0=_SWISS_LAT0, lon0=_SWISS_LON0,
+        fe=2600000.0, fn=1200000.0, helm=_SWISS_HELM,
+    ),
+    "EPSG:21781": SwissParams(
+        a=_ELLPS["bessel"][0], e2=_e2_of(*_ELLPS["bessel"]),
+        lat0=_SWISS_LAT0, lon0=_SWISS_LON0,
+        fe=600000.0, fn=200000.0, helm=_SWISS_HELM,
+    ),
+}
+
+
+def _chi_series(e2: float):
+    """Inverse conformal-latitude series coefficients (Snyder eq. 3-5) for
+    any e2 — the per-ellipsoid form of the module's _X2.._X8."""
+    return (
+        e2 / 2.0 + 5.0 * e2 ** 2 / 24.0 + e2 ** 3 / 12.0 + 13.0 * e2 ** 4 / 360.0,
+        7.0 * e2 ** 2 / 48.0 + 29.0 * e2 ** 3 / 240.0 + 811.0 * e2 ** 4 / 11520.0,
+        7.0 * e2 ** 3 / 120.0 + 81.0 * e2 ** 4 / 1120.0,
+        4279.0 * e2 ** 4 / 161280.0,
+    )
+
+
+def _swiss_consts(p: SwissParams):
+    """(alpha, rsph, b0, K, e) — the conformal-sphere constants."""
+    e = math.sqrt(p.e2)
+    phi0 = p.lat0 * _RAD
+    alpha = math.sqrt(1.0 + p.e2 / (1.0 - p.e2) * math.cos(phi0) ** 4)
+    rsph = p.a * math.sqrt(1.0 - p.e2) / (1.0 - p.e2 * math.sin(phi0) ** 2)
+    b0 = math.asin(math.sin(phi0) / alpha)
+    psi0 = math.atanh(math.sin(phi0)) - e * math.atanh(e * math.sin(phi0))
+    K = math.atanh(math.sin(b0)) - alpha * psi0
+    return alpha, rsph, b0, K, e
+
+
+def swiss_forward(lon, lat, p: SwissParams):
+    """WGS84 (lon, lat) degrees -> Swiss grid (E, N) meters."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if p.helm is not None:
+        lon, lat = wgs84_to_datum(lon, lat, p.a, p.e2, p.helm)
+    alpha, rsph, b0, K, e = _swiss_consts(p)
+    phi = lat * _RAD
+    sinp = np.sin(phi)
+    # ellipsoid -> conformal sphere (atanh written as explicit logs so the
+    # SQL mirror shares the exact op sequence)
+    psi = 0.5 * np.log((1.0 + sinp) / (1.0 - sinp)) \
+        - e * 0.5 * np.log((1.0 + e * sinp) / (1.0 - e * sinp))
+    S = alpha * psi + K
+    es = np.exp(2.0 * S)
+    sinb = (es - 1.0) / (es + 1.0)  # tanh(S)
+    cosb = np.sqrt(1.0 - sinb * sinb)
+    l = alpha * ((lon - p.lon0) * _RAD)
+    sinl = np.sin(l)
+    cosl = np.cos(l)
+    sb0, cb0 = math.sin(b0), math.cos(b0)
+    # rotate the projection center to the pseudo-equator
+    sinbb = cb0 * sinb - sb0 * cosb * cosl
+    lbar = np.arctan2(cosb * sinl, cb0 * cosb * cosl + sb0 * sinb)
+    E = p.fe + rsph * lbar
+    N = p.fn + rsph * (0.5 * np.log((1.0 + sinbb) / (1.0 - sinbb)))
+    return E, N
+
+
+def swiss_inverse(x, y, p: SwissParams):
+    """Swiss grid (E, N) -> WGS84 (lon, lat) degrees. Operation order
+    mirrors swiss_inverse_sql EXACTLY."""
+    alpha, rsph, b0, K, e = _swiss_consts(p)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lbar = (x - p.fe) / rsph
+    ex = np.exp(2.0 * ((y - p.fn) / rsph))
+    sinbb = (ex - 1.0) / (ex + 1.0)
+    cosbb = np.sqrt(1.0 - sinbb * sinbb)
+    sinlb = np.sin(lbar)
+    coslb = np.cos(lbar)
+    sb0, cb0 = math.sin(b0), math.cos(b0)
+    sinb = cb0 * sinbb + sb0 * cosbb * coslb
+    cosb = np.sqrt(1.0 - sinb * sinb)
+    l = np.arctan2(cosbb * sinlb, cb0 * cosbb * coslb - sb0 * sinbb)
+    lon_s = p.lon0 + (l / alpha) * _DEG
+    psi = (0.5 * np.log((1.0 + sinb) / (1.0 - sinb)) - K) / alpha
+    ep = np.exp(2.0 * psi)
+    sinchi = (ep - 1.0) / (ep + 1.0)
+    chi = np.arcsin(sinchi)
+    x2, x4, x6, x8 = _chi_series(p.e2)
+    phi = chi + x2 * np.sin(2.0 * chi) + x4 * np.sin(4.0 * chi) \
+        + x6 * np.sin(6.0 * chi) + x8 * np.sin(8.0 * chi)
+    lat_s = phi * _DEG
+    if p.helm is None:
+        return lon_s, lat_s
+    return datum_to_wgs84(lon_s, lat_s, p.a, p.e2, p.helm)
+
+
+def swiss_inverse_datum_sql(x_expr: str, y_expr: str, p: SwissParams):
+    """(lon_sql, lat_sql) in the projection's DATUM (CH1903) — mirror of
+    swiss_inverse before the Helmert stage. Chain _datum_sql on top for
+    WGS84 (do it from a CTE so the big strings bind once per stage)."""
+    alpha, rsph, b0, K, e = _swiss_consts(p)
+    L = _flit
+    sb0, cb0 = L(math.sin(b0)), L(math.cos(b0))
+    lbar = f"((({x_expr}) - {L(p.fe)}) / {L(rsph)})"
+    ex = f"exp(2.0 * ((({y_expr}) - {L(p.fn)}) / {L(rsph)}))"
+    sinbb = f"(({ex} - 1.0) / ({ex} + 1.0))"
+    cosbb = f"sqrt(1.0 - {sinbb} * {sinbb})"
+    sinb = f"({cb0} * {sinbb} + {sb0} * {cosbb} * cos({lbar}))"
+    cosb = f"sqrt(1.0 - {sinb} * {sinb})"
+    l = f"atan2({cosbb} * sin({lbar}), {cb0} * {cosbb} * cos({lbar}) - {sb0} * {sinbb})"
+    lon = f"({L(p.lon0)} + ({l} / {L(alpha)}) * {L(_DEG)})"
+    psi = f"((0.5 * ln((1.0 + {sinb}) / (1.0 - {sinb})) - {L(K)}) / {L(alpha)})"
+    ep = f"exp(2.0 * {psi})"
+    chi = f"asin(({ep} - 1.0) / ({ep} + 1.0))"
+    x2, x4, x6, x8 = _chi_series(p.e2)
+    lat = (
+        f"(({chi} + {L(x2)} * sin(2.0 * {chi}) + {L(x4)} * sin(4.0 * {chi})"
+        f" + {L(x6)} * sin(6.0 * {chi}) + {L(x8)} * sin(8.0 * {chi})) * {L(_DEG)})"
+    )
+    return lon, lat
+
+
+def _etm_of(s: str) -> EtmParams | None:
+    p = _ETM.get(s)
+    if p is not None:
+        return p
+    if s.startswith("ETM:"):
+        try:
+            parts = s.split(":")
+            a, e2, k0, lat0, lon0, fe, fn = (float(v) for v in parts[1:8])
+            helm = tuple(float(v) for v in parts[8:15]) if len(parts) > 8 else None
+        except ValueError:
+            return None
+        p = EtmParams(a, e2, k0, lat0, lon0, fe, fn, helm)
+        _ETM[s] = p
+        return p
+    return None
+
+
+def _swiss_of(s: str) -> SwissParams | None:
+    p = _SWISS.get(s)
+    if p is not None:
+        return p
+    if s.startswith("SOMERC:"):
+        try:
+            parts = s.split(":")
+            a, e2, lat0, lon0, fe, fn = (float(v) for v in parts[1:7])
+            helm = tuple(float(v) for v in parts[7:14]) if len(parts) > 7 else None
+        except ValueError:
+            return None
+        p = SwissParams(a, e2, lat0, lon0, fe, fn, helm)
+        _SWISS[s] = p
+        return p
+    return None
+
+
 def _aea_of(s: str) -> AeaParams | None:
     p = _AEA.get(s)
     if p is not None:
@@ -976,6 +1545,12 @@ def _lcc_of(s: str) -> LccParams | None:
 
 def _nonsep_inverse(x, y, s: str):
     """Dispatch (x, y in srs) -> (lon, lat) for non-separable SRS."""
+    pe = _etm_of(s)
+    if pe is not None:
+        return etm_inverse_wgs84(x, y, pe)
+    pw = _swiss_of(s)
+    if pw is not None:
+        return swiss_inverse(x, y, pw)
     p = _polar_of(s)
     if p is not None:
         return ps_inverse(x, y, p)
@@ -996,6 +1571,12 @@ def _nonsep_inverse(x, y, s: str):
 
 
 def _nonsep_forward(lon, lat, s: str):
+    pe = _etm_of(s)
+    if pe is not None:
+        return etm_forward_wgs84(lon, lat, pe)
+    pw = _swiss_of(s)
+    if pw is not None:
+        return swiss_forward(lon, lat, pw)
     p = _polar_of(s)
     if p is not None:
         return ps_forward(lon, lat, p)
