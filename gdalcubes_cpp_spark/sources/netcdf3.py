@@ -15,10 +15,15 @@ Layout written (matching the reference's cube exports):
          _FillValue attribute
   global atts: Conventions, source, srs, view (the CubeView JSON)
 
-A single netCDF file is inherently a gather — the cube is materialized
-driver-side (collect_dense), exactly like the reference which assembles
-the full cube in one process before writing. For distributed exports use
-Cube.write_chunks (parquet) — this module is the interop shim.
+write_netcdf materializes the cube driver-side (collect_dense), exactly
+like the reference which assembles the full cube in one process before
+writing (src/cube.cpp:116-210). write_netcdf_distributed produces the
+BYTE-IDENTICAL file without the gather: the classic layout stores each
+(band, time-slice) as one contiguous run at a header-computable offset,
+so executors encode their slices and positioned-write them independently
+(one exchange on the slice index, the write_gtiff_distributed pattern).
+Parquet cube tables (Cube.write_chunks) remain the analytics-scale path —
+netCDF is the interop sink.
 """
 
 from __future__ import annotations
@@ -67,60 +72,56 @@ def _att_list(atts: list) -> bytes:
     return out
 
 
-def write_netcdf(cube, path: str, packing: dict | None = None) -> None:
-    """Materialize the cube and write ONE classic netCDF-3 file.
+def _pack_plane(plane: np.ndarray, packing: dict):
+    """float64 plane -> int16 per the CF packing rule (shared by both
+    writers so their bytes are identical)."""
+    s, o = float(packing["scale"]), float(packing["offset"])
+    fill = int(packing.get("nodata", -32768))
+    with np.errstate(invalid="ignore"):
+        packed = np.round((plane - o) / s)
+        packed = np.clip(packed, -32768, 32767)
+    return np.where(np.isnan(plane), fill, packed).astype(np.int16)
 
-    ``packing`` = {"scale": s, "offset": o, "nodata": fill} writes band
-    variables as NC_SHORT with CF ``scale_factor``/``add_offset``
-    attributes — the reference's packed netCDF export (src/cube.cpp:149
-    packed_export; same packed = round((v - offset)/scale) rule as
-    operators/export.py). read_netcdf auto-unpacks (ncdf_cube.h:45)."""
-    v = cube.view
-    dense = cube.collect_dense()  # (nb, nt, ny, nx)
 
+def _nc_plan(view, bands: tuple, packing: dict | None):
+    """The file layout computed from METADATA alone: header bytes, the
+    per-variable begin offsets, coordinate-variable payloads, and the band
+    slot geometry — everything a distributed writer needs to place a
+    (band, it) slice without seeing any other pixel."""
+    v = view
     dims = [("time", v.nt), ("y", v.ny), ("x", v.nx)]
-    time_vals = np.array(
-        [(v.datetime_at(i) - v.t0).total_seconds() for i in range(v.nt)], dtype=np.float64
-    )
-    y_vals = np.array([v.y_of(i) for i in range(v.ny)], dtype=np.float64)
-    x_vals = np.array([v.x_of(i) for i in range(v.nx)], dtype=np.float64)
-
-    # (name, dimids, atts, data ndarray, nc_type)
+    coord_data = [
+        np.array([(v.datetime_at(i) - v.t0).total_seconds() for i in range(v.nt)],
+                 dtype=np.float64),
+        np.array([v.y_of(i) for i in range(v.ny)], dtype=np.float64),
+        np.array([v.x_of(i) for i in range(v.nx)], dtype=np.float64),
+    ]
+    band_type = NC_DOUBLE if packing is None else NC_SHORT
+    if packing is None:
+        band_atts = [("_FillValue", NC_DOUBLE, [np.nan])]
+    else:
+        band_atts = [
+            ("_FillValue", NC_SHORT, [int(packing.get("nodata", -32768))]),
+            ("scale_factor", NC_DOUBLE, [float(packing["scale"])]),
+            ("add_offset", NC_DOUBLE, [float(packing["offset"])]),
+        ]
+    # (name, dimids, atts, n_values, nc_type)
     variables = [
         ("time", [0], [("units", NC_CHAR, f"seconds since {v.t0.isoformat()}")],
-         time_vals, NC_DOUBLE),
-        ("y", [1], [], y_vals, NC_DOUBLE),
-        ("x", [2], [], x_vals, NC_DOUBLE),
+         v.nt, NC_DOUBLE),
+        ("y", [1], [], v.ny, NC_DOUBLE),
+        ("x", [2], [], v.nx, NC_DOUBLE),
     ]
-    for bi, b in enumerate(cube.bands):
-        if packing is None:
-            variables.append(
-                (b, [0, 1, 2], [("_FillValue", NC_DOUBLE, [np.nan])], dense[bi],
-                 NC_DOUBLE)
-            )
-        else:
-            s, o = float(packing["scale"]), float(packing["offset"])
-            fill = int(packing.get("nodata", -32768))
-            with np.errstate(invalid="ignore"):
-                packed = np.round((dense[bi] - o) / s)
-                packed = np.clip(packed, -32768, 32767)
-            packed = np.where(np.isnan(dense[bi]), fill, packed).astype(np.int16)
-            variables.append(
-                (b, [0, 1, 2], [
-                    ("_FillValue", NC_SHORT, [fill]),
-                    ("scale_factor", NC_DOUBLE, [s]),
-                    ("add_offset", NC_DOUBLE, [o]),
-                ], packed, NC_SHORT)
-            )
+    for b in bands:
+        variables.append((b, [0, 1, 2], band_atts, v.nt * v.ny * v.nx, band_type))
 
     gatts = [
         ("Conventions", NC_CHAR, "CF-1.6"),
         ("source", NC_CHAR, "gdalcubes_cpp_spark"),
         ("srs", NC_CHAR, v.srs),
-        ("view", NC_CHAR, cube.view.to_json()),
+        ("view", NC_CHAR, v.to_json()),
     ]
 
-    # ---- assemble header with a two-pass offset computation ----
     def header(begins: list) -> bytes:
         h = b"CDF\x01" + struct.pack(">i", 0)  # numrecs = 0 (no record dim)
         h += struct.pack(">ii", NC_DIMENSION, len(dims))
@@ -128,8 +129,8 @@ def write_netcdf(cube, path: str, packing: dict | None = None) -> None:
             h += _name(dname) + struct.pack(">i", dsize)
         h += _att_list(gatts)
         h += struct.pack(">ii", NC_VARIABLE, len(variables))
-        for (vname, dimids, atts, data, nc_type), begin in zip(variables, begins):
-            vsize = data.size * _TYPE_SIZE[nc_type]
+        for (vname, dimids, atts, n, nc_type), begin in zip(variables, begins):
+            vsize = n * _TYPE_SIZE[nc_type]
             vsize += _pad4(vsize)
             h += _name(vname)
             h += struct.pack(">i", len(dimids))
@@ -142,20 +143,104 @@ def write_netcdf(cube, path: str, packing: dict | None = None) -> None:
         return h
 
     begins = [0] * len(variables)
-    hlen = len(header(begins))
-    off = hlen
-    for i, (_, _, _, data, nc_type) in enumerate(variables):
+    off = len(header(begins))
+    for i, (_, _, _, n, nc_type) in enumerate(variables):
         begins[i] = off
-        sz = data.size * _TYPE_SIZE[nc_type]
+        sz = n * _TYPE_SIZE[nc_type]
         off += sz + _pad4(sz)
     if off > 2**31 - 1:
         raise ValueError("cube too large for CDF-1 (32-bit offsets); use write_chunks")
+    return {
+        "header": header(begins), "begins": begins, "total": off,
+        "coord_data": coord_data, "band_type": band_type,
+        "slice_bytes": v.ny * v.nx * _TYPE_SIZE[band_type],
+    }
+
+
+def write_netcdf(cube, path: str, packing: dict | None = None) -> None:
+    """Materialize the cube and write ONE classic netCDF-3 file.
+
+    ``packing`` = {"scale": s, "offset": o, "nodata": fill} writes band
+    variables as NC_SHORT with CF ``scale_factor``/``add_offset``
+    attributes — the reference's packed netCDF export (src/cube.cpp:149
+    packed_export; same packed = round((v - offset)/scale) rule as
+    operators/export.py). read_netcdf auto-unpacks (ncdf_cube.h:45)."""
+    v = cube.view
+    dense = cube.collect_dense()  # (nb, nt, ny, nx)
+    plan = _nc_plan(v, tuple(cube.bands), packing)
 
     with open(path, "wb") as f:
-        f.write(header(begins))
-        for _, _, _, data, nc_type in variables:
-            raw = np.ascontiguousarray(data, dtype=_TYPE_FMT[nc_type]).tobytes()
+        f.write(plan["header"])
+        for data in plan["coord_data"]:
+            raw = np.ascontiguousarray(data, dtype=">f8").tobytes()
             f.write(raw + b"\x00" * _pad4(len(raw)))
+        for bi in range(len(cube.bands)):
+            data = dense[bi] if packing is None else _pack_plane(dense[bi], packing)
+            raw = np.ascontiguousarray(
+                data, dtype=_TYPE_FMT[plan["band_type"]]
+            ).tobytes()
+            f.write(raw + b"\x00" * _pad4(len(raw)))
+
+
+def write_netcdf_distributed(cube, path: str, packing: dict | None = None) -> None:
+    """The same file, assembled without a driver gather (r3 VERDICT next
+    #6, mirroring geotiff.write_gtiff_distributed): the driver writes the
+    metadata-only header + coordinate vars and truncates the file to its
+    final size; each (it) group — ONE exchange on the slice index — builds
+    its (nb, ny, nx) dense slice on an executor, packs if requested, and
+    positioned-writes one contiguous run per band at
+    begin[band] + it*ny*nx*itemsize. Empty slices are seeded so absent
+    data still writes the fill value. Non-overlapping pwrites to a shared
+    FS are safe; on an object store swap the positioned write for a
+    multipart-upload part at the same offsets. Byte-identical to
+    write_netcdf (pytest-asserted)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    v = cube.view
+    bands = tuple(cube.bands)
+    plan = _nc_plan(v, bands, packing)
+    band_begins = plan["begins"][3:]
+    slice_bytes = v.ny * v.nx * _TYPE_SIZE[plan["band_type"]]
+    band_type = plan["band_type"]
+    ny, nx = v.ny, v.nx
+    pk = None if packing is None else dict(packing)
+
+    with open(path, "wb") as f:
+        f.write(plan["header"])
+        for data in plan["coord_data"]:
+            raw = np.ascontiguousarray(data, dtype=">f8").tobytes()
+            f.write(raw + b"\x00" * _pad4(len(raw)))
+        f.truncate(plan["total"])
+
+    spark = cube.df.sparkSession
+    # seed every slice index so all-empty slices still write their fill run
+    seed = spark.range(v.nt).select(
+        F.col("id").cast("int").alias("it"),
+        *[F.lit(None).cast("int").alias(c) for c in ("iy", "ix")],
+        *[F.lit(None).cast("double").alias(b) for b in bands],
+    )
+    cells = cube.df.select("it", "iy", "ix", *bands).unionByName(seed)
+
+    def write_slice(pdf: pd.DataFrame) -> pd.DataFrame:
+        it = int(pdf["it"].iloc[0])
+        real = pdf[pdf["iy"].notna()]
+        with open(path, "r+b") as fh:
+            for bi, b in enumerate(bands):
+                plane = np.full((ny, nx), np.nan)
+                if len(real):
+                    plane[
+                        real["iy"].to_numpy(dtype=np.int64),
+                        real["ix"].to_numpy(dtype=np.int64),
+                    ] = real[b].to_numpy(dtype=np.float64)
+                data = plane if pk is None else _pack_plane(plane, pk)
+                raw = np.ascontiguousarray(data, dtype=_TYPE_FMT[band_type]).tobytes()
+                fh.seek(band_begins[bi] + it * slice_bytes)
+                fh.write(raw)
+        return pd.DataFrame({"it": [it], "nbytes": [len(bands) * slice_bytes]})
+
+    out = cells.groupBy("it").applyInPandas(write_slice, "it int, nbytes long")
+    out.collect()  # drive the job; rows are tiny (one per slice)
 
 
 def _read_name(buf: memoryview, pos: int):

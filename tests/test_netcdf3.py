@@ -111,3 +111,39 @@ def test_packed_netcdf_roundtrip(spark, tmp_path):
     c2 = read_netcdf_cube(spark, path)
     d2 = c2.collect_dense()[0]
     assert np.allclose(d2, dense, atol=0.005 + 1e-12, equal_nan=True)
+
+
+def test_distributed_writer_byte_identical(spark, tmp_path):
+    """write_netcdf_distributed (one exchange on the slice index,
+    executor positioned-writes) produces the BYTE-IDENTICAL file to the
+    driver-gather writer — plain and packed, including a slice with no
+    data at all (seeded fill run)."""
+    from gdalcubes_cpp_spark.sources.collection import formula_cube
+    from gdalcubes_cpp_spark.sources.netcdf3 import (
+        write_netcdf,
+        write_netcdf_distributed,
+    )
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(left=0.0, right=8.0, bottom=0.0, top=6.0, nx=8, ny=6,
+                        t0="2020-01-01", nt=5, dt="P1D", chunk_size=(2, 3, 4))
+    cube = formula_cube(spark, v, {
+        "B1": "CASE WHEN (it + iy + ix) % 5 = 0 THEN NULL ELSE CAST(it*3 + iy + ix AS DOUBLE) END",
+        "B2": "CAST(it + iy*2 + ix AS DOUBLE)",
+    })
+    # drop EVERY cell of slice it=3: the distributed writer must still
+    # write its fill run (seeded group)
+    from pyspark.sql import functions as F
+
+    from gdalcubes_cpp_spark.cube import Cube
+
+    cube = Cube(cube.df.filter(F.col("it") != 3), v, cube.bands)
+
+    for pk in (None, {"scale": 0.5, "offset": 1.0, "nodata": -9999}):
+        a = str(tmp_path / f"gather_{pk is None}.nc")
+        b = str(tmp_path / f"dist_{pk is None}.nc")
+        write_netcdf(cube, a, packing=pk)
+        write_netcdf_distributed(cube, b, packing=pk)
+        ba, bb = open(a, "rb").read(), open(b, "rb").read()
+        assert len(ba) == len(bb)
+        assert ba == bb
