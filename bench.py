@@ -24,8 +24,20 @@ N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
 
 BENCH_QUERIES = [
     "stjoin_rows", "cube_mean", "cube_median", "cube_count_images",
+    # cube_srs_suite members, ALL EIGHT (r3 VERDICT next #9: folded driver
+    # suites get per-member timings here so regressions localize)
     "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
-    "cube_mask_value",
+    "cube_laea_mean", "cube_aea_mean", "cube_osgb_mean", "cube_swiss_mean",
+    # remaining folded-suite members
+    "cube_first", "cube_last", "cube_count_values",
+    "cube_mask_value", "cube_mask_range", "cube_mask_file",
+    "window_time_kernel", "fill_time_locf", "query_timeseries",
+    "reduce_time_full", "zonal_topk",
+    "reduce_time_udf_range", "reduce_space_udf_spread",
+    "doc_near_dups_pipeline", "doc_simhash_near_dups",
+    "ann_ivf_topk", "ann_rp_lsh_pairs",
+    "cube_average_decode", "cube_real_decode", "simple_cube_decode",
+    "cube_mask_band_decode",
     "format_ingest", "hdf4_modis_pixels",
     "reduce_time_exact", "reduce_time_stats", "window_time_mean",
     "fill_time_linear", "aggregate_time", "aggregate_space",

@@ -67,16 +67,30 @@ def sessionize_stream(
     sink: str,
     checkpoint: str,
     gap_minutes: int = 30,
+    timeout: str = "event",
+    watermark: str = "0 seconds",
 ):
     """Custom STATEFUL operator via applyInPandasWithState: per event_type
     sessionization — consecutive events closer than ``gap_minutes`` fuse
-    into one session; a processing-time timeout flushes the open session.
-    State per key is three scalars (start, last, count) — bounded.
+    into one session; a timeout flushes the open session. State per key is
+    three scalars (start, last, count) — bounded.
+
+    ``timeout='event'`` (default; r3 VERDICT next #10): the open session
+    closes when the WATERMARK — max event time seen minus ``watermark``,
+    a pure function of the data — passes last_event + gap. Replaying the
+    same batches from a checkpoint therefore produces IDENTICAL closed
+    sessions (restart-replay pytest-asserted); a wall clock never enters.
+    ``timeout='processing'`` keeps the old wall-clock flush for pipelines
+    that want idle-time eviction even when the stream stops advancing.
 
     Emits CLOSED sessions only. This is the applyInPandasWithState shape
     (user state dataclass + timeout) that arbitrary stateful cube/event
     operators plug into."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if timeout not in ("event", "processing"):
+        raise ValueError("timeout must be 'event' or 'processing'")
+    event_time = timeout == "event"
 
     # exact integer MICROseconds — matches sessionize_batch bit-for-bit
     # (whole seconds would truncate fractional timestamps and disagree
@@ -112,7 +126,12 @@ def sessionize_stream(
             last = max(last, t)
             n += 1
         state.update((start, last, n))
-        state.setTimeoutDuration(gap // 1000)  # micros -> ms
+        if event_time:
+            # close strictly after the gap elapses in EVENT time: fire
+            # when watermark > last + gap (ms grain, hence the +1)
+            state.setTimeoutTimestamp(last // 1000 + gap // 1000 + 1)
+        else:
+            state.setTimeoutDuration(gap // 1000)  # micros -> ms
         import pandas as pd
 
         yield pd.DataFrame({
@@ -123,12 +142,17 @@ def sessionize_stream(
         })
 
     stream = spark.readStream.schema(EVENT_DDL).parquet(input_dir)
+    if event_time:
+        stream = stream.withWatermark("ts", watermark)
     sessions = stream.groupBy("event_type").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if event_time else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     return (
         sessions.writeStream.outputMode("append")

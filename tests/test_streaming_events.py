@@ -69,13 +69,20 @@ def test_sessionize_stream(spark, tmp_path):
     _write(spark, in_dir, rows, "overwrite")
     q = sessionize_stream(spark, in_dir, sink, cp, gap_minutes=30)
     q.awaitTermination(120)
-    out = spark.read.parquet(sink).toPandas()
-    # only CLOSED sessions emit: a's first session (3 events, 08:00-08:20);
-    # a's second and b's only session stay open in state
-    assert len(out) == 1
+    out = spark.read.parquet(sink).toPandas().sort_values(
+        ["event_type", "session_start"]
+    ).reset_index(drop=True)
+    # CLOSED sessions emit: a's first session closes IN-BATCH (event 4 is
+    # > 30 min after event 3), and b's session closes via the EVENT-TIME
+    # timeout (the final availableNow batch sees watermark T+95m, past
+    # b's last event + gap). a's second session stays open in state.
+    assert len(out) == 2
     r = out.iloc[0]
     assert r["event_type"] == "a" and r["n_events"] == 3
     assert r["session_start"] == T and r["session_end"] == T + 20 * m
+    rb = out.iloc[1]
+    assert rb["event_type"] == "b" and rb["n_events"] == 2
+    assert rb["session_start"] == T + 5 * m and rb["session_end"] == T + 6 * m
     # the BATCH TWIN (sessionize_batch) computes ALL sessions with the same
     # gap rule; the stream's closed session must be one of them, bit-equal
     from gdalcubes_cpp_spark.streaming.events import sessionize_batch
@@ -103,6 +110,7 @@ def test_sessionize_stream(spark, tmp_path):
     assert got == want
     closed = got[("a", 1)]
     assert closed == (r["session_start"], r["session_end"], r["n_events"])
+    assert got[("b", 1)] == (rb["session_start"], rb["session_end"], rb["n_events"])
 
 
 def test_sessionize_batch_random_micros(spark):
@@ -153,3 +161,67 @@ def test_sessionize_batch_random_micros(spark):
             n += 1
         want[(u, sess)] = (start, last, n)
     assert got == want
+
+
+def test_sessionize_event_time_replay_determinism(spark, tmp_path):
+    """Event-time timeout (r3 VERDICT next #10): the open session closes
+    when the WATERMARK passes last+gap — a pure function of the data — so
+    (a) a key with NO new events still closes once other keys advance the
+    watermark, and (b) replaying the same batch sequence from scratch
+    produces byte-identical closed sessions (no wall clock anywhere)."""
+    T = pd.Timestamp("2024-01-01 08:00:00")
+    m = pd.Timedelta(minutes=1)
+    batch1 = [
+        (1, T, "a", 1.0), (2, T + 10 * m, "a", 1.0), (3, T + 20 * m, "a", 1.0),
+        (4, T + 90 * m, "a", 1.0), (5, T + 95 * m, "a", 1.0),
+        (6, T + 5 * m, "b", 1.0), (7, T + 6 * m, "b", 1.0),
+    ]
+    batch2 = [(8, T + 300 * m, "a", 1.0)]
+
+    def run_sequence(tag):
+        in_dir, sink, cp = (str(tmp_path / f"{d}_{tag}") for d in ("in", "sink", "cp"))
+        _write(spark, in_dir, batch1, "overwrite")
+        q = sessionize_stream(spark, in_dir, sink, cp, gap_minutes=30)
+        q.awaitTermination(120)
+        _write(spark, in_dir, batch2, "append")
+        q = sessionize_stream(spark, in_dir, sink, cp, gap_minutes=30)
+        q.awaitTermination(120)
+        out = spark.read.parquet(sink).toPandas()
+        return out.sort_values(
+            ["event_type", "session_start"]
+        ).reset_index(drop=True)
+
+    out = run_sequence("r1")
+    # closed: a1 in-batch (batch 1), a2 in-batch (batch 2's 300m event),
+    # and b via EVENT-TIME timeout — watermark T+95m passed b's
+    # last(T+6m)+30m although 'b' itself saw no new event
+    want = [
+        ("a", T, T + 20 * m, 3),
+        ("a", T + 90 * m, T + 95 * m, 2),
+        ("b", T + 5 * m, T + 6 * m, 2),
+    ]
+    got = [
+        (r["event_type"], r["session_start"], r["session_end"], r["n_events"])
+        for _, r in out.iterrows()
+    ]
+    assert got == want
+    # closed set == the batch twin's CLOSED sessions on the same data
+    # (everything except the open tail at T+300m)
+    from gdalcubes_cpp_spark.streaming.events import sessionize_batch
+
+    allb = sessionize_batch(
+        spark.createDataFrame(
+            pd.DataFrame(batch1 + batch2,
+                         columns=["event_id", "ts", "event_type", "value"])
+        ),
+        key_col="event_type", gap_minutes=30,
+    ).toPandas()
+    closed_batch = sorted(
+        (r["event_type"], r["session_start"], r["session_end"], r["n_events"])
+        for _, r in allb.iterrows()
+        if not (r["event_type"] == "a" and r["session_start"] == T + 300 * m)
+    )
+    assert closed_batch == sorted(want)
+    # full replay from scratch: identical output, event-time clocks only
+    out2 = run_sequence("r2")
+    assert out.equals(out2)
