@@ -2091,6 +2091,44 @@ def simple_cube_decode(spark, sf_dir):
     return simple_cube(spark, records, v).df
 
 
+@q("cube_jp2_decode", None)  # rows-only member: real JPEG 2000 decode path
+def cube_jp2_decode(spark, sf_dir):
+    """Cube built from JPEG 2000 payloads (sources/jpeg2000.py — the
+    Sentinel-2 band-file codec, reversible 5/3): deterministic uint16
+    planes, JP2-encoded driver-side, decoded INSIDE the scan through
+    codecs.decode's magic dispatch like every other codec. Pixel
+    exactness is pytest-gated (tests/test_jpeg2000.py); no SQL engine
+    can replay an EBCOT decoder."""
+    import numpy as np
+
+    from .operators.build import build_cube
+    from .sources.jpeg2000 import encode_jp2
+
+    r = np.arange(40)[:, None]
+    c = np.arange(40)[None, :]
+    rows = []
+    for k, ts in ((0, "2020-02-10"), (1, "2020-05-20")):
+        plane = ((r * 31 + c * 17 + k * 1000) % 4999).astype(np.uint16)
+        # footprint offset half a source pixel so every cell center falls
+        # mid-pixel (fx = 1.5 + 2k): near-gather = pixel (2i+1, 2j+1), no
+        # boundary ulp sensitivity
+        rows.append((
+            f"jp2_{k}", bytearray(encode_jp2(plane, levels=3)), 40, 40,
+            "jp2", ts, -12.05, -8.05, 18.05, 22.05,
+        ))
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "ts string, left double, right double, bottom double, top double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    v = CubeView.create(
+        left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=20, ny=20,
+        t0="2020-01-01", t1="2020-12-31", dt="P3M",
+        aggregation="mean", resampling="near", chunk_size=(2, 10, 10),
+    )
+    return build_cube(images, v, bands=("B1",)).df
+
+
 # ------------------------------------------------- stream_* UDF surface
 
 @q(
@@ -2617,6 +2655,7 @@ def cube_decode_suite(spark, sf_dir):
         ("real", "cube_real_decode", "B1_mean"),
         ("simple", "simple_cube_decode", "B1"),
         ("mask_band", "cube_mask_band_decode", "B1_mean"),
+        ("jp2", "cube_jp2_decode", "B1"),
     ]
     out = None
     for tag, member, valcol in parts:

@@ -162,6 +162,13 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         from .sources.hdf4 import decode_hdf4
 
         return decode_hdf4(bytes(data))
+    if (
+        data[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n"  # JP2 container
+        or data[:2] == b"\xff\x4f"                      # raw J2K codestream
+    ):  # JPEG 2000 (Sentinel-2 band payloads)
+        from .sources.jpeg2000 import decode_jp2
+
+        return decode_jp2(bytes(data))
     if data[:4] == b"LOSY":
         return decode_png(bytes(data[4:]))
     return decode_png(bytes(data))

@@ -1,0 +1,244 @@
+"""JPEG 2000 codec (sources/jpeg2000.py — ISO/IEC 15444-1 reversible
+path): MQ-coder fuzz, 5/3 DWT exactness, Tier-1 code-block fuzz, tag
+trees, marker/box structure, lossless end-to-end roundtrips, and the
+Sentinel-2 preset flowing pixels through build_cube."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gdalcubes_cpp_spark import codecs
+from gdalcubes_cpp_spark.sources.jpeg2000 import (
+    MQDecoder,
+    MQEncoder,
+    TagTree,
+    _BitReader,
+    _BitWriter,
+    _get_npasses,
+    _put_npasses,
+    _subband_layout,
+    decode_codeblock,
+    decode_jp2,
+    dwt53_forward,
+    dwt53_inverse,
+    encode_codeblock,
+    encode_j2k,
+    encode_jp2,
+)
+
+
+def test_mq_coder_fuzz():
+    for seed in range(60):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(1, 1500))
+        p = rng.rand()
+        bits = (rng.rand(n) < p).astype(int).tolist()
+        cxs = rng.randint(0, 19, size=n).tolist()
+        enc = MQEncoder()
+        for b, c in zip(bits, cxs):
+            enc.encode(int(b), int(c))
+        dec = MQDecoder(enc.flush())
+        assert [dec.decode(int(c)) for c in cxs] == bits, seed
+
+
+def test_dwt53_lossless_and_layout():
+    rng = np.random.RandomState(0)
+    for shape in [(8, 8), (17, 23), (37, 53), (1, 7), (64, 64), (130, 96)]:
+        for lev in (1, 2, 3):
+            x = rng.randint(0, 65536, size=shape)
+            ll, bands = dwt53_forward(x, lev)
+            assert (dwt53_inverse(ll, bands, shape) == x).all()
+            lay = _subband_layout(shape[0], shape[1], lev)
+            assert ll.shape == (lay[0][0][1], lay[0][0][2])
+            for r in range(1, lev + 1):
+                hl, lh, hh = bands[lev - r]
+                for arr, (_n, bh, bw) in zip((hl, lh, hh), lay[r]):
+                    assert arr.shape == (bh, bw), (shape, lev, r)
+
+
+@pytest.mark.parametrize("band", ["LL", "HL", "LH", "HH"])
+def test_codeblock_fuzz(band):
+    rng = np.random.RandomState(hash(band) % 2**31)
+    for kind in range(5):
+        h, w = int(rng.randint(1, 66)), int(rng.randint(1, 66))
+        if kind == 0:
+            c = rng.randint(-2**12, 2**12, size=(h, w))
+        elif kind == 1:
+            c = np.zeros((h, w), dtype=np.int64)
+        elif kind == 2:
+            c = (rng.rand(h, w) < 0.05) * rng.randint(-2000, 2000, size=(h, w))
+        elif kind == 3:
+            c = rng.randint(-3, 4, size=(h, w))
+        else:
+            c = (rng.randn(h, w) * 500).astype(np.int64)
+        data, npasses, nplanes = encode_codeblock(c.astype(np.int64), band)
+        back = decode_codeblock(data, h, w, band, nplanes, npasses)
+        assert (back == c).all(), (band, kind, h, w)
+
+
+def test_tagtree_roundtrip():
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        gw, gh = int(rng.randint(1, 6)), int(rng.randint(1, 6))
+        vals = rng.randint(0, 9, size=(gh, gw))
+        enc = TagTree(gw, gh)
+        enc.set_values(vals)
+        bw = _BitWriter()
+        for y in range(gh):
+            for x in range(gw):
+                t = 1
+                while not enc.known[0][y, x]:
+                    enc.encode(x, y, t, bw)
+                    t += 1
+        br = _BitReader(bw.flush())
+        dec = TagTree(gw, gh)
+        for y in range(gh):
+            for x in range(gw):
+                t = 1
+                v = None
+                while v is None:
+                    v = dec.decode(x, y, t, br)
+                    t += 1
+                assert v == vals[y, x]
+
+
+def test_npasses_table():
+    for n in [1, 2, 3, 5, 6, 36, 37, 100, 164]:
+        bw = _BitWriter()
+        _put_npasses(bw, n)
+        assert _get_npasses(_BitReader(bw.flush())) == n
+
+
+def test_bit_stuffing():
+    """A run of 1-bits forces 0xFF bytes; the reader's 7-bit rule and the
+    writer's stuffing must agree."""
+    bw = _BitWriter()
+    for _ in range(64):
+        bw.put(1)
+    data = bw.flush()
+    assert 0xFF in data
+    br = _BitReader(data)
+    assert all(br.get() == 1 for _ in range(64))
+
+
+def test_codestream_structure():
+    img = np.arange(64 * 48, dtype=np.uint16).reshape(48, 64) % 1000
+    code = encode_j2k(img, levels=2)
+    assert code[:2] == b"\xff\x4f" and code[-2:] == b"\xff\xd9"
+    # SIZ
+    assert code[2:4] == b"\xff\x51"
+    (lsiz,) = struct.unpack_from(">H", code, 4)
+    assert lsiz == 38 + 3 * 1
+    _r, w, h = struct.unpack_from(">HII", code, 6)
+    assert (w, h) == (64, 48)
+    full = encode_jp2(img, levels=2)
+    assert full[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    assert b"ftyp" in full[:40] and b"jp2c" in full
+
+
+@pytest.mark.parametrize("shape,dtype,levels", [
+    ((48, 40), np.uint16, 3),
+    ((37, 53, 3), np.uint8, 2),
+    ((96, 96), np.uint16, 5),
+    ((130, 150), np.uint16, 5),   # multi-code-block grids + tag trees
+    ((5, 5), np.uint8, 1),
+])
+def test_lossless_roundtrip(shape, dtype, levels):
+    rng = np.random.RandomState(7)
+    hi = 256 if dtype == np.uint8 else 5000
+    img = rng.randint(0, hi, size=shape).astype(dtype)
+    out = decode_jp2(encode_jp2(img, levels=levels))
+    want = img if img.ndim == 3 else img[:, :, None]
+    assert out.shape == want.shape and out.dtype == want.dtype
+    assert (out == want).all()
+
+
+def test_sentinel2_like_payload():
+    """Smooth uint16 reflectance + noise (the S2 L2A band shape): lossless
+    and smaller than raw."""
+    rng = np.random.RandomState(11)
+    base = (2000 + 1500 * np.sin(np.arange(96) / 9.0)[:, None]
+            * np.cos(np.arange(96) / 7.0)[None, :]).astype(np.uint16)
+    img = (base + rng.randint(0, 200, (96, 96))).astype(np.uint16)
+    buf = encode_jp2(img, levels=5)
+    assert len(buf) < img.nbytes
+    assert (decode_jp2(buf)[:, :, 0] == img).all()
+
+
+def test_unsupported_paths_raise():
+    img = np.zeros((8, 8), dtype=np.uint16)
+    code = bytearray(encode_j2k(img, levels=1))
+    # flip the transform byte in COD (SPcod last byte) to 9/7
+    i = bytes(code).find(b"\xff\x52")
+    (ln,) = struct.unpack_from(">H", code, i + 2)
+    code[i + 2 + ln - 1] = 0
+    with pytest.raises(ValueError, match="irreversible"):
+        decode_jp2(bytes(code))
+    with pytest.raises(ValueError, match="not a JPEG 2000"):
+        decode_jp2(b"\x00" * 20)
+
+
+def test_codecs_dispatch():
+    img = (np.arange(100, dtype=np.uint16).reshape(10, 10) * 3) % 2000
+    for payload in (encode_jp2(img, levels=2), encode_j2k(img, levels=2)):
+        out = codecs.decode(payload)
+        assert out.shape == (10, 10, 1) and (out[:, :, 0] == img).all()
+
+
+def test_cube_from_jp2_payloads(spark):
+    """The cube_decode_suite 'jp2' member, pixel-exact: JP2 payloads decode
+    inside the scan; near-warp at 2x coarsening picks pixel (2i+1, 2j+1)."""
+    from gdalcubes_cpp_spark.benchqueries import cube_jp2_decode
+
+    rows = cube_jp2_decode(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 2 * 20 * 20
+    r = np.arange(40)[:, None]
+    c = np.arange(40)[None, :]
+    planes = {
+        0: ((r * 31 + c * 17 + 0) % 4999).astype(float),
+        1: ((r * 31 + c * 17 + 1000) % 4999).astype(float),
+    }
+    for row in rows:
+        want = planes[row["it"]][2 * row["iy"] + 1, 2 * row["ix"] + 1]
+        assert row["B1"] == want, (row["it"], row["iy"], row["ix"])
+
+
+def test_s2_preset_pixels_end_to_end(spark):
+    """The Sentinel-2 scenario the MODIS hdf4 query proved for HDF4:
+    Sentinel2_L2A preset regex ingest + JP2 payload decode feed
+    build_cube — the preset's .jp2 band files now flow PIXELS."""
+    from pyspark.sql import functions as F
+
+    from gdalcubes_cpp_spark.operators.build import build_cube
+    from gdalcubes_cpp_spark.sources.formats import ingest_listing
+    from gdalcubes_cpp_spark.view import CubeView
+
+    stem = ("/data/S2A_MSIL2A_20200510T100031_N0214_R065_T33UVP_0000000001"
+            ".SAFE/GRANULE/IMG_DATA/T33UVP_20200510T100031_")
+    listing = spark.createDataFrame(
+        [(stem + "B02_10m.jp2",), ("/data/junk.txt",)], "path string")
+    refs = ingest_listing(listing, "Sentinel2_L2A")
+    meta = refs.collect()
+    assert len(meta) == 1 and meta[0]["band"] == "B02"
+
+    rng = np.random.RandomState(2)
+    plane = rng.randint(0, 10000, (32, 32)).astype(np.uint16)
+    images = spark.createDataFrame(
+        [(
+            meta[0]["image_id"], bytearray(encode_jp2(plane, levels=3)),
+            32, 32, "jp2", meta[0]["ts"], 13.0, 13.32, 47.0, 47.32,
+        )],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "ts timestamp, left double, right double, bottom double, top double",
+    )
+    v = CubeView.create(
+        left=13.0, right=13.32, bottom=47.0, top=47.32, nx=32, ny=32,
+        t0="2020-05-10", t1="2020-05-10", dt="P1D",
+        aggregation="mean", resampling="near", chunk_size=(1, 16, 16),
+    )
+    df = build_cube(images, v, bands=("B02",)).df
+    got = {(r["iy"], r["ix"]): r["B02"] for r in df.collect()}
+    assert len(got) == 32 * 32
+    for (iy, ix), val in got.items():
+        assert val == float(plane[iy, ix])
