@@ -2403,10 +2403,12 @@ def hdf4_modis_pixels(spark, sf_dir):
     nodata = [float(meta["NDVI"]["nodata"]), float(meta["EVI"]["nodata"])]
 
     ndvi, evi = _modis_granule_planes()
+    # SPECIAL_CHUNKED + per-chunk deflate: the storage layout real MODIS
+    # granules use (chunk-table Vdata + DFTAG_CHUNK elements)
     payload = hdf4_sds_bytes(
         [ndvi, evi],
         names=["1 km 16 days NDVI", "1 km 16 days EVI"],
-        compress="deflate",
+        compress="deflate", chunks=(16, 16),
     )
     m = _MODIS_IMG
     images = spark.createDataFrame(

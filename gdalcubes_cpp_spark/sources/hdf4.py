@@ -60,7 +60,11 @@ SPECIAL_BIT = 0x4000  # extended-tag bit: special element stand-in for tag
 SPECIAL_LINKED = 1
 SPECIAL_EXT = 2
 SPECIAL_COMP = 3
-SPECIAL_CHUNKED = 5
+SPECIAL_VLINKED = 4
+SPECIAL_CHUNKED = 6
+DFTAG_CHUNK = 61
+DFTAG_VH = 1962
+DFTAG_VS = 1963
 
 COMP_NONE = 0
 COMP_RLE = 1
@@ -120,14 +124,58 @@ def _rle_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def hdf4_sds_bytes(arrays, names=None, compress: str | None = None) -> bytes:
+def _compressed_pair(elems: list, tag: int, ref: int, raw: bytes, code: int):
+    """Append the (DFTAG_COMPRESSED stream, special-COMP stand-in) pair for
+    any data element — SDS data and chunk elements share the mechanism."""
+    stream = zlib.compress(raw, 6) if code == COMP_DEFLATE else _rle_encode(raw)
+    elems.append((DFTAG_COMPRESSED, ref, stream))
+    # special code, comp header (version, uncomp length, comp ref, model,
+    # coder) + coder info (deflate level)
+    sp = struct.pack(">HHIHHH", SPECIAL_COMP, 0, len(raw), ref, 0, code)
+    if code == COMP_DEFLATE:
+        sp += struct.pack(">H", 6)
+    elems.append((tag | SPECIAL_BIT, ref, sp))
+
+
+def _vdata_pair(elems: list, ref: int, name: str, klass: str,
+                fields: list, records: bytes, nrec: int):
+    """Append a minimal Vdata (VH header + VS records; HDF 4.2 spec,
+    'Vdata structure'). fields: [(name, dfnt, isize, order)]."""
+    ivsize = sum(f[2] for f in fields)
+    vh = struct.pack(">HIHH", 0, nrec, ivsize, len(fields))
+    vh += b"".join(struct.pack(">H", f[1]) for f in fields)          # types
+    vh += b"".join(struct.pack(">H", f[2]) for f in fields)          # isizes
+    off = 0
+    for f in fields:                                                 # offsets
+        vh += struct.pack(">H", off)
+        off += f[2]
+    vh += b"".join(struct.pack(">H", f[3]) for f in fields)          # orders
+    for f in fields:
+        nm = f[0].encode()
+        vh += struct.pack(">H", len(nm)) + nm
+    nm, kl = name.encode(), klass.encode()
+    vh += struct.pack(">H", len(nm)) + nm
+    vh += struct.pack(">H", len(kl)) + kl
+    vh += struct.pack(">HH", 0, 0)      # extag/exref
+    vh += struct.pack(">HH", 3, 0)      # version, more
+    elems.append((DFTAG_VH, ref, vh))
+    elems.append((DFTAG_VS, ref, records))
+
+
+def hdf4_sds_bytes(arrays, names=None, compress: str | None = None,
+                   chunks: tuple | None = None) -> bytes:
     """Encode 2-D numpy arrays as an HDF4 file of labeled SDS objects.
 
     ``arrays``: one (h, w) array or a list of them (one SDS each — the
     multi-subdataset granule shape of a MODIS product file).
     ``names``: optional per-SDS labels (DFTAG_SDL).
-    ``compress``: None | 'deflate' | 'rle' — applied to every SDS via the
-    SPECIAL_COMP element mechanism.
+    ``compress``: None | 'deflate' | 'rle' — SPECIAL_COMP on the whole
+    element, or per chunk when ``chunks`` is set.
+    ``chunks``: optional (cy, cx) chunk shape — writes the SDS data as a
+    SPECIAL_CHUNKED element (the layout real MODIS granules use): chunk
+    table in a Vdata of (origin, chk_tag, chk_ref) records, each chunk its
+    own DFTAG_CHUNK element (optionally compressed), edge chunks padded
+    with the fill value (hchunks.c header format, HDF 4.2).
     """
     if isinstance(arrays, np.ndarray):
         arrays = [arrays]
@@ -146,10 +194,14 @@ def hdf4_sds_bytes(arrays, names=None, compress: str | None = None) -> bytes:
     elems: list[tuple[int, int, bytes]] = []
     ver = struct.pack(">III", 4, 2, 15) + b"gdalcubes_cpp_spark hdf4\x00"
     elems.append((DFTAG_VERSION, 1, ver))
+    next_ref = len(arrays) + 1  # refs beyond the per-SDS ones (chunks etc.)
+    code = None if compress is None else {"deflate": COMP_DEFLATE,
+                                          "rle": COMP_RLE}[compress]
     for i, (a, name) in enumerate(zip(arrays, names)):
         ref = i + 1
         dfnt = _DTYPE_TO_DFNT[str(a.dtype.name)]
         dt, width = _DFNT[dfnt]
+        nt_size = width // 8
         # NT: version=1, type, width(bits), class (IEEE/MBO = 1)
         elems.append((DFTAG_NT, ref, struct.pack(">BBBB", 1, dfnt, width, 1)))
         # SDD: rank, dims, (tag,ref) of data NT, rank x (tag,ref) scale NTs
@@ -159,20 +211,53 @@ def hdf4_sds_bytes(arrays, names=None, compress: str | None = None) -> bytes:
         sdd += struct.pack(">HH", DFTAG_NT, ref) * 2
         elems.append((DFTAG_SDD, ref, sdd))
         elems.append((DFTAG_SDL, ref, name.encode() + b"\x00"))
-        raw = np.ascontiguousarray(a, dtype=np.dtype(dt)).tobytes()
-        if compress is None:
-            elems.append((DFTAG_SD, ref, raw))
+        big = np.ascontiguousarray(a, dtype=np.dtype(dt))
+        if chunks is None:
+            raw = big.tobytes()
+            if code is None:
+                elems.append((DFTAG_SD, ref, raw))
+            else:
+                _compressed_pair(elems, DFTAG_SD, ref, raw, code)
         else:
-            code = {"deflate": COMP_DEFLATE, "rle": COMP_RLE}[compress]
-            stream = zlib.compress(raw, 6) if code == COMP_DEFLATE else _rle_encode(raw)
-            elems.append((DFTAG_COMPRESSED, ref, stream))
-            # special-element stand-in for the SD data: special code,
-            # comp header (version, uncomp length, comp ref, model, coder)
-            # + coder info (deflate level)
-            sp = struct.pack(">HHIHHH", SPECIAL_COMP, 0, len(raw), ref, 0, code)
-            if code == COMP_DEFLATE:
-                sp += struct.pack(">H", 6)
-            elems.append((DFTAG_SD | SPECIAL_BIT, ref, sp))
+            cy, cx = int(chunks[0]), int(chunks[1])
+            recs = bytearray()
+            nrec = 0
+            for oy, y0 in enumerate(range(0, h, cy)):
+                for ox, x0 in enumerate(range(0, w, cx)):
+                    pad = np.zeros((cy, cx), dtype=big.dtype)  # fill = 0
+                    blk = big[y0:y0 + cy, x0:x0 + cx]
+                    pad[:blk.shape[0], :blk.shape[1]] = blk
+                    cref = next_ref
+                    next_ref += 1
+                    if code is None:
+                        elems.append((DFTAG_CHUNK, cref, pad.tobytes()))
+                        ctag = DFTAG_CHUNK
+                    else:
+                        _compressed_pair(elems, DFTAG_CHUNK, cref,
+                                         pad.tobytes(), code)
+                        ctag = DFTAG_CHUNK | SPECIAL_BIT
+                    recs += struct.pack(">iiHH", oy, ox, ctag, cref)
+                    nrec += 1
+            tbl_ref = next_ref
+            next_ref += 1
+            _vdata_pair(
+                elems, tbl_ref, "_HDF_CHK_TBL_0", "_HDF_CHK_TBL_",
+                [("origin", 24, 8, 2),       # DFNT_INT32 x ndims
+                 ("chk_tag", 23, 2, 1),      # DFNT_UINT16
+                 ("chk_ref", 23, 2, 1)],
+                bytes(recs), nrec,
+            )
+            # SPECIAL_CHUNKED header (hchunks.c documented format)
+            hdr = struct.pack(">H", SPECIAL_CHUNKED)
+            body = struct.pack(">BIIII", 1, 0 if code is None else SPECIAL_COMP,
+                               h * w * nt_size, cy * cx * nt_size, nt_size)
+            body += struct.pack(">HHHH", DFTAG_VH, tbl_ref, 0, 0)
+            body += struct.pack(">I", 2)
+            body += struct.pack(">III", 0, h, cy)
+            body += struct.pack(">III", 0, w, cx)
+            body += struct.pack(">I", nt_size) + b"\x00" * nt_size  # fill
+            elems.append((DFTAG_SD | SPECIAL_BIT, ref,
+                          hdr + struct.pack(">I", len(body)) + body))
         # NDG members reference the BASE data tag; readers must probe the
         # special tag too (the HDF library's Hstartread behavior)
         ndg = struct.pack(">HH", DFTAG_SDD, ref) + struct.pack(">HH", DFTAG_SD, ref)
@@ -220,9 +305,11 @@ def _element(buf: bytes, dds: dict, tag: int, ref: int) -> bytes:
         raise KeyError(f"no element tag={tag} ref={ref}")
     off, length = dds[key]
     (code,) = struct.unpack_from(">H", buf, off)
+    if code == SPECIAL_CHUNKED:
+        return _chunked_element(buf, dds, off)
     if code != SPECIAL_COMP:
         raise ValueError(f"unsupported special element code {code} "
-                         f"(chunked/linked/external not implemented)")
+                         f"(linked/external not implemented)")
     _ver, ulen, comp_ref, _model, ctype = struct.unpack_from(">HIHHH", buf, off + 2)
     coff, clen = dds[(DFTAG_COMPRESSED, comp_ref)]
     stream = buf[coff:coff + clen]
@@ -236,6 +323,77 @@ def _element(buf: bytes, dds: dict, tag: int, ref: int) -> bytes:
         raise ValueError(f"unsupported HDF4 compression code {ctype}")
     if len(out) != ulen:
         raise ValueError("corrupt HDF4 compressed element")
+    return out
+
+
+def _parse_vdata(buf: bytes, dds: dict, ref: int):
+    """VH/VS pair -> (records bytes, nrec, ivsize, {field: (offset, isize,
+    order)}) — the minimal Vdata read the chunk table needs (HDF 4.2 spec,
+    'Vdata structure': grouped type/isize/offset/order arrays, then
+    length-prefixed field names)."""
+    vh = _element(buf, dds, DFTAG_VH, ref)
+    _inter, nrec, ivsize, nf = struct.unpack_from(">HIHH", vh, 0)
+    p = 10
+    types = struct.unpack_from(">" + "H" * nf, vh, p); p += 2 * nf
+    isizes = struct.unpack_from(">" + "H" * nf, vh, p); p += 2 * nf
+    offs = struct.unpack_from(">" + "H" * nf, vh, p); p += 2 * nf
+    orders = struct.unpack_from(">" + "H" * nf, vh, p); p += 2 * nf
+    fields = {}
+    for i in range(nf):
+        (ln,) = struct.unpack_from(">H", vh, p); p += 2
+        nm = vh[p:p + ln].decode(); p += ln
+        fields[nm] = (offs[i], isizes[i], orders[i])
+    recs = _element(buf, dds, DFTAG_VS, ref)
+    return recs, nrec, ivsize, fields
+
+
+def _chunked_element(buf: bytes, dds: dict, off: int) -> bytes:
+    """Assemble a SPECIAL_CHUNKED element (hchunks.c header format): walk
+    the chunk-table Vdata, fetch each DFTAG_CHUNK element (per-chunk
+    compression resolves through the same special-COMP mechanism), scatter
+    into the full row-major byte buffer; edge chunks clip."""
+    # u16 SPECIAL_CHUNKED, u32 header length, then the body
+    p = off + 6
+    _ver, flag, tot_len, _chunk_sz, nt_size = struct.unpack_from(">BIIII", buf, p)
+    p += 17
+    tbl_tag, tbl_ref, _sp_tag, _sp_ref = struct.unpack_from(">HHHH", buf, p)
+    p += 8
+    (ndims,) = struct.unpack_from(">I", buf, p)
+    p += 4
+    if ndims != 2:
+        raise ValueError(f"only 2-D chunked SDS supported (ndims={ndims})")
+    dims, clens = [], []
+    for _ in range(ndims):
+        _f, dlen, clen = struct.unpack_from(">III", buf, p)
+        p += 12
+        dims.append(dlen)
+        clens.append(clen)
+    (fill_len,) = struct.unpack_from(">I", buf, p)
+    fill = buf[p + 4:p + 4 + fill_len]
+
+    recs, nrec, ivsize, fields = _parse_vdata(buf, dds, tbl_ref)
+    o_off, _o_sz, o_order = fields["origin"]
+    t_off = fields["chk_tag"][0]
+    r_off = fields["chk_ref"][0]
+    h, w = dims
+    cy, cx = clens
+    full = np.frombuffer(
+        (fill * ((h * w * nt_size) // max(1, len(fill)) + 1))[:h * w * nt_size],
+        dtype=np.uint8,
+    ).reshape(h, w, nt_size).copy()
+    for i in range(nrec):
+        base = i * ivsize
+        oy, ox = struct.unpack_from(">" + "i" * o_order, recs, base + o_off)
+        (ctag,) = struct.unpack_from(">H", recs, base + t_off)
+        (cref,) = struct.unpack_from(">H", recs, base + r_off)
+        raw = _element(buf, dds, ctag & ~SPECIAL_BIT, cref)
+        blk = np.frombuffer(raw, dtype=np.uint8).reshape(cy, cx, nt_size)
+        y0, x0 = oy * cy, ox * cx
+        y1, x1 = min(y0 + cy, h), min(x0 + cx, w)
+        full[y0:y1, x0:x1] = blk[:y1 - y0, :x1 - x0]
+    out = full.reshape(-1).tobytes()
+    if len(out) != tot_len:
+        raise ValueError("corrupt chunked element")
     return out
 
 

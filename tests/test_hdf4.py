@@ -114,9 +114,53 @@ def test_unsupported_special_raises():
     buf = bytearray(hdf4_sds_bytes(np.ones((2, 2), np.uint8), compress="deflate"))
     dds = _walk_dds(bytes(buf))
     off, _ = dds[(DFTAG_SD | 0x4000, 1)]
-    struct.pack_into(">H", buf, off, 5)  # SPECIAL_CHUNKED
+    struct.pack_into(">H", buf, off, 4)  # SPECIAL_VLINKED
     with pytest.raises(ValueError, match="special element"):
         read_hdf4_bytes(bytes(buf))
+
+
+@pytest.mark.parametrize("comp", [None, "deflate", "rle"])
+@pytest.mark.parametrize("chunks", [(7, 5), (16, 16), (13, 40)])
+def test_chunked_sds_roundtrip(comp, chunks):
+    """SPECIAL_CHUNKED elements (the layout real MODIS granules use):
+    chunk-table Vdata + per-chunk DFTAG_CHUNK elements, per-chunk
+    compression through the same special-COMP mechanism, edge chunks
+    padded with fill and clipped on read."""
+    rng = np.random.RandomState(9)
+    a = (rng.rand(37, 40) * 4000 - 2000).astype(np.int16)
+    b = (rng.rand(37, 40) * 50).astype(np.int16)
+    buf = hdf4_sds_bytes([a, b], names=["NDVI", "EVI"],
+                         compress=comp, chunks=chunks)
+    out = read_hdf4_bytes(buf)
+    assert (out[0]["data"] == a).all() and (out[1]["data"] == b).all()
+
+
+def test_chunked_structure():
+    """Byte-level checks on the chunked layout: special header fields,
+    the Vdata chunk table (grouped VH arrays, named fields), DFTAG_CHUNK
+    elements present."""
+    from gdalcubes_cpp_spark.sources.hdf4 import (
+        DFTAG_CHUNK,
+        DFTAG_VH,
+        SPECIAL_CHUNKED,
+        _parse_vdata,
+    )
+
+    a = np.arange(12 * 10, dtype=np.int16).reshape(12, 10)
+    buf = hdf4_sds_bytes(a, chunks=(5, 4))
+    dds = _walk_dds(buf)
+    off, _ = dds[(DFTAG_SD | 0x4000, 1)]
+    (code,) = struct.unpack_from(">H", buf, off)
+    assert code == SPECIAL_CHUNKED == 6
+    _v, flag, tot, csz, nts = struct.unpack_from(">BIIII", buf, off + 6)
+    assert (tot, csz, nts) == (12 * 10 * 2, 5 * 4 * 2, 2)
+    tbl_tag, tbl_ref = struct.unpack_from(">HH", buf, off + 23)
+    assert tbl_tag == DFTAG_VH
+    recs, nrec, ivsize, fields = _parse_vdata(buf, dds, tbl_ref)
+    assert nrec == 3 * 3 and set(fields) == {"origin", "chk_tag", "chk_ref"}
+    assert fields["origin"][2] == 2  # order = ndims int32s
+    # 9 chunk elements exist
+    assert sum(1 for (t, _r) in dds if t == DFTAG_CHUNK) == 9
 
 
 # ---------------------------------------------------------------------------
