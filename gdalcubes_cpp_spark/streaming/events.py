@@ -205,3 +205,109 @@ def sessionize_batch(
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def sessionize_stream_tws(
+    spark: SparkSession,
+    input_dir: str,
+    sink: str,
+    checkpoint: str,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+):
+    """The SAME sessionization on Spark 4's transformWithStateInPandas —
+    the arbitrary-stateful-processor API that supersedes
+    applyInPandasWithState: typed value state, explicit event-time TIMERS
+    (registered at last_event + gap, fired by watermark advance), and
+    per-key timer management. Output contract is identical to
+    sessionize_stream(timeout='event') — pytest asserts the two engines
+    and the batch twin agree row-for-row.
+
+    Requires the RocksDB state store (transformWithState's backing store;
+    set on the session here) and the ``protobuf`` package (the TWS python
+    driver worker's wire format — NOT installed in this container, so the
+    paired pytest skips unless it is importable; the
+    applyInPandasWithState engine above is the locally-verified twin).
+    Scale shape: state per key = three scalars + one timer; one exchange
+    on the key."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(pip install protobuf on a real cluster)"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    gap = gap_minutes * 60 * 1_000_000  # micros, matching the batch twin
+
+    def _emit(key, sessions):
+        return pd.DataFrame({
+            "event_type": [key] * len(sessions),
+            "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+            "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+            "n_events": [n for _, _, n in sessions],
+        })
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState("sess", "start long, last long, n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts = []
+            for pdf in rows:
+                ts.extend(int(t.value // 1000) for t in pdf["ts"])
+            ts.sort()
+            if self.state.exists():
+                start, last, n = self.state.get()
+                for t in self.handle.listTimers():  # one live timer per key
+                    self.handle.deleteTimer(t)
+            else:
+                start, last, n = ts[0], ts[0], 0
+            out = []
+            for t in ts:
+                if t - last > gap:
+                    out.append((start, last, n))
+                    start, n = t, 0
+                last = max(last, t)
+                n += 1
+            self.state.update((start, last, n))
+            self.handle.registerTimer(last // 1000 + gap // 1000 + 1)
+            yield _emit(key[0], out)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self.state.exists():
+                start, last, n = self.state.get()
+                self.state.clear()
+                yield _emit(key[0], [(start, last, n)])
+
+        def close(self) -> None:
+            pass
+
+    stream = (
+        spark.readStream.schema(EVENT_DDL).parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    sessions = stream.groupBy("event_type").transformWithStateInPandas(
+        SessionProcessor(),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -225,3 +225,38 @@ def test_sessionize_event_time_replay_determinism(spark, tmp_path):
     # full replay from scratch: identical output, event-time clocks only
     out2 = run_sequence("r2")
     assert out.equals(out2)
+
+
+def test_sessionize_tws_matches_legacy(spark, tmp_path):
+    """Spark 4's transformWithStateInPandas twin (typed state + explicit
+    event-time timers, RocksDB store): identical closed sessions to the
+    applyInPandasWithState engine on the same two-batch sequence."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas's python driver worker needs "
+               "protobuf (not in this container)",
+    )
+    from gdalcubes_cpp_spark.streaming.events import sessionize_stream_tws
+
+    T = pd.Timestamp("2024-01-01 08:00:00")
+    m = pd.Timedelta(minutes=1)
+    batch1 = [
+        (1, T, "a", 1.0), (2, T + 10 * m, "a", 1.0), (3, T + 20 * m, "a", 1.0),
+        (4, T + 90 * m, "a", 1.0), (5, T + 95 * m, "a", 1.0),
+        (6, T + 5 * m, "b", 1.0), (7, T + 6 * m, "b", 1.0),
+    ]
+    batch2 = [(8, T + 300 * m, "a", 1.0)]
+
+    def run(fn, tag):
+        in_dir, sink, cp = (str(tmp_path / f"{d}_{tag}") for d in ("in", "sink", "cp"))
+        _write(spark, in_dir, batch1, "overwrite")
+        fn(spark, in_dir, sink, cp, gap_minutes=30).awaitTermination(120)
+        _write(spark, in_dir, batch2, "append")
+        fn(spark, in_dir, sink, cp, gap_minutes=30).awaitTermination(120)
+        out = spark.read.parquet(sink).toPandas()
+        return out.sort_values(["event_type", "session_start"]).reset_index(drop=True)
+
+    got_tws = run(sessionize_stream_tws, "tws")
+    got_legacy = run(sessionize_stream, "legacy")
+    assert got_tws.equals(got_legacy)
+    assert len(got_tws) == 3  # a1, a2, b (b closes purely by timer)
