@@ -268,6 +268,31 @@ def _from_proj4(s: str) -> str:
             key += ":" + ":".join(repr(v) for v in helm)
         _SWISS[key] = pw
         return key
+    if proj == "omerc":
+        if kv.get("no_uoff"):
+            raise ValueError("omerc variant A (+no_uoff) is unsupported; "
+                             "variant B (EPSG 9815) only")
+        a, e2 = _proj4_ellps(kv, s)
+        helm = _proj4_towgs84(kv, s)
+        alpha = float(kv.get("alpha", 0.0))
+        ph = HomParams(
+            a=a, e2=e2,
+            latc=float(kv.get("lat_0", 0.0)), lonc=float(kv.get("lonc", 0.0)),
+            alphac=alpha, gammac=float(kv.get("gamma", alpha)),
+            k0=float(kv.get("k", kv.get("k_0", 1.0))),
+            ec=float(kv.get("x_0", 0.0)), nc=float(kv.get("y_0", 0.0)),
+            helm=helm,
+        )
+        for code, known in _HOM.items():
+            if known == ph:
+                return code
+        key = "HOM:" + ":".join(repr(v) for v in (
+            ph.a, ph.e2, ph.latc, ph.lonc, ph.alphac, ph.gammac, ph.k0,
+            ph.ec, ph.nc))
+        if helm is not None:
+            key += ":" + ":".join(repr(v) for v in helm)
+        _HOM[key] = ph
+        return key
     if proj == "sinu":
         # spherical form (the MODIS grid): radius from +R= (or a sphere
         # given as +a=); the ellipsoidal series is not implemented
@@ -303,7 +328,7 @@ def normalize(srs: str) -> str:
             code = hits[-1][0] or hits[-1][1]
             return normalize(f"EPSG:{code}")
         raise ValueError(f"WKT without an EPSG authority is unsupported: {raw[:60]}...")
-    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:", "AEA:", "ETM:", "SOMERC:")):
+    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:", "AEA:", "ETM:", "SOMERC:", "HOM:")):
         # dynamic keys are SELF-DESCRIBING (parse-on-demand): executor
         # python workers import srs.py fresh, so a driver-side registry
         # alone would not resolve them inside kernels
@@ -311,7 +336,7 @@ def normalize(srs: str) -> str:
             _polar_of(raw) is None and _laea_of(raw) is None
             and _sinu_of(raw) is None and _lcc_of(raw) is None
             and _aea_of(raw) is None and _etm_of(raw) is None
-            and _swiss_of(raw) is None
+            and _swiss_of(raw) is None and _hom_of(raw) is None
         ):
             raise ValueError(f"malformed dynamic SRS key {raw!r}")
         return raw
@@ -320,7 +345,8 @@ def normalize(srs: str) -> str:
         return "EPSG:4326"
     if s in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
         return "EPSG:3857"
-    if s in _POLAR or s in _LAEA or s in _LCC or s in _AEA or s in _ETM or s in _SWISS:
+    if (s in _POLAR or s in _LAEA or s in _LCC or s in _AEA or s in _ETM
+            or s in _SWISS or s in _HOM):
         return s
     m = _UTM_RE.match(s)
     if m:
@@ -1425,6 +1451,172 @@ def swiss_inverse_datum_sql(x_expr: str, y_expr: str, p: SwissParams):
     return lon, lat
 
 
+# -- Hotine oblique Mercator variant B (EPSG method 9815; Snyder §9) ----------
+#
+# The skew-axis national grids: Timbalai/RSO Borneo (EPSG:29873), Alaska
+# zone 1, Malaysia RSO. Variant B anchors false coordinates at the
+# PROJECTION CENTER (Ec, Nc) with the u_c offset; proj4's +proj=omerc
+# default. The inverse closes through the inverse conformal-latitude
+# series, so the SQL mirror needs no iteration.
+
+@dataclass(frozen=True)
+class HomParams:
+    a: float
+    e2: float
+    latc: float   # latitude of projection center (deg)
+    lonc: float   # longitude of projection center (deg)
+    alphac: float  # azimuth of the initial line at the center (deg)
+    gammac: float  # angle from the rectified grid to the skew grid (deg)
+    k0: float
+    ec: float     # false easting at the center
+    nc: float     # false northing at the center
+    helm: tuple | None
+
+
+# Timbalai 1948 / RSO Borneo (m) — the EPSG worked-example instance.
+# Everest 1830 (1967 definition) ellipsoid; Timbalai->WGS84 3-param shift.
+_HOM: dict = {
+    "EPSG:29873": HomParams(
+        a=6377298.556, e2=_e2_of(6377298.556, 300.8017),
+        latc=4.0, lonc=115.0,
+        alphac=53.0 + 18.0 / 60.0 + 56.9537 / 3600.0,
+        gammac=53.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+        k0=0.99984, ec=590476.87, nc=442857.65,
+        helm=(-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0),
+    ),
+}
+
+
+def _hom_consts(p: HomParams):
+    """Snyder eq. 9-1..9-12 / EPSG 9815 setup scalars."""
+    e = math.sqrt(p.e2)
+    phic = p.latc * _RAD
+    sinc = math.sin(phic)
+    B = math.sqrt(1.0 + p.e2 * math.cos(phic) ** 4 / (1.0 - p.e2))
+    A = p.a * B * p.k0 * math.sqrt(1.0 - p.e2) / (1.0 - p.e2 * sinc * sinc)
+    t0 = math.tan(math.pi / 4.0 - phic / 2.0) / (
+        (1.0 - e * sinc) / (1.0 + e * sinc)) ** (e / 2.0)
+    D = B * math.sqrt(1.0 - p.e2) / (
+        math.cos(phic) * math.sqrt(1.0 - p.e2 * sinc * sinc))
+    D2 = max(D * D, 1.0)
+    sign = 1.0 if p.latc >= 0 else -1.0
+    F = D + math.sqrt(D2 - 1.0) * sign
+    H = F * t0 ** B
+    G = (F - 1.0 / F) / 2.0
+    gamma0 = math.asin(math.sin(p.alphac * _RAD) / D)
+    lam0 = p.lonc * _RAD - math.asin(G * math.tan(gamma0)) / B
+    # variant B center offset along the skew u axis
+    uc = (A / B) * math.atan2(math.sqrt(D2 - 1.0), math.cos(p.alphac * _RAD)) * sign
+    return e, B, A, H, gamma0, lam0, uc
+
+
+def hom_forward(lon, lat, p: HomParams):
+    """Datum geodetic degrees -> grid (E, N); WGS84 in when helm set."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if p.helm is not None:
+        lon, lat = wgs84_to_datum(lon, lat, p.a, p.e2, p.helm)
+    e, B, A, H, gamma0, lam0, uc = _hom_consts(p)
+    phi = lat * _RAD
+    sinp = np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * sinp) / (1.0 + e * sinp)) ** (e / 2.0)
+    Q = H / t ** B
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    dl = lon * _RAD - lam0
+    # wrap to (-pi, pi] so B*dl stays in the principal branch
+    dl = np.where(dl > np.pi, dl - 2 * np.pi, dl)
+    dl = np.where(dl < -np.pi, dl + 2 * np.pi, dl)
+    V = np.sin(B * dl)
+    sg0, cg0 = math.sin(gamma0), math.cos(gamma0)
+    U = (-V * cg0 + S * sg0) / T
+    v = A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+    u = A * np.arctan2(S * cg0 + V * sg0, np.cos(B * dl)) / B - uc
+    gc = p.gammac * _RAD
+    E = p.ec + v * math.cos(gc) + u * math.sin(gc)
+    N = p.nc + u * math.cos(gc) - v * math.sin(gc)
+    return E, N
+
+
+def hom_inverse(x, y, p: HomParams):
+    """Grid (E, N) -> WGS84 degrees (datum chain when helm set).
+    Operation order mirrors hom_inverse_datum_sql EXACTLY."""
+    e, B, A, H, gamma0, lam0, uc = _hom_consts(p)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    gc = p.gammac * _RAD
+    dx = x - p.ec
+    dy = y - p.nc
+    v = dx * math.cos(gc) - dy * math.sin(gc)
+    u = dy * math.cos(gc) + dx * math.sin(gc) + uc
+    Q = np.exp(-B * v / A)
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    V = np.sin(B * u / A)
+    sg0, cg0 = math.sin(gamma0), math.cos(gamma0)
+    U = (V * cg0 + S * sg0) / T
+    t = (H / np.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / B)
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    x2, x4, x6, x8 = _chi_series(p.e2)
+    phi = chi + x2 * np.sin(2.0 * chi) + x4 * np.sin(4.0 * chi) \
+        + x6 * np.sin(6.0 * chi) + x8 * np.sin(8.0 * chi)
+    lam = lam0 - np.arctan2(S * cg0 - V * sg0, np.cos(B * u / A)) / B
+    lon_s = lam * _DEG
+    lat_s = phi * _DEG
+    if p.helm is None:
+        return lon_s, lat_s
+    return datum_to_wgs84(lon_s, lat_s, p.a, p.e2, p.helm)
+
+
+def hom_inverse_datum_sql(x_expr: str, y_expr: str, p: HomParams):
+    """(lon_sql, lat_sql) in the projection's DATUM — mirror of
+    hom_inverse before the Helmert stage (chain _datum_sql on top)."""
+    e, B, A, H, gamma0, lam0, uc = _hom_consts(p)
+    L = _flit
+    gc = p.gammac * _RAD
+    dx = f"(({x_expr}) - {L(p.ec)})"
+    dy = f"(({y_expr}) - {L(p.nc)})"
+    v = f"({dx} * {L(math.cos(gc))} - {dy} * {L(math.sin(gc))})"
+    u = f"({dy} * {L(math.cos(gc))} + {dx} * {L(math.sin(gc))} + {L(uc)})"
+    Q = f"exp({L(-1.0)} * {L(B)} * {v} / {L(A)})"
+    S = f"(({Q} - 1.0 / {Q}) / 2.0)"
+    T = f"(({Q} + 1.0 / {Q}) / 2.0)"
+    V = f"sin({L(B)} * {u} / {L(A)})"
+    sg0, cg0 = L(math.sin(gamma0)), L(math.cos(gamma0))
+    U = f"(({V} * {cg0} + {S} * {sg0}) / {T})"
+    t = f"pow({L(H)} / sqrt((1.0 + {U}) / (1.0 - {U})), {L(1.0 / B)})"
+    chi = f"({L(math.pi / 2.0)} - 2.0 * atan({t}))"
+    x2, x4, x6, x8 = _chi_series(p.e2)
+    lat = (
+        f"(({chi} + {L(x2)} * sin(2.0 * {chi}) + {L(x4)} * sin(4.0 * {chi})"
+        f" + {L(x6)} * sin(6.0 * {chi}) + {L(x8)} * sin(8.0 * {chi})) * {L(_DEG)})"
+    )
+    lon = (
+        f"(({L(lam0)} - atan2({S} * {cg0} - {V} * {sg0}, "
+        f"cos({L(B)} * {u} / {L(A)})) / {L(B)}) * {L(_DEG)})"
+    )
+    return lon, lat
+
+
+def _hom_of(s: str) -> HomParams | None:
+    p = _HOM.get(s)
+    if p is not None:
+        return p
+    if s.startswith("HOM:"):
+        try:
+            parts = s.split(":")
+            a, e2, latc, lonc, alphac, gammac, k0, ec, nc = (
+                float(v) for v in parts[1:10])
+            helm = tuple(float(v) for v in parts[10:17]) if len(parts) > 10 else None
+        except ValueError:
+            return None
+        p = HomParams(a, e2, latc, lonc, alphac, gammac, k0, ec, nc, helm)
+        _HOM[s] = p
+        return p
+    return None
+
+
 def _etm_of(s: str) -> EtmParams | None:
     p = _ETM.get(s)
     if p is not None:
@@ -1548,6 +1740,9 @@ def _nonsep_inverse(x, y, s: str):
     pe = _etm_of(s)
     if pe is not None:
         return etm_inverse_wgs84(x, y, pe)
+    ph = _hom_of(s)
+    if ph is not None:
+        return hom_inverse(x, y, ph)
     pw = _swiss_of(s)
     if pw is not None:
         return swiss_inverse(x, y, pw)
@@ -1574,6 +1769,9 @@ def _nonsep_forward(lon, lat, s: str):
     pe = _etm_of(s)
     if pe is not None:
         return etm_forward_wgs84(lon, lat, pe)
+    ph = _hom_of(s)
+    if ph is not None:
+        return hom_forward(lon, lat, ph)
     pw = _swiss_of(s)
     if pw is not None:
         return swiss_forward(lon, lat, pw)
