@@ -1575,6 +1575,63 @@ def cube_swiss_mean(spark, sf_dir):
     ).df
 
 
+# Margins audited (tests/test_srs_datum.py::test_driver_view_margins):
+# cell centers >= 2.3e-5 deg clear of the 0.01-deg footprint-edge grid.
+# A NOVEL +proj=omerc parameter set (skew axis over central Europe) —
+# exercises the dynamic self-describing HOM key end-to-end (the Albers
+# trick of r3, now for the oblique-Mercator family).
+V_HOM = CubeView.create(
+    srs="+proj=omerc +lat_0=47.5 +lonc=14 +alpha=45 +k=1 +ellps=grs80",
+    left=-166600.0, right=133400.0, bottom=-180127.0, top=139873.0,
+    nx=30, ny=32, t0="1995-01-01", nt=27, dt="P3M",
+    aggregation="mean", resampling="near", chunk_size=(8, 16, 15),
+)
+
+
+def _hom_cells_sql(v: CubeView) -> str:
+    from . import srs as _srs
+
+    p = _srs._hom_of(_srs.normalize(v.srs))
+    x_sql = f"({_srs._flit(v.left)} + (x.ix + 0.5) * {_srs._flit(v.dx)})"
+    y_sql = f"({_srs._flit(v.top)} - (y.iy + 0.5) * {_srs._flit(v.dy)})"
+    lon_sql, lat_sql = _srs.hom_inverse_datum_sql(x_sql, y_sql, p)
+    return f"""
+  SELECT CAST(t.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         {lon_sql} AS cx, {lat_sql} AS cy
+  FROM range({v.nt}) t(it), range({v.ny}) y(iy), range({v.nx}) x(ix)
+"""
+
+
+@q(
+    "cube_hom_mean",
+    f"""
+WITH img AS ({UTM_IMG_SQL}),
+cells AS ({_hom_cells_sql(V_HOM)}),
+cov AS (
+  SELECT cells.it, cells.iy, cells.ix, img.val1, img.val2
+  FROM cells JOIN img
+    ON {_COVER_SQL}
+   AND cells.it = {_it_sql(V_HOM)}
+)
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_hom_mean(spark, sf_dir):
+    """Cube build in a HOTINE OBLIQUE MERCATOR view (EPSG method 9815
+    variant B, Snyder §9 — the Timbalai/RSO Borneo + Alaska zone 1
+    family), entered via a NOVEL +proj=omerc string so the dynamic
+    self-describing HOM key is what the driver actually verifies.
+    Validated against the EPSG GN7-2 worked example to sub-cm
+    (tests/test_srs_hom.py); the closed inverse (conformal-latitude
+    series) replays in SQL (srs.hom_inverse_datum_sql)."""
+    from .operators.build import build_cube
+
+    return build_cube(
+        images_meta_utm(spark, sf_dir), V_HOM, bands=("B1", "B2"), value_fn=_value_fn
+    ).df
+
+
 # ----------------------------------------------- LAEA + Albers views
 
 # Margins audited (tests/test_srs_polar.py::test_driver_laea_aea_margins):
@@ -2652,7 +2709,8 @@ _fold("cube_srs_suite", "srs",  # every non-separable-SRS warp family
       [("utm", "cube_utm_mean"), ("polar", "cube_polar_mean"),
        ("sinu", "cube_sinu_mean"), ("lcc", "cube_lcc_mean"),
        ("laea", "cube_laea_mean"), ("aea", "cube_aea_mean"),
-       ("osgb", "cube_osgb_mean"), ("swiss", "cube_swiss_mean")])
+       ("osgb", "cube_osgb_mean"), ("swiss", "cube_swiss_mean"),
+       ("hom", "cube_hom_mean")])
 @q("cube_decode_suite", None)  # rows-only: every real-byte decode path
 def cube_decode_suite(spark, sf_dir):
     """Folded rows-only suite: all four real-decode paths — aggregating

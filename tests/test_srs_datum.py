@@ -165,9 +165,9 @@ def test_sql_mirror_duckdb():
 def test_driver_view_margins():
     """Placement audit for the driver suite members: every cell center is
     >= 1e-5 deg clear of the 0.01-deg footprint-edge grid."""
-    from gdalcubes_cpp_spark.benchqueries import V_OSGB, V_SWISS
+    from gdalcubes_cpp_spark.benchqueries import V_HOM, V_OSGB, V_SWISS
 
-    for v in (V_OSGB, V_SWISS):
+    for v in (V_OSGB, V_SWISS, V_HOM):
         xs = v.left + (np.arange(v.nx) + 0.5) * v.dx
         ys = v.top - (np.arange(v.ny) + 0.5) * v.dy
         LON, LAT = srs.grid_to_wgs84(xs, ys, v.srs)
