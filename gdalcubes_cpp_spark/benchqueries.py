@@ -1632,6 +1632,62 @@ def cube_hom_mean(spark, sf_dir):
     ).df
 
 
+# Margins audited (tests/test_srs_datum.py::test_driver_view_margins):
+# cell centers >= 4.0e-4 deg clear of the 0.01-deg footprint-edge grid.
+# EPSG:6933 = NSIDC EASE-Grid 2.0 Global (SMAP / AMSR) — the first
+# SEPARABLE non-4326 suite member, exercising the 1-D axis-transform
+# warp path cross-engine.
+V_CEA = CubeView.create(
+    srs="EPSG:6933", left=1314090.0, right=1614090.0,
+    bottom=5293426.0, top=5613426.0, nx=30, ny=32,
+    t0="1995-01-01", nt=27, dt="P3M",
+    aggregation="mean", resampling="near", chunk_size=(8, 16, 15),
+)
+
+
+def _cea_cells_sql(v: CubeView) -> str:
+    from . import srs as _srs
+
+    p = _srs._cea_of(_srs.normalize(v.srs))
+    x_sql = f"({_srs._flit(v.left)} + (x.ix + 0.5) * {_srs._flit(v.dx)})"
+    y_sql = f"({_srs._flit(v.top)} - (y.iy + 0.5) * {_srs._flit(v.dy)})"
+    lon_sql, lat_sql = _srs.cea_inverse_sql(x_sql, y_sql, p)
+    return f"""
+  SELECT CAST(t.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         {lon_sql} AS cx, {lat_sql} AS cy
+  FROM range({v.nt}) t(it), range({v.ny}) y(iy), range({v.nx}) x(ix)
+"""
+
+
+@q(
+    "cube_cea_mean",
+    f"""
+WITH img AS ({UTM_IMG_SQL}),
+cells AS ({_cea_cells_sql(V_CEA)}),
+cov AS (
+  SELECT cells.it, cells.iy, cells.ix, img.val1, img.val2
+  FROM cells JOIN img
+    ON {_COVER_SQL}
+   AND cells.it = {_it_sql(V_CEA)}
+)
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_cea_mean(spark, sf_dir):
+    """Cube build in the EASE-Grid 2.0 projection (EPSG:6933, Lambert
+    cylindrical equal area / EPSG method 9835 — the SMAP and AMSR
+    passive-microwave grid). SEPARABLE: the kernel takes the 1-D
+    axis-transform path (unlike every conic/oblique member), so this
+    member verifies that warp branch cross-engine; x anchored to the
+    published EASE-2 grid constant (tests/test_srs_datum)."""
+    from .operators.build import build_cube
+
+    return build_cube(
+        images_meta_utm(spark, sf_dir), V_CEA, bands=("B1", "B2"), value_fn=_value_fn
+    ).df
+
+
 # ----------------------------------------------- LAEA + Albers views
 
 # Margins audited (tests/test_srs_polar.py::test_driver_laea_aea_margins):
@@ -2710,7 +2766,7 @@ _fold("cube_srs_suite", "srs",  # every non-separable-SRS warp family
        ("sinu", "cube_sinu_mean"), ("lcc", "cube_lcc_mean"),
        ("laea", "cube_laea_mean"), ("aea", "cube_aea_mean"),
        ("osgb", "cube_osgb_mean"), ("swiss", "cube_swiss_mean"),
-       ("hom", "cube_hom_mean")])
+       ("hom", "cube_hom_mean"), ("cea", "cube_cea_mean")])
 @q("cube_decode_suite", None)  # rows-only: every real-byte decode path
 def cube_decode_suite(spark, sf_dir):
     """Folded rows-only suite: all four real-decode paths — aggregating

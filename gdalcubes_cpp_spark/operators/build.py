@@ -983,6 +983,12 @@ def build_cells_long(
                 v_r = _srs.lon_to_x(a_r)
                 v_b = _srs.lat_to_y(a_b)
                 v_t = _srs.lat_to_y(a_t)
+            elif separable and srs_n != "EPSG:4326":
+                # remaining separable family (CEA / EASE-Grid 2.0):
+                # x depends only on lon and y only on lat, so footprint
+                # corners map EXACTLY to view coords
+                v_l, v_b = _srs.from_wgs84(a_l, a_b, srs_n)
+                v_r, v_t = _srs.from_wgs84(a_r, a_t, srs_n)
             elif separable:
                 v_l, v_r, v_b, v_t = a_l, a_r, a_b, a_t
             else:

@@ -100,7 +100,11 @@ def chunks_df(spark: SparkSession, grid: ChunkGrid) -> DataFrame:
         t_end.alias("ch_t_end"),
         it0.cast("int").alias("ch_it0"),
     )
-    if not _srs.is_separable(srs_n):
+    # everything that isn't 4326 (exact already) or 3857 (column math
+    # above) goes through bbox_to_wgs84 — exact corner mapping for the
+    # remaining separable family (CEA), conservative densified-edge bbox
+    # for the non-separable ones; chunk-count-sized work either way
+    if srs_n not in ("EPSG:4326", "EPSG:3857"):
         import pandas as pd
 
         def to4326(batches):

@@ -293,6 +293,20 @@ def _from_proj4(s: str) -> str:
             key += ":" + ":".join(repr(v) for v in helm)
         _HOM[key] = ph
         return key
+    if proj == "cea":
+        a, e2 = _proj4_ellps(kv, s)
+        pc = CeaParams(
+            lat_ts=float(kv.get("lat_ts", 0.0)), lon0=float(kv.get("lon_0", 0.0)),
+            fe=float(kv.get("x_0", 0.0)), fn=float(kv.get("y_0", 0.0)),
+            a=a, e2=e2,
+        )
+        for code, known in _CEA.items():
+            if known == pc:
+                return code
+        key = "CEA:" + ":".join(repr(v) for v in (
+            pc.lat_ts, pc.lon0, pc.fe, pc.fn, pc.a, pc.e2))
+        _CEA[key] = pc
+        return key
     if proj == "sinu":
         # spherical form (the MODIS grid): radius from +R= (or a sphere
         # given as +a=); the ellipsoidal series is not implemented
@@ -328,7 +342,7 @@ def normalize(srs: str) -> str:
             code = hits[-1][0] or hits[-1][1]
             return normalize(f"EPSG:{code}")
         raise ValueError(f"WKT without an EPSG authority is unsupported: {raw[:60]}...")
-    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:", "AEA:", "ETM:", "SOMERC:", "HOM:")):
+    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:", "AEA:", "ETM:", "SOMERC:", "HOM:", "CEA:")):
         # dynamic keys are SELF-DESCRIBING (parse-on-demand): executor
         # python workers import srs.py fresh, so a driver-side registry
         # alone would not resolve them inside kernels
@@ -337,6 +351,7 @@ def normalize(srs: str) -> str:
             and _sinu_of(raw) is None and _lcc_of(raw) is None
             and _aea_of(raw) is None and _etm_of(raw) is None
             and _swiss_of(raw) is None and _hom_of(raw) is None
+            and _cea_of(raw) is None
         ):
             raise ValueError(f"malformed dynamic SRS key {raw!r}")
         return raw
@@ -346,7 +361,7 @@ def normalize(srs: str) -> str:
     if s in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
         return "EPSG:3857"
     if (s in _POLAR or s in _LAEA or s in _LCC or s in _AEA or s in _ETM
-            or s in _SWISS or s in _HOM):
+            or s in _SWISS or s in _HOM or s in _CEA):
         return s
     m = _UTM_RE.match(s)
     if m:
@@ -367,8 +382,10 @@ def normalize(srs: str) -> str:
 
 def is_separable(srs: str) -> bool:
     """True iff x depends only on lon and y only on lat (1-D axis transforms
-    suffice); UTM/polar/LAEA are non-separable."""
-    return normalize(srs) in ("EPSG:4326", "EPSG:3857")
+    suffice); UTM/polar/LAEA are non-separable. Cylindrical equal area
+    (EPSG:6933 EASE-Grid 2.0) IS separable."""
+    s = normalize(srs)
+    return s in ("EPSG:4326", "EPSG:3857") or _cea_of(s) is not None
 
 
 def utm_params(srs: str):
@@ -1451,6 +1468,92 @@ def swiss_inverse_datum_sql(x_expr: str, y_expr: str, p: SwissParams):
     return lon, lat
 
 
+# -- Lambert cylindrical equal area (EPSG method 9835; Snyder §10) ------------
+#
+# EPSG:6933 — NSIDC EASE-Grid 2.0 Global, the SMAP / AMSR passive-microwave
+# product grid (lat_ts = 30 on WGS84). SEPARABLE: x depends only on lon and
+# y only on lat, so the warp uses 1-D axis transforms (and aggregating
+# resamplers stay available, unlike the conic/oblique families).
+
+@dataclass(frozen=True)
+class CeaParams:
+    lat_ts: float
+    lon0: float
+    fe: float
+    fn: float
+    a: float
+    e2: float
+
+
+_CEA: dict = {
+    "EPSG:6933": CeaParams(lat_ts=30.0, lon0=0.0, fe=0.0, fn=0.0,
+                           a=A_WGS84, e2=E2),
+}
+
+
+def _cea_consts(p: CeaParams):
+    e = math.sqrt(p.e2)
+    ts = p.lat_ts * _RAD
+    k0 = math.cos(ts) / math.sqrt(1.0 - p.e2 * math.sin(ts) ** 2)
+    qp = float(_laea_q(np.asarray(_HALF_PI), e, p.e2))
+    # authalic-latitude inverse series (Snyder eq. 3-18 — same as AEA/LAEA)
+    a2 = p.e2 / 3.0 + 31.0 * p.e2 ** 2 / 180.0 + 517.0 * p.e2 ** 3 / 5040.0
+    a4 = 23.0 * p.e2 ** 2 / 360.0 + 251.0 * p.e2 ** 3 / 3780.0
+    a6 = 761.0 * p.e2 ** 3 / 45360.0
+    return e, k0, qp, (a2, a4, a6)
+
+
+def cea_forward(lon, lat, p: CeaParams):
+    e, k0, _qp, _ = _cea_consts(p)
+    lam = (np.asarray(lon, dtype=np.float64) - p.lon0) * _RAD
+    phi = np.asarray(lat, dtype=np.float64) * _RAD
+    x = p.fe + p.a * k0 * lam
+    y = p.fn + p.a * _laea_q(phi, e, p.e2) / (2.0 * k0)
+    return x, y
+
+
+def cea_inverse(x, y, p: CeaParams):
+    """Operation order mirrors cea_inverse_sql EXACTLY."""
+    _e, k0, qp, (a2, a4, a6) = _cea_consts(p)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = p.lon0 + (x - p.fe) / (p.a * k0) * _DEG
+    q = (y - p.fn) * (2.0 * k0) / p.a
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    phi = beta + a2 * np.sin(2.0 * beta) + a4 * np.sin(4.0 * beta) \
+        + a6 * np.sin(6.0 * beta)
+    return lon, phi * _DEG
+
+
+def cea_inverse_sql(x_expr: str, y_expr: str, p: CeaParams):
+    _e, k0, qp, (a2, a4, a6) = _cea_consts(p)
+    L = _flit
+    lon = f"({L(p.lon0)} + (({x_expr}) - {L(p.fe)}) / {L(p.a * k0)} * {L(_DEG)})"
+    q = f"((({y_expr}) - {L(p.fn)}) * {L(2.0 * k0)} / {L(p.a)})"
+    beta = f"asin({q} / {L(qp)})"
+    lat = (
+        f"(({beta} + {L(a2)} * sin(2.0 * {beta}) + {L(a4)} * sin(4.0 * {beta})"
+        f" + {L(a6)} * sin(6.0 * {beta})) * {L(_DEG)})"
+    )
+    return lon, lat
+
+
+def _cea_of(s: str):
+    p = _CEA.get(s)
+    if p is not None:
+        return p
+    if s.startswith("CEA:"):
+        try:
+            _, lat_ts, lon0, fe, fn, a, e2 = s.split(":")
+            p = CeaParams(float(lat_ts), float(lon0), float(fe), float(fn),
+                          float(a), float(e2))
+        except ValueError:
+            return None
+        _CEA[s] = p
+        return p
+    return None
+
+
 # -- Hotine oblique Mercator variant B (EPSG method 9815; Snyder §9) ----------
 #
 # The skew-axis national grids: Timbalai/RSO Borneo (EPSG:29873), Alaska
@@ -1803,6 +1906,11 @@ def axis_to_wgs84(xs: np.ndarray, ys: np.ndarray, srs: str):
         return xs, ys
     if s == "EPSG:3857":
         return x_to_lon(xs), y_to_lat(ys)
+    pc = _cea_of(s)
+    if pc is not None:  # x and y transform independently
+        lon, _ = cea_inverse(xs, np.zeros_like(np.asarray(xs, dtype=np.float64)), pc)
+        _, lat = cea_inverse(np.zeros_like(np.asarray(ys, dtype=np.float64)), ys, pc)
+        return lon, lat
     raise ValueError(f"{srs} is not separable; use grid_to_wgs84")
 
 
@@ -1827,6 +1935,9 @@ def from_wgs84(lon, lat, srs: str):
         return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
     if s == "EPSG:3857":
         return lon_to_x(lon), lat_to_y(lat)
+    pc = _cea_of(s)
+    if pc is not None:
+        return cea_forward(lon, lat, pc)
     return _nonsep_forward(lon, lat, s)
 
 
@@ -1840,6 +1951,9 @@ def points_to_wgs84(x, y, srs: str):
         return x, y
     if s == "EPSG:3857":
         return x_to_lon(x), y_to_lat(y)
+    pc = _cea_of(s)
+    if pc is not None:
+        return cea_inverse(x, y, pc)
     return _nonsep_inverse(x, y, s)
 
 
@@ -1856,6 +1970,11 @@ def bbox_to_wgs84(left, right, bottom, top, srs: str, n_samples: int = 9):
         return left, right, bottom, top
     if s == "EPSG:3857":
         return float(x_to_lon(left)), float(x_to_lon(right)), float(y_to_lat(bottom)), float(y_to_lat(top))
+    _pc = _cea_of(s)
+    if _pc is not None:  # separable: corners map to corners, exact
+        lon0, lat0 = cea_inverse(left, bottom, _pc)
+        lon1, lat1 = cea_inverse(right, top, _pc)
+        return float(lon0), float(lon1), float(lat0), float(lat1)
     _pp = _polar_of(s)
     if _pp is not None and (left <= _pp.fe <= right) and (bottom <= _pp.fn <= top):
         # rectangle contains the pole: every longitude occurs; latitudes

@@ -165,12 +165,12 @@ def test_sql_mirror_duckdb():
 def test_driver_view_margins():
     """Placement audit for the driver suite members: every cell center is
     >= 1e-5 deg clear of the 0.01-deg footprint-edge grid."""
-    from gdalcubes_cpp_spark.benchqueries import V_HOM, V_OSGB, V_SWISS
+    from gdalcubes_cpp_spark.benchqueries import V_CEA, V_HOM, V_OSGB, V_SWISS
 
-    for v in (V_OSGB, V_SWISS, V_HOM):
+    for v in (V_OSGB, V_SWISS, V_HOM, V_CEA):
         xs = v.left + (np.arange(v.nx) + 0.5) * v.dx
         ys = v.top - (np.arange(v.ny) + 0.5) * v.dy
-        LON, LAT = srs.grid_to_wgs84(xs, ys, v.srs)
+        LON, LAT = srs.grid_to_wgs84(xs, ys, v.srs)  # works for separable too
         g = 0.01
         m = min(
             np.abs(LON / g - np.round(LON / g)).min(),
@@ -224,3 +224,50 @@ def test_cube_build_end_to_end(spark):
             bands=("B1", "B2"), value_fn=_value_fn,
         ).df
         assert df.count() > 100
+
+
+def test_cea_ease_grid():
+    """EPSG:6933 (EASE-Grid 2.0 Global, Lambert cylindrical equal area):
+    x anchored to the published NSIDC grid constant (x(180°) =
+    17367530.45 m), equal-area Jacobian invariant, separability,
+    roundtrip, SQL parity."""
+    import duckdb
+
+    p = srs._CEA["EPSG:6933"]
+    x, _ = srs.cea_forward(180.0, 0.0, p)
+    assert abs(float(x) - 17367530.45) < 0.01  # Brodzik et al. 2012 constant
+    assert srs.is_separable("EPSG:6933")
+    # equal-area: |dx/dlon * dy/dlat| == ellipsoid area element
+    h = 1e-7
+    for lat in (0.0, 30.0, -52.0, 75.0):
+        x0, y0 = (float(v) for v in srs.cea_forward(10.0, lat, p))
+        x1, _ = (float(v) for v in srs.cea_forward(10.0 + h, lat, p))
+        _, y2 = (float(v) for v in srs.cea_forward(10.0, lat + h, p))
+        jac = abs((x1 - x0) * (y2 - y0)) / math.radians(h) ** 2
+        phi = math.radians(lat)
+        w2 = 1.0 - p.e2 * math.sin(phi) ** 2
+        want = p.a ** 2 * (1.0 - p.e2) * math.cos(phi) / w2 ** 2
+        assert abs(jac / want - 1.0) < 1e-5, lat
+    lon = np.linspace(-179.0, 179.0, 15)
+    lat = np.linspace(-85.0, 85.0, 11)
+    LON, LAT = np.meshgrid(lon, lat)
+    xx, yy = srs.from_wgs84(LON, LAT, "EPSG:6933")
+    lo, la = srs.points_to_wgs84(xx, yy, "EPSG:6933")
+    assert np.abs(lo - LON).max() < 1e-12  # x<->lon is exact linear
+    assert np.abs(la - LAT).max() < 1e-6   # authalic series truncation
+    lon_s, lat_s = srs.cea_inverse_sql("x", "y", p)
+    con = duckdb.connect()
+    pts = list(zip(xx.ravel()[::7], yy.ravel()[::7]))
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({a!r},{b!r})" for a, b in pts) + ") v(x,y)")
+    out = con.execute(f"SELECT {lon_s} AS lon, {lat_s} AS lat FROM t").fetchnumpy()
+    lo2, la2 = srs.cea_inverse(np.array([a for a, _ in pts]),
+                               np.array([b for _, b in pts]), p)
+    assert np.abs(out["lon"] - lo2).max() < 1e-12
+    assert np.abs(out["lat"] - la2).max() < 1e-12
+    # proj4 + dynamic key
+    assert srs.normalize("+proj=cea +lat_ts=30 +ellps=wgs84") == "EPSG:6933"
+    k = srs.normalize("+proj=cea +lat_ts=10 +ellps=grs80")
+    assert k.startswith("CEA:")
+    srs._CEA.pop(k)
+    assert srs.normalize(k) == k
