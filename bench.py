@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "apply_time_udf_cumsum", "apply_pixel_udf_poly",
     "query_points", "zonal_statistics", "extract_geom",
     "doc_stats", "doc_exact_dups", "doc_minhash", "doc_lsh_jaccard",
-    "doc_simhash", "doc_dedup_clusters", "doc_training_mix",
+    "doc_simhash", "doc_decontaminate", "doc_dedup_clusters", "doc_training_mix",
     "ann_topk", "ann_knn_join", "ann_knn_join_ivf", "ann_dup_pairs",
     "events_tumbling", "events_sessionize", "tpch_pricing", "tpch_market_revenue",
 ]

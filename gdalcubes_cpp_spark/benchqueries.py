@@ -794,6 +794,60 @@ def doc_simhash(spark, sf_dir):
     return simhash(docs)
 
 
+def _shingles_sql_n(n: int) -> str:
+    """The DuckDB word-n-gram expression for any n (the _SHINGLES_SQL
+    shape generalized; mirrors functions.dedup.shingles)."""
+    return (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n - 2}), "
+        f"i -> array_to_string(list_slice(w, i, i + {n - 1}), ' ')) "
+        f"ELSE [array_to_string(w, ' ')] END"
+    )
+
+
+@q(
+    "doc_decontaminate",
+    f"""
+WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+dgh AS (
+  SELECT doc_id, md5(g) AS gh
+  FROM (SELECT doc_id, unnest(list_distinct({_shingles_sql_n(3)})) AS g FROM d)
+),
+bg AS (
+  SELECT DISTINCT md5(g) AS gh
+  FROM (SELECT unnest(list_distinct({_shingles_sql_n(3)})) AS g
+        FROM d WHERE doc_id % 97 = 0)
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM dgh GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+  FROM dgh JOIN bg USING (gh) GROUP BY doc_id
+)
+SELECT tot.doc_id AS doc_id, n_ngrams,
+       coalesce(n_matched, 0) AS n_matched,
+       round(CAST(coalesce(n_matched, 0) AS DOUBLE) / n_ngrams, 6) AS containment_r6,
+       coalesce(n_matched, 0) >= 1 AS contaminated
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+""",
+)
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark DECONTAMINATION (functions/dedup.py decontaminate — the
+    GPT-3/PaLM any-shared-n-gram filter with containment reporting): the
+    'benchmark' here is the doc_id % 97 slice of the corpus itself, so
+    exact self-hits, partial-overlap docs and clean docs all occur. n=3
+    at this SF (the operator defaults to the canonical 13); only md5 gram
+    hashes shuffle."""
+    from .functions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = decontaminate(docs, bench, n=3, min_hits=1)
+    return out.select(
+        "doc_id", "n_ngrams", "n_matched",
+        F.round("containment", 6).alias("containment_r6"), "contaminated",
+    )
+
+
 @q("doc_near_dups_pipeline", None)  # rows-only: full LSH->verify pipeline
 def doc_near_dups_pipeline(spark, sf_dir):
     from .functions.dedup import near_dups_minhash
@@ -2761,6 +2815,31 @@ _fold("fill_time_suite", "method",
       [("linear", "fill_time_linear"), ("locf", "fill_time_locf")])
 _fold("query_points_timeseries", "kind",
       [("points", "query_points"), ("timeseries", "query_timeseries")])
+@q(
+    "doc_signature_suite",
+    f"""
+SELECT 'minhash' AS part, doc_id, mh_0 || mh_1 || mh_2 || mh_3 AS sig
+FROM ({_DEFS["doc_minhash"][1]}) m
+UNION ALL
+SELECT 'simhash' AS part, doc_id, CAST(simhash AS VARCHAR) AS sig
+FROM ({_DEFS["doc_simhash"][1]}) s
+""",
+)
+def doc_signature_suite(spark, sf_dir):
+    """Folded driver suite: MinHash (k=4) + SimHash (60-bit) per-doc
+    signatures in one tagged union (frees a registry-window slot for
+    doc_decontaminate)."""
+    a = _DEFS["doc_minhash"][0](spark, sf_dir).select(
+        F.lit("minhash").alias("part"), "doc_id",
+        F.concat("mh_0", "mh_1", "mh_2", "mh_3").alias("sig"),
+    )
+    b = _DEFS["doc_simhash"][0](spark, sf_dir).select(
+        F.lit("simhash").alias("part"), "doc_id",
+        F.col("simhash").cast("string").alias("sig"),
+    )
+    return a.unionAll(b)
+
+
 _fold("cube_srs_suite", "srs",  # every non-separable-SRS warp family
       [("utm", "cube_utm_mean"), ("polar", "cube_polar_mean"),
        ("sinu", "cube_sinu_mean"), ("lcc", "cube_lcc_mean"),
@@ -2967,9 +3046,9 @@ _WINDOW_ORACLED = [
     # documents / embeddings / events / relational
     "doc_stats",
     "doc_exact_dups",
-    "doc_minhash",
+    "doc_signature_suite",  # folds doc_minhash + doc_simhash
     "doc_lsh_jaccard",
-    "doc_simhash",
+    "doc_decontaminate",
     "doc_dedup_clusters",
     "doc_training_mix",
     "ann_topk",

@@ -8,7 +8,7 @@ _EXPORTS = {
     "lsh_candidates": ".dedup", "ngram_jaccard": ".dedup",
     "near_dups_minhash": ".dedup", "simhash": ".dedup",
     "simhash_near_dups": ".dedup", "connected_components": ".dedup",
-    "near_dup_clusters": ".dedup",
+    "near_dup_clusters": ".dedup", "decontaminate": ".dedup",
     # training-mix assembly
     "deterministic_sample": ".mix", "stratified_sample": ".mix",
     "pack_shards": ".mix", "training_mix": ".mix", "corpus_pipeline": ".mix",

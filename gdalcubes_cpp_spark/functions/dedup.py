@@ -277,6 +277,54 @@ def shingle_sets(
     return docs.select(id_col, text_col).mapInPandas(run, "doc_id long, sh array<string>")
 
 
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    bench_text_col: str = "text", n: int = 13, min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — flag training documents whose word
+    n-grams collide with a held-out evaluation set (the GPT-3 appendix-C /
+    PaLM data-contamination filter: any shared 13-gram marks the doc;
+    ``n`` and ``min_hits`` parameterize the rule, and the returned
+    ``containment`` = matched/total distinct n-grams supports
+    threshold-style variants).
+
+    Returns (doc_id, n_ngrams, n_matched, containment, contaminated) for
+    EVERY input doc.
+
+    Scale shape: both sides explode to DISTINCT md5(n-gram) keys — text
+    itself never shuffles, only 32-byte hashes; the benchmark side dedups
+    to one row per distinct gram (eval sets are tiny next to a training
+    corpus, so AQE will broadcast it; the plan stays a plain equi-join
+    that also works if it is not). One join + one per-doc aggregation.
+    Shingling reuses the let-bound native-column builder (no python in
+    the hot path)."""
+    doc_g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+    ).select("doc_id", F.md5(F.col("gram")).alias("gh"))
+    bench_g = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(F.col(bench_text_col), n))).alias("gram")
+        )
+        .select(F.md5(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    tot = doc_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hit = doc_g.join(bench_g, "gh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id", "n_ngrams",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        )
+        .withColumn("containment", F.col("n_matched") / F.col("n_ngrams"))
+        .withColumn("contaminated", F.col("n_matched") >= F.lit(int(min_hits)))
+    )
+
+
 def ngram_jaccard(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     text_col: str = "text", shingle_n: int = 3, sets: DataFrame | None = None,

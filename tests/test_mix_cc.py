@@ -286,3 +286,37 @@ def test_quantize_int8_roundtrip(spark):
         assert dot / (na * nb) > 0.999
     plan = dequantize_int8(quantize_int8(emb))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate(spark):
+    """Benchmark decontamination semantics on a hand corpus: exact copy ->
+    containment 1.0; partial overlap -> the exact shared-gram fraction;
+    disjoint doc -> clean; short doc falls back to the whole-text gram."""
+    from gdalcubes_cpp_spark.functions.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact copy
+            (2, "a sentence then the quick brown fox appears here today"),
+            (3, "completely different words entirely unrelated content"),
+            (4, "tiny doc"),  # < n words -> single whole-text gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert out[1]["contaminated"] and out[1]["containment"] == 1.0
+    assert out[1]["n_ngrams"] == 7  # 9 words -> 7 distinct trigrams
+    # doc 2: its trigrams overlapping the benchmark = those inside
+    # "the quick brown fox": 'the quick brown', 'quick brown fox'
+    assert out[2]["contaminated"] and out[2]["n_matched"] == 2
+    assert out[2]["containment"] == 2 / out[2]["n_ngrams"]
+    assert not out[3]["contaminated"] and out[3]["n_matched"] == 0
+    assert out[4]["n_ngrams"] == 1 and not out[4]["contaminated"]
+    # canonical 13-gram rule: nothing shorter than 13 words can collide
+    out13 = {r["doc_id"]: r for r in decontaminate(docs, bench, n=13).collect()}
+    assert out13[1]["contaminated"]  # whole-text gram == whole-text gram
+    assert not out13[2]["contaminated"]

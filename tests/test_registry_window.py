@@ -22,8 +22,8 @@ REQUIRED_IN_WINDOW = [
     "filter_geom_rect", "packed_roundtrip", "cube_write_reread",
     # r4: the test_sampledata MODIS HDF4 end-to-end scenario
     "hdf4_modis_pixels",
-    "doc_stats", "doc_exact_dups", "doc_minhash", "doc_lsh_jaccard",
-    "doc_simhash", "ann_topk", "ann_knn_join", "ann_dup_pairs",
+    "doc_stats", "doc_exact_dups", "doc_signature_suite", "doc_lsh_jaccard",
+    "doc_decontaminate", "ann_topk", "ann_knn_join", "ann_dup_pairs",
     "events_tumbling", "events_sessionize", "tpch_suite",
     "doc_near_dups_suite", "cube_decode_suite",
 ]
@@ -67,6 +67,7 @@ def test_every_def_reachable():
         "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
         "cube_laea_mean", "cube_aea_mean", "zonal_statistics", "zonal_topk",
             "cube_osgb_mean", "cube_swiss_mean", "cube_jp2_decode", "cube_hom_mean",
+            "doc_minhash", "doc_simhash",
             "cube_cea_mean",
         "reduce_time_exact", "reduce_time_stats", "reduce_time_which",
     }
