@@ -1742,6 +1742,63 @@ def cube_cea_mean(spark, sf_dir):
     ).df
 
 
+# Margins audited (tests/test_srs_datum.py::test_driver_view_margins):
+# cell centers >= 1.7e-5 deg clear of the 0.01-deg footprint-edge grid.
+# A NOVEL +proj=aeqd parameter set over the footprints — the modified
+# azimuthal equidistant family (EPSG 9832, the Micronesia island grids)
+# through a dynamic self-describing key.
+V_AEQD = CubeView.create(
+    srs="+proj=aeqd +lat_0=47.5 +lon_0=14.2 +ellps=grs80",
+    left=-131257.0, right=168743.0, bottom=-124560.0, top=195440.0,
+    nx=30, ny=32, t0="1995-01-01", nt=27, dt="P3M",
+    aggregation="mean", resampling="near", chunk_size=(8, 16, 15),
+)
+
+
+def _aeqd_cells_sql(v: CubeView) -> str:
+    from . import srs as _srs
+
+    p = _srs._aeqd_of(_srs.normalize(v.srs))
+    x_sql = f"({_srs._flit(v.left)} + (x.ix + 0.5) * {_srs._flit(v.dx)})"
+    y_sql = f"({_srs._flit(v.top)} - (y.iy + 0.5) * {_srs._flit(v.dy)})"
+    lon_sql, lat_sql = _srs.aeqd_inverse_datum_sql(x_sql, y_sql, p)
+    return f"""
+  SELECT CAST(t.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         {lon_sql} AS cx, {lat_sql} AS cy
+  FROM range({v.nt}) t(it), range({v.ny}) y(iy), range({v.nx}) x(ix)
+"""
+
+
+@q(
+    "cube_aeqd_mean",
+    f"""
+WITH img AS ({UTM_IMG_SQL}),
+cells AS ({_aeqd_cells_sql(V_AEQD)}),
+cov AS (
+  SELECT cells.it, cells.iy, cells.ix, img.val1, img.val2
+  FROM cells JOIN img
+    ON {_COVER_SQL}
+   AND cells.it = {_it_sql(V_AEQD)}
+)
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_aeqd_mean(spark, sf_dir):
+    """Cube build in a MODIFIED AZIMUTHAL EQUIDISTANT view (EPSG method
+    9832 — EPSG:3295 Yap / the Micronesia island grids; validated against
+    the EPSG GN7-2 worked example to sub-mm and against numeric geodesic
+    arc integration for the defining true-distance property,
+    tests/test_srs_datum). Enters via a novel +proj=aeqd string so the
+    dynamic key is what the driver verifies; the closed inverse series
+    replays in SQL (srs.aeqd_inverse_datum_sql)."""
+    from .operators.build import build_cube
+
+    return build_cube(
+        images_meta_utm(spark, sf_dir), V_AEQD, bands=("B1", "B2"), value_fn=_value_fn
+    ).df
+
+
 # ----------------------------------------------- LAEA + Albers views
 
 # Margins audited (tests/test_srs_polar.py::test_driver_laea_aea_margins):
@@ -2845,7 +2902,8 @@ _fold("cube_srs_suite", "srs",  # every non-separable-SRS warp family
        ("sinu", "cube_sinu_mean"), ("lcc", "cube_lcc_mean"),
        ("laea", "cube_laea_mean"), ("aea", "cube_aea_mean"),
        ("osgb", "cube_osgb_mean"), ("swiss", "cube_swiss_mean"),
-       ("hom", "cube_hom_mean"), ("cea", "cube_cea_mean")])
+       ("hom", "cube_hom_mean"), ("cea", "cube_cea_mean"),
+       ("aeqd", "cube_aeqd_mean")])
 @q("cube_decode_suite", None)  # rows-only: every real-byte decode path
 def cube_decode_suite(spark, sf_dir):
     """Folded rows-only suite: all four real-decode paths — aggregating

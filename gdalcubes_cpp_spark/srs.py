@@ -293,6 +293,23 @@ def _from_proj4(s: str) -> str:
             key += ":" + ":".join(repr(v) for v in helm)
         _HOM[key] = ph
         return key
+    if proj == "aeqd":
+        a, e2 = _proj4_ellps(kv, s)
+        helm = _proj4_towgs84(kv, s)
+        pq = AeqdParams(
+            lat0=float(kv.get("lat_0", 0.0)), lon0=float(kv.get("lon_0", 0.0)),
+            fe=float(kv.get("x_0", 0.0)), fn=float(kv.get("y_0", 0.0)),
+            a=a, e2=e2, helm=helm,
+        )
+        for code, known in _AEQD.items():
+            if known == pq:
+                return code
+        key = "AEQD:" + ":".join(repr(v) for v in (
+            pq.lat0, pq.lon0, pq.fe, pq.fn, pq.a, pq.e2))
+        if helm is not None:
+            key += ":" + ":".join(repr(v) for v in helm)
+        _AEQD[key] = pq
+        return key
     if proj == "cea":
         a, e2 = _proj4_ellps(kv, s)
         pc = CeaParams(
@@ -342,7 +359,7 @@ def normalize(srs: str) -> str:
             code = hits[-1][0] or hits[-1][1]
             return normalize(f"EPSG:{code}")
         raise ValueError(f"WKT without an EPSG authority is unsupported: {raw[:60]}...")
-    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:", "AEA:", "ETM:", "SOMERC:", "HOM:", "CEA:")):
+    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:", "AEA:", "ETM:", "SOMERC:", "HOM:", "CEA:", "AEQD:")):
         # dynamic keys are SELF-DESCRIBING (parse-on-demand): executor
         # python workers import srs.py fresh, so a driver-side registry
         # alone would not resolve them inside kernels
@@ -351,7 +368,7 @@ def normalize(srs: str) -> str:
             and _sinu_of(raw) is None and _lcc_of(raw) is None
             and _aea_of(raw) is None and _etm_of(raw) is None
             and _swiss_of(raw) is None and _hom_of(raw) is None
-            and _cea_of(raw) is None
+            and _cea_of(raw) is None and _aeqd_of(raw) is None
         ):
             raise ValueError(f"malformed dynamic SRS key {raw!r}")
         return raw
@@ -361,7 +378,7 @@ def normalize(srs: str) -> str:
     if s in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
         return "EPSG:3857"
     if (s in _POLAR or s in _LAEA or s in _LCC or s in _AEA or s in _ETM
-            or s in _SWISS or s in _HOM or s in _CEA):
+            or s in _SWISS or s in _HOM or s in _CEA or s in _AEQD):
         return s
     m = _UTM_RE.match(s)
     if m:
@@ -1554,6 +1571,145 @@ def _cea_of(s: str):
     return None
 
 
+# -- Modified azimuthal equidistant (EPSG method 9832) ------------------------
+#
+# The Micronesia island grids (Guam-successor zones; EPSG:3295 Yap).
+# Closed-form series both directions (EPSG GN7-2 formulas), so the SQL
+# mirror is iteration-free. True distance from the projection center
+# along any azimuth — the defining property the tests pin.
+
+@dataclass(frozen=True)
+class AeqdParams:
+    lat0: float
+    lon0: float
+    fe: float
+    fn: float
+    a: float
+    e2: float
+    helm: tuple | None
+
+
+_AEQD: dict = {
+    # Guam 1963 / Yap Islands (Clarke 1866; EPSG:3295's defining params)
+    "EPSG:3295": AeqdParams(
+        lat0=9.0 + 32.0 / 60.0 + 48.15 / 3600.0,
+        lon0=138.0 + 10.0 / 60.0 + 7.48 / 3600.0,
+        fe=40000.0, fn=60000.0,
+        a=_ELLPS["clrk66"][0], e2=_e2_of(*_ELLPS["clrk66"]),
+        helm=None,
+    ),
+}
+
+
+def aeqd_forward(lon, lat, p: AeqdParams):
+    """Datum geodetic degrees -> grid (E, N) (EPSG 9832 forward series)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if p.helm is not None:
+        lon, lat = wgs84_to_datum(lon, lat, p.a, p.e2, p.helm)
+    e2 = p.e2
+    phi0 = p.lat0 * _RAD
+    s0, c0 = math.sin(phi0), math.cos(phi0)
+    nu0 = p.a / math.sqrt(1.0 - e2 * s0 * s0)
+    phi = lat * _RAD
+    dl = (lon - p.lon0) * _RAD
+    sinp, cosp = np.sin(phi), np.cos(phi)
+    nu = p.a / np.sqrt(1.0 - e2 * sinp * sinp)
+    psi = np.arctan((1.0 - e2) * np.tan(phi) + e2 * nu0 * s0 / (nu * cosp))
+    sps, cps = np.sin(psi), np.cos(psi)
+    alpha = np.arctan2(np.sin(dl), c0 * np.tan(psi) - s0 * np.cos(dl))
+    sa, ca = np.sin(alpha), np.cos(alpha)
+    G = math.sqrt(e2) * s0 / math.sqrt(1.0 - e2)
+    H = math.sqrt(e2) * c0 * ca / math.sqrt(1.0 - e2)
+    s = np.where(
+        np.abs(sa) < 1e-12,
+        np.arcsin(np.clip(c0 * sps - s0 * cps, -1.0, 1.0)) * np.sign(ca + (ca == 0)),
+        np.arcsin(np.sin(dl) * cps / np.where(np.abs(sa) < 1e-12, 1.0, sa)),
+    )
+    H2 = H * H
+    c = nu0 * s * (
+        1.0 - s * s * H2 * (1.0 - H2) / 6.0
+        + (s ** 3 / 8.0) * G * H * (1.0 - 2.0 * H2)
+        + (s ** 4 / 120.0) * (H2 * (4.0 - 7.0 * H2) - 3.0 * G * G * (1.0 - 7.0 * H2))
+        - (s ** 5 / 48.0) * G * H
+    )
+    return p.fe + c * sa, p.fn + c * ca
+
+
+def aeqd_inverse(x, y, p: AeqdParams):
+    """Grid -> WGS84 degrees (datum chain when helm set). Operation order
+    mirrors aeqd_inverse_datum_sql EXACTLY."""
+    e2 = p.e2
+    phi0 = p.lat0 * _RAD
+    s0, c0 = math.sin(phi0), math.cos(phi0)
+    nu0 = p.a / math.sqrt(1.0 - e2 * s0 * s0)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    dx = x - p.fe
+    dy = y - p.fn
+    cp = np.sqrt(dx * dx + dy * dy)
+    alpha = np.arctan2(dx, dy)
+    ca = np.cos(alpha)
+    # constants factored exactly as the SQL mirror factors them
+    A = (-e2 * c0 * c0 / (1.0 - e2)) * ca * ca
+    B = (3.0 * e2 * s0 * c0 / (1.0 - e2)) * (1.0 - A) * ca
+    D = cp / nu0
+    J = D - A * (1.0 + A) * D ** 3 / 6.0 - B * (1.0 + 3.0 * A) * D ** 4 / 24.0
+    K = 1.0 - A * J * J / 2.0 - B * J ** 3 / 6.0
+    sinJ, cosJ = np.sin(J), np.cos(J)
+    PSI = np.arcsin(np.clip(s0 * cosJ + c0 * sinJ * ca, -1.0, 1.0))
+    lam = p.lon0 + np.arcsin(np.sin(alpha) * sinJ / np.cos(PSI)) * _DEG
+    phi = np.arctan(
+        (1.0 - e2 * K * s0 / np.sin(PSI)) * np.tan(PSI) / (1.0 - e2)
+    ) * _DEG
+    if p.helm is None:
+        return lam, phi
+    return datum_to_wgs84(lam, phi, p.a, p.e2, p.helm)
+
+
+def aeqd_inverse_datum_sql(x_expr: str, y_expr: str, p: AeqdParams):
+    """(lon_sql, lat_sql) in the projection's datum — mirror of
+    aeqd_inverse before any Helmert stage."""
+    e2 = p.e2
+    phi0 = p.lat0 * _RAD
+    s0, c0 = math.sin(phi0), math.cos(phi0)
+    nu0 = p.a / math.sqrt(1.0 - e2 * s0 * s0)
+    L = _flit
+    dx = f"(({x_expr}) - {L(p.fe)})"
+    dy = f"(({y_expr}) - {L(p.fn)})"
+    cp = f"sqrt({dx} * {dx} + {dy} * {dy})"
+    alpha = f"atan2({dx}, {dy})"
+    ca = f"cos({alpha})"
+    A = f"({L(-e2 * c0 * c0 / (1.0 - e2))} * {ca} * {ca})"
+    B = f"({L(3.0 * e2 * s0 * c0 / (1.0 - e2))} * (1.0 - {A}) * {ca})"
+    D = f"({cp} / {L(nu0)})"
+    J = (f"({D} - {A} * (1.0 + {A}) * pow({D}, 3) / 6.0"
+         f" - {B} * (1.0 + 3.0 * {A}) * pow({D}, 4) / 24.0)")
+    K = f"(1.0 - {A} * {J} * {J} / 2.0 - {B} * pow({J}, 3) / 6.0)"
+    PSI = f"asin({L(s0)} * cos({J}) + {L(c0)} * sin({J}) * {ca})"
+    lon = f"({L(p.lon0)} + asin(sin({alpha}) * sin({J}) / cos({PSI})) * {L(_DEG)})"
+    lat = (f"(atan((1.0 - {L(e2)} * {K} * {L(s0)} / sin({PSI}))"
+           f" * tan({PSI}) / {L(1.0 - e2)}) * {L(_DEG)})")
+    return lon, lat
+
+
+def _aeqd_of(s: str) -> AeqdParams | None:
+    p = _AEQD.get(s)
+    if p is not None:
+        return p
+    if s.startswith("AEQD:"):
+        try:
+            parts = s.split(":")
+            lat0, lon0, fe, fn, a, e2 = (float(v) for v in parts[1:7])
+            helm = tuple(float(v) for v in parts[7:14]) if len(parts) > 7 else None
+        except ValueError:
+            return None
+        p = AeqdParams(lat0, lon0, fe, fn, a, e2, helm)
+        _AEQD[s] = p
+        return p
+    return None
+
+
 # -- Hotine oblique Mercator variant B (EPSG method 9815; Snyder §9) ----------
 #
 # The skew-axis national grids: Timbalai/RSO Borneo (EPSG:29873), Alaska
@@ -1846,6 +2002,9 @@ def _nonsep_inverse(x, y, s: str):
     ph = _hom_of(s)
     if ph is not None:
         return hom_inverse(x, y, ph)
+    pq = _aeqd_of(s)
+    if pq is not None:
+        return aeqd_inverse(x, y, pq)
     pw = _swiss_of(s)
     if pw is not None:
         return swiss_inverse(x, y, pw)
@@ -1875,6 +2034,9 @@ def _nonsep_forward(lon, lat, s: str):
     ph = _hom_of(s)
     if ph is not None:
         return hom_forward(lon, lat, ph)
+    pq = _aeqd_of(s)
+    if pq is not None:
+        return aeqd_forward(lon, lat, pq)
     pw = _swiss_of(s)
     if pw is not None:
         return swiss_forward(lon, lat, pw)

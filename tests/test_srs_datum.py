@@ -165,9 +165,11 @@ def test_sql_mirror_duckdb():
 def test_driver_view_margins():
     """Placement audit for the driver suite members: every cell center is
     >= 1e-5 deg clear of the 0.01-deg footprint-edge grid."""
-    from gdalcubes_cpp_spark.benchqueries import V_CEA, V_HOM, V_OSGB, V_SWISS
+    from gdalcubes_cpp_spark.benchqueries import (
+        V_AEQD, V_CEA, V_HOM, V_OSGB, V_SWISS,
+    )
 
-    for v in (V_OSGB, V_SWISS, V_HOM, V_CEA):
+    for v in (V_OSGB, V_SWISS, V_HOM, V_CEA, V_AEQD):
         xs = v.left + (np.arange(v.nx) + 0.5) * v.dx
         ys = v.top - (np.arange(v.ny) + 0.5) * v.dy
         LON, LAT = srs.grid_to_wgs84(xs, ys, v.srs)  # works for separable too
@@ -270,4 +272,49 @@ def test_cea_ease_grid():
     k = srs.normalize("+proj=cea +lat_ts=10 +ellps=grs80")
     assert k.startswith("CEA:")
     srs._CEA.pop(k)
+    assert srs.normalize(k) == k
+
+
+def test_aeqd_yap():
+    """Modified azimuthal equidistant (EPSG 9832, EPSG:3295 Yap):
+    the EPSG GN7-2 worked example to sub-mm, roundtrip, the defining
+    true-distance-from-center property vs numeric meridian-arc
+    integration, SQL parity, proj4 dynamic keys."""
+    import duckdb
+
+    p = srs._AEQD["EPSG:3295"]
+    lat = 9 + 35 / 60 + 47.493 / 3600
+    lon = 138 + 11 / 60 + 34.908 / 3600
+    E, N = srs.aeqd_forward(lon, lat, p)
+    assert abs(float(E) - 42665.90) < 0.01
+    assert abs(float(N) - 65509.82) < 0.01
+    lon_g = np.linspace(137.0, 139.5, 9)
+    lat_g = np.linspace(8.2, 10.8, 8)
+    LON, LAT = np.meshgrid(lon_g, lat_g)
+    x, y = srs.aeqd_forward(LON, LAT, p)
+    lo, la = srs.aeqd_inverse(x, y, p)
+    assert np.abs(lo - LON).max() < 1e-9
+    assert np.abs(la - LAT).max() < 1e-9
+    # true distance along the meridian == the geodesic (meridian arc)
+    lat2 = p.lat0 + 0.5
+    E2_, N2_ = srs.aeqd_forward(p.lon0, lat2, p)
+    d = float(np.hypot(E2_ - p.fe, N2_ - p.fn))
+    phis = np.linspace(p.lat0, lat2, 20001) * np.pi / 180.0
+    M = p.a * (1 - p.e2) / (1 - p.e2 * np.sin(phis) ** 2) ** 1.5
+    assert abs(d - float(np.trapz(M, phis))) < 1e-3
+    # SQL mirror parity
+    lon_s, lat_s = srs.aeqd_inverse_datum_sql("x", "y", p)
+    con = duckdb.connect()
+    pts = list(zip(np.asarray(x).ravel()[::5], np.asarray(y).ravel()[::5]))
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({a!r},{b!r})" for a, b in pts) + ") v(x,y)")
+    out = con.execute(f"SELECT {lon_s} AS lon, {lat_s} AS lat FROM t").fetchnumpy()
+    lo2, la2 = srs.aeqd_inverse(np.array([a for a, _ in pts]),
+                                np.array([b for _, b in pts]), p)
+    assert np.abs(out["lon"] - lo2).max() < 1e-12
+    assert np.abs(out["lat"] - la2).max() < 1e-12
+    # proj4 dynamic key, fresh-executor semantics
+    k = srs.normalize("+proj=aeqd +lat_0=47.5 +lon_0=14.2 +ellps=grs80")
+    assert k.startswith("AEQD:")
+    srs._AEQD.pop(k)
     assert srs.normalize(k) == k
