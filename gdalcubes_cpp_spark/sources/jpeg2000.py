@@ -628,7 +628,6 @@ def decode_codeblock(data: bytes, h: int, w: int, band: str,
         return out
     st = _Block(h, w, band)
     dec = MQDecoder(data)
-    remaining = [npasses]
 
     def spp(p):
         for x, rows in st.scan():
@@ -1048,7 +1047,6 @@ def decode_jp2(data: bytes) -> np.ndarray:
         raise ValueError("incomplete codestream")
 
     layout = _subband_layout(h, w, levels)
-    comps = []
     dpos = 0
     per_comp = [dict() for _ in range(nc)]
     ei = 0
