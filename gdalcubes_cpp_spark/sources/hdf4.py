@@ -25,11 +25,21 @@ Classic) and sources/geotiff.py (TIFF 6.0):
   control byte < 128 -> that+1 literal bytes follow; >= 128 -> the next
   byte repeats (control-128)+3 times).
 
-Out of scope (raises cleanly): SPECIAL_CHUNKED tiling, external-file
-elements, and the Vgroup/Vdata attribute layer of the newer SD API — the
-per-band metadata (nodata/scale) of the MODIS presets travels through the
-collection-format tables (sources/formats.py) exactly as it does for
-every other codec, so cube semantics never depend on in-file attributes.
+Also implemented: the SD-API ATTRIBUTE layer, i.e. the mfhdf mapping of
+netCDF-style attributes onto Vgroups/Vdatas that GDAL's HDF4 driver and
+pyhdf read (HDF 4.2 spec, "Vgroup structure" / "Vdata structure"; the
+class strings are the mfhdf constants ``_HDF_ATTRIBUTE`` = "Attr0.0",
+``_HDF_VARIABLE`` = "Var0.0", ``_HDF_CDF`` = "CDF0.0"): each attribute is
+a Vdata of class Attr0.0 named after the attribute with one "VALUES"
+field (the attribute's number type, order = value count); per-SDS
+attributes live in a Var0.0 Vgroup alongside the SDS's NDG; global
+attributes and the Var0.0 groups hang off a root CDF0.0 Vgroup.
+``attr_decode`` turns ``_FillValue`` / ``scale_factor`` / ``add_offset``
+into decode-time semantics (fill -> NaN, then v = raw*scale + offset —
+the GDAL/CF orientation the reference inherits through GDAL's
+GetScale/GetOffset, src/image_collection.cpp band metadata).
+
+Out of scope (raises cleanly): linked-block and external-file elements.
 
 Spark-side use: granule bytes live in a binary column; codecs.decode
 dispatches on the HDF4 magic and stacks the file's SDS planes as
@@ -65,6 +75,13 @@ SPECIAL_CHUNKED = 6
 DFTAG_CHUNK = 61
 DFTAG_VH = 1962
 DFTAG_VS = 1963
+DFTAG_VG = 1965
+
+# mfhdf class strings for the SD attribute mapping (mfhdf/libsrc hdf.h)
+_CLS_ATTR = "Attr0.0"
+_CLS_VAR = "Var0.0"
+_CLS_CDF = "CDF0.0"
+DFNT_CHAR8 = 4
 
 COMP_NONE = 0
 COMP_RLE = 1
@@ -162,8 +179,44 @@ def _vdata_pair(elems: list, ref: int, name: str, klass: str,
     elems.append((DFTAG_VS, ref, records))
 
 
+def _vgroup(elems: list, ref: int, name: str, klass: str,
+            members: list) -> None:
+    """Append a Vgroup element (HDF 4.2 spec, 'Vgroup structure'): member
+    tag/ref arrays, length-prefixed name and class, extag/exref, version."""
+    vg = struct.pack(">H", len(members))
+    vg += b"".join(struct.pack(">H", t) for t, _ in members)
+    vg += b"".join(struct.pack(">H", r) for _, r in members)
+    nm, kl = name.encode(), klass.encode()
+    vg += struct.pack(">H", len(nm)) + nm
+    vg += struct.pack(">H", len(kl)) + kl
+    vg += struct.pack(">HH", 0, 0)      # extag/exref
+    vg += struct.pack(">HH", 3, 0)      # version, more
+    elems.append((DFTAG_VG, ref, vg))
+
+
+def _attr_vdata(elems: list, ref: int, name: str, value) -> None:
+    """Append one SD attribute as a class-Attr0.0 Vdata named after the
+    attribute, single 'VALUES' field (the mfhdf on-disk mapping)."""
+    if isinstance(value, str):
+        rec = value.encode() + b"\x00"
+        dfnt, isize, order = DFNT_CHAR8, len(rec), len(rec)
+    else:
+        a = np.atleast_1d(np.asarray(value))
+        if a.dtype.kind == "f" and str(a.dtype.name) not in _DTYPE_TO_DFNT:
+            a = a.astype(np.float64)
+        elif a.dtype.kind in "iu" and str(a.dtype.name) not in _DTYPE_TO_DFNT:
+            a = a.astype(np.int32)
+        dfnt = _DTYPE_TO_DFNT[str(a.dtype.name)]
+        dt, width = _DFNT[dfnt]
+        rec = np.ascontiguousarray(a, dtype=np.dtype(dt)).tobytes()
+        isize, order = (width // 8) * a.size, a.size
+    _vdata_pair(elems, ref, name, _CLS_ATTR,
+                [("VALUES", dfnt, isize, order)], rec, 1)
+
+
 def hdf4_sds_bytes(arrays, names=None, compress: str | None = None,
-                   chunks: tuple | None = None) -> bytes:
+                   chunks: tuple | None = None, attrs=None,
+                   global_attrs: dict | None = None) -> bytes:
     """Encode 2-D numpy arrays as an HDF4 file of labeled SDS objects.
 
     ``arrays``: one (h, w) array or a list of them (one SDS each — the
@@ -176,6 +229,12 @@ def hdf4_sds_bytes(arrays, names=None, compress: str | None = None,
     table in a Vdata of (origin, chk_tag, chk_ref) records, each chunk its
     own DFTAG_CHUNK element (optionally compressed), edge chunks padded
     with the fill value (hchunks.c header format, HDF 4.2).
+    ``attrs``: per-SDS attribute dict (or a list of dicts, one per SDS) —
+    written as class-Attr0.0 Vdatas inside a Var0.0 Vgroup per SDS, the
+    mfhdf SD-API layout (str -> CHAR8, python int -> INT32, python
+    float -> FLOAT64, numpy scalars/arrays keep their dtype).
+    ``global_attrs``: file-level attributes, hung off the root CDF0.0
+    Vgroup (where GDAL's HDF4 driver reads e.g. StructMetadata.0).
     """
     if isinstance(arrays, np.ndarray):
         arrays = [arrays]
@@ -189,12 +248,17 @@ def hdf4_sds_bytes(arrays, names=None, compress: str | None = None,
         names = [f"SDS_{i}" for i in range(len(arrays))]
     if len(names) != len(arrays):
         raise ValueError("names/arrays length mismatch")
+    if isinstance(attrs, dict) or attrs is None:
+        attrs = [attrs or {}] * len(arrays)
+    if len(attrs) != len(arrays):
+        raise ValueError("attrs/arrays length mismatch")
 
     # element payloads in file order, as (tag, ref, bytes)
     elems: list[tuple[int, int, bytes]] = []
     ver = struct.pack(">III", 4, 2, 15) + b"gdalcubes_cpp_spark hdf4\x00"
     elems.append((DFTAG_VERSION, 1, ver))
     next_ref = len(arrays) + 1  # refs beyond the per-SDS ones (chunks etc.)
+    var_vgs: list[tuple[int, int]] = []
     code = None if compress is None else {"deflate": COMP_DEFLATE,
                                           "rle": COMP_RLE}[compress]
     for i, (a, name) in enumerate(zip(arrays, names)):
@@ -263,6 +327,23 @@ def hdf4_sds_bytes(arrays, names=None, compress: str | None = None,
         ndg = struct.pack(">HH", DFTAG_SDD, ref) + struct.pack(">HH", DFTAG_SD, ref)
         ndg += struct.pack(">HH", DFTAG_SDL, ref)
         elems.append((DFTAG_NDG, ref, ndg))
+        if attrs[i]:
+            members = [(DFTAG_NDG, ref)]
+            for aname, aval in attrs[i].items():
+                _attr_vdata(elems, next_ref, aname, aval)
+                members.append((DFTAG_VH, next_ref))
+                next_ref += 1
+            _vgroup(elems, next_ref, name, _CLS_VAR, members)
+            var_vgs.append((DFTAG_VG, next_ref))
+            next_ref += 1
+
+    root_members = list(var_vgs)
+    for aname, aval in (global_attrs or {}).items():
+        _attr_vdata(elems, next_ref, aname, aval)
+        root_members.append((DFTAG_VH, next_ref))
+        next_ref += 1
+    if root_members:
+        _vgroup(elems, next_ref, _CLS_CDF, _CLS_CDF, root_members)
 
     ndds = len(elems)
     dd_block = struct.pack(">HI", ndds, 0)
@@ -328,9 +409,9 @@ def _element(buf: bytes, dds: dict, tag: int, ref: int) -> bytes:
 
 def _parse_vdata(buf: bytes, dds: dict, ref: int):
     """VH/VS pair -> (records bytes, nrec, ivsize, {field: (offset, isize,
-    order)}) — the minimal Vdata read the chunk table needs (HDF 4.2 spec,
-    'Vdata structure': grouped type/isize/offset/order arrays, then
-    length-prefixed field names)."""
+    order, dfnt)}, name, class) — HDF 4.2 spec, 'Vdata structure':
+    grouped type/isize/offset/order arrays, then length-prefixed field
+    names, then the length-prefixed Vdata name and class strings."""
     vh = _element(buf, dds, DFTAG_VH, ref)
     _inter, nrec, ivsize, nf = struct.unpack_from(">HIHH", vh, 0)
     p = 10
@@ -342,9 +423,44 @@ def _parse_vdata(buf: bytes, dds: dict, ref: int):
     for i in range(nf):
         (ln,) = struct.unpack_from(">H", vh, p); p += 2
         nm = vh[p:p + ln].decode(); p += ln
-        fields[nm] = (offs[i], isizes[i], orders[i])
+        fields[nm] = (offs[i], isizes[i], orders[i], types[i])
+    (ln,) = struct.unpack_from(">H", vh, p); p += 2
+    name = vh[p:p + ln].decode(errors="replace"); p += ln
+    (ln,) = struct.unpack_from(">H", vh, p); p += 2
+    klass = vh[p:p + ln].decode(errors="replace"); p += ln
     recs = _element(buf, dds, DFTAG_VS, ref)
-    return recs, nrec, ivsize, fields
+    return recs, nrec, ivsize, fields, name, klass
+
+
+def _parse_vgroup(buf: bytes, dds: dict, ref: int):
+    """Vgroup element -> (name, class, [(tag, ref), ...])."""
+    vg = _element(buf, dds, DFTAG_VG, ref)
+    (nelt,) = struct.unpack_from(">H", vg, 0)
+    tags = struct.unpack_from(">" + "H" * nelt, vg, 2)
+    refs = struct.unpack_from(">" + "H" * nelt, vg, 2 + 2 * nelt)
+    p = 2 + 4 * nelt
+    (ln,) = struct.unpack_from(">H", vg, p); p += 2
+    name = vg[p:p + ln].decode(errors="replace"); p += ln
+    (ln,) = struct.unpack_from(">H", vg, p); p += 2
+    klass = vg[p:p + ln].decode(errors="replace")
+    return name, klass, list(zip(tags, refs))
+
+
+def _attr_from_vdata(buf: bytes, dds: dict, ref: int):
+    """Class-Attr0.0 Vdata -> (attr name, python value) or None if the
+    Vdata is not an attribute. CHAR8 decodes to str (NUL-stripped);
+    numeric types to a numpy scalar (n == 1) or 1-D array."""
+    recs, nrec, _ivsize, fields, name, klass = _parse_vdata(buf, dds, ref)
+    if klass != _CLS_ATTR or nrec < 1 or len(fields) != 1:
+        return None
+    (_off, isize, order, dfnt), = fields.values()
+    if dfnt == DFNT_CHAR8:
+        return name, recs[:isize].split(b"\x00")[0].decode(errors="replace")
+    if dfnt not in _DFNT:
+        return None
+    a = np.frombuffer(recs, dtype=np.dtype(_DFNT[dfnt][0]), count=order)
+    a = a.astype(a.dtype.newbyteorder("="))
+    return name, (a[0] if order == 1 else a)
 
 
 def _chunked_element(buf: bytes, dds: dict, off: int) -> bytes:
@@ -371,8 +487,8 @@ def _chunked_element(buf: bytes, dds: dict, off: int) -> bytes:
     (fill_len,) = struct.unpack_from(">I", buf, p)
     fill = buf[p + 4:p + 4 + fill_len]
 
-    recs, nrec, ivsize, fields = _parse_vdata(buf, dds, tbl_ref)
-    o_off, _o_sz, o_order = fields["origin"]
+    recs, nrec, ivsize, fields, _nm, _cls = _parse_vdata(buf, dds, tbl_ref)
+    o_off, _o_sz, o_order, _o_nt = fields["origin"]
     t_off = fields["chk_tag"][0]
     r_off = fields["chk_ref"][0]
     h, w = dims
@@ -397,11 +513,52 @@ def _chunked_element(buf: bytes, dds: dict, off: int) -> bytes:
     return out
 
 
+def _collect_attrs(buf: bytes, dds: dict):
+    """Walk Vgroups -> (global attrs dict, {ndg_ref: attrs dict})."""
+    global_attrs: dict = {}
+    by_ndg: dict[int, dict] = {}
+    for (tag, ref) in sorted(dds):
+        if tag != DFTAG_VG:
+            continue
+        _name, klass, members = _parse_vgroup(buf, dds, ref)
+        if klass == _CLS_VAR:
+            ndg_refs = [r for t, r in members if t == DFTAG_NDG]
+            attrs = {}
+            for t, r in members:
+                if t == DFTAG_VH:
+                    kv = _attr_from_vdata(buf, dds, r)
+                    if kv:
+                        attrs[kv[0]] = kv[1]
+            for nr in ndg_refs:
+                by_ndg.setdefault(nr, {}).update(attrs)
+        elif klass == _CLS_CDF:
+            for t, r in members:
+                if t == DFTAG_VH:
+                    kv = _attr_from_vdata(buf, dds, r)
+                    if kv:
+                        global_attrs[kv[0]] = kv[1]
+    return global_attrs, by_ndg
+
+
+def read_hdf4_attrs(data: bytes):
+    """SD-attribute view of a granule: (global attrs, {sds_name: attrs})."""
+    buf = bytes(data)
+    dds = _walk_dds(buf)
+    global_attrs, by_ndg = _collect_attrs(buf, dds)
+    by_name = {}
+    for s in read_hdf4_bytes(buf):
+        if s["attrs"]:
+            by_name[s["name"]] = s["attrs"]
+    return global_attrs, by_name
+
+
 def read_hdf4_bytes(data: bytes) -> list[dict]:
-    """Decode every SDS: [{'name', 'data' (native-endian 2-D array)}],
+    """Decode every SDS: [{'name', 'data' (native-endian 2-D array),
+    'attrs' (SD attributes from the Var0.0 Vgroup, {} if none)}],
     in NDG ref order."""
     buf = bytes(data)
     dds = _walk_dds(buf)
+    _g, attrs_by_ndg = _collect_attrs(buf, dds)
     out = []
     for (tag, ref) in sorted(dds):
         if tag != DFTAG_NDG:
@@ -431,6 +588,7 @@ def read_hdf4_bytes(data: bytes) -> list[dict]:
         out.append({
             "name": name,
             "data": arr.astype(arr.dtype.newbyteorder("=")),
+            "attrs": attrs_by_ndg.get(ref, {}),
         })
     return out
 
@@ -446,3 +604,41 @@ def decode_hdf4(data: bytes) -> np.ndarray:
     if len(shapes) != 1:
         raise ValueError(f"SDS shapes differ: {shapes}")
     return np.stack([s["data"] for s in sds], axis=-1)
+
+
+def attr_decode(base=None):
+    """decode_fn for build_cube that applies each SDS's OWN in-file SD
+    attributes instead of preset-table constants: ``_FillValue`` -> NaN,
+    then ``v = raw * scale_factor + add_offset`` per plane (the GDAL
+    GetScale/GetOffset orientation the reference consumes,
+    src/image_collection.cpp band metadata; attributes absent -> plane
+    passes through).  Non-HDF4 payloads fall back to ``base`` (default:
+    codecs.decode) untouched — so a mixed-format collection composes.
+    """
+    def fn(data: bytes, fmt: str) -> np.ndarray:
+        if bytes(data[:4]) != MAGIC:
+            if base is not None:
+                return base(data, fmt)
+            from ..codecs import decode
+            return decode(data, fmt)
+        sds = read_hdf4_bytes(data)
+        if not sds:
+            raise ValueError("HDF4 file contains no SDS")
+        planes = []
+        for s in sds:
+            a = np.asarray(s["data"], dtype=np.float64)
+            at = s["attrs"]
+            if "_FillValue" in at:
+                a = a.copy()
+                a[a == float(np.asarray(at["_FillValue"]).ravel()[0])] = np.nan
+            sc = float(np.asarray(at.get("scale_factor", 1.0)).ravel()[0])
+            of = float(np.asarray(at.get("add_offset", 0.0)).ravel()[0])
+            if sc != 1.0 or of != 0.0:
+                a = a * sc + of
+            planes.append(a)
+        shapes = {p.shape for p in planes}
+        if len(shapes) != 1:
+            raise ValueError(f"SDS shapes differ: {shapes}")
+        return np.stack(planes, axis=-1)
+
+    return fn

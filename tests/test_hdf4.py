@@ -156,8 +156,9 @@ def test_chunked_structure():
     assert (tot, csz, nts) == (12 * 10 * 2, 5 * 4 * 2, 2)
     tbl_tag, tbl_ref = struct.unpack_from(">HH", buf, off + 23)
     assert tbl_tag == DFTAG_VH
-    recs, nrec, ivsize, fields = _parse_vdata(buf, dds, tbl_ref)
+    recs, nrec, ivsize, fields, tbl_name, tbl_cls = _parse_vdata(buf, dds, tbl_ref)
     assert nrec == 3 * 3 and set(fields) == {"origin", "chk_tag", "chk_ref"}
+    assert tbl_cls == "_HDF_CHK_TBL_"
     assert fields["origin"][2] == 2  # order = ndims int32s
     # 9 chunk elements exist
     assert sum(1 for (t, _r) in dds if t == DFTAG_CHUNK) == 9
@@ -250,3 +251,123 @@ def test_modis_nodata_isolation(spark):
     assert np.isnan(out[:, :, 0]).sum() == (ndvi == -3000).sum()
     ok = ~np.isnan(out[:, :, 0])
     assert (out[:, :, 0][ok] == ndvi[ok]).all()
+
+
+# ---------------------------------------------------------------------------
+# SD attribute layer (mfhdf Vgroup/Vdata mapping: Attr0.0 / Var0.0 / CDF0.0)
+# ---------------------------------------------------------------------------
+
+def test_attr_roundtrip_types():
+    """Every supported attribute value type survives the on-disk trip:
+    str -> CHAR8, python int -> INT32, python float -> FLOAT64, numpy
+    scalars/arrays keep their dtype; per-SDS and global layers both."""
+    from gdalcubes_cpp_spark.sources.hdf4 import read_hdf4_attrs
+
+    a = np.arange(12, dtype=np.int16).reshape(3, 4)
+    b = np.arange(12, dtype=np.float32).reshape(3, 4)
+    attrs = [
+        {"_FillValue": np.int16(-3000), "scale_factor": 0.0001,
+         "add_offset": 0.0, "units": "NDVI", "valid_range":
+         np.array([-2000, 10000], dtype=np.int16)},
+        {"long_name": "enhanced vegetation index", "n_obs": 7},
+    ]
+    buf = hdf4_sds_bytes([a, b], names=["NDVI", "EVI"], attrs=attrs,
+                         global_attrs={"StructMetadata.0": "GROUP=Grid",
+                                       "orbit": 12345})
+    out = read_hdf4_bytes(buf)
+    assert (out[0]["data"] == a).all() and (out[1]["data"] == b).all()
+    at0 = out[0]["attrs"]
+    assert at0["_FillValue"] == -3000 and at0["_FillValue"].dtype == np.int16
+    assert at0["scale_factor"] == 0.0001
+    assert at0["units"] == "NDVI"
+    assert (at0["valid_range"] == [-2000, 10000]).all()
+    assert at0["valid_range"].dtype == np.int16
+    assert out[1]["attrs"]["long_name"] == "enhanced vegetation index"
+    assert out[1]["attrs"]["n_obs"] == 7
+    g, per = read_hdf4_attrs(buf)
+    assert g["StructMetadata.0"] == "GROUP=Grid" and g["orbit"] == 12345
+    assert set(per) == {"NDVI", "EVI"}
+
+
+def test_attr_spec_structure():
+    """On-disk conformance: attribute Vdata carries class Attr0.0 with a
+    single VALUES field; the SDS's Var0.0 Vgroup links the NDG and the
+    attr VH; the root CDF0.0 Vgroup links the Var0.0 group (the layout
+    GDAL's HDF4 driver and pyhdf traverse)."""
+    from gdalcubes_cpp_spark.sources.hdf4 import (
+        DFTAG_VG, DFTAG_VH, _parse_vdata, _parse_vgroup, _walk_dds,
+    )
+
+    a = np.ones((2, 2), dtype=np.uint8)
+    buf = hdf4_sds_bytes(a, names=["B1"], attrs={"scale_factor": 2.0},
+                         global_attrs={"title": "t"})
+    dds = _walk_dds(buf)
+    vgs = {ref: _parse_vgroup(buf, dds, ref)
+           for (t, ref) in dds if t == DFTAG_VG}
+    classes = sorted(k for _, k, _ in vgs.values())
+    assert classes == ["CDF0.0", "Var0.0"]
+    (var_name, _, var_members), = [v for v in vgs.values() if v[1] == "Var0.0"]
+    assert var_name == "B1"
+    assert (DFTAG_NDG, 1) in var_members
+    vh_refs = [r for t, r in var_members if t == DFTAG_VH]
+    assert len(vh_refs) == 1
+    _recs, nrec, _iv, fields, nm, kl = _parse_vdata(buf, dds, vh_refs[0])
+    assert kl == "Attr0.0" and nm == "scale_factor" and nrec == 1
+    assert list(fields) == ["VALUES"]
+    (_, _, cdf_members), = [v for v in vgs.values() if v[1] == "CDF0.0"]
+    member_tags = {t for t, _ in cdf_members}
+    assert DFTAG_VG in member_tags and DFTAG_VH in member_tags
+
+
+def test_attr_decode_applies_fill_scale_offset():
+    """attr_decode: _FillValue -> NaN, then v = raw*scale + offset per
+    plane from the file's OWN attributes; attribute-less planes pass
+    through; numpy oracle straight off the arrays."""
+    from gdalcubes_cpp_spark.sources.hdf4 import attr_decode
+
+    ndvi = np.array([[-3000, 1000], [2500, -3000]], dtype=np.int16)
+    raw2 = np.array([[1, 2], [3, 4]], dtype=np.int16)
+    buf = hdf4_sds_bytes(
+        [ndvi, raw2], names=["NDVI", "RAW"],
+        attrs=[{"_FillValue": np.int16(-3000), "scale_factor": 0.0001,
+                "add_offset": 0.5}, {}],
+    )
+    out = attr_decode()(buf, "hdf")
+    want = ndvi.astype(np.float64)
+    want[want == -3000] = np.nan
+    want = want * 0.0001 + 0.5
+    assert np.array_equal(out[:, :, 0], want, equal_nan=True)
+    assert (out[:, :, 1] == raw2).all()
+
+
+def test_attr_decode_non_hdf4_fallback():
+    """Non-HDF4 payloads fall through to the base codec untouched."""
+    from gdalcubes_cpp_spark.sources.hdf4 import attr_decode
+
+    img = (np.arange(12, dtype=np.uint8)).reshape(2, 2, 3)
+    png = codecs.encode_png(img)
+    out = attr_decode()(png, "png")
+    assert (out == img).all()
+
+
+def test_attrs_with_chunked_compression():
+    """Attrs coexist with SPECIAL_CHUNKED storage: the chunk-table Vdata
+    (class _HDF_CHK_TBL_) is not confused with Attr0.0, and both data
+    and attributes roundtrip."""
+    a = (np.arange(35, dtype=np.float32)).reshape(5, 7)
+    buf = hdf4_sds_bytes(a, names=["X"], compress="deflate", chunks=(2, 3),
+                         attrs={"scale_factor": 10.0})
+    out = read_hdf4_bytes(buf)
+    assert (out[0]["data"] == a).all()
+    assert out[0]["attrs"] == {"scale_factor": 10.0}
+
+
+def test_no_attrs_bytes_unchanged():
+    """Without attrs the writer emits no Vgroup layer at all — output is
+    the exact pre-attribute byte stream (decode-suite goldens hold)."""
+    from gdalcubes_cpp_spark.sources.hdf4 import DFTAG_VG, _walk_dds
+
+    a = np.arange(6, dtype=np.int16).reshape(2, 3)
+    buf = hdf4_sds_bytes(a, names=["x"])
+    assert not [1 for (t, _) in _walk_dds(buf) if t == DFTAG_VG]
+    assert read_hdf4_bytes(buf)[0]["attrs"] == {}
