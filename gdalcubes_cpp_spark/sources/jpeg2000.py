@@ -19,11 +19,18 @@ pure-struct discipline as geotiff.py/netcdf3.py/hdf4.py:
   zero-bit-plane coding, coding-pass counts, Lblock length signalling,
   bit stuffing, LRCP progression (one quality layer).
 
-Scope (explicit, per the r3 plan): single tile, single quality layer, no
-precinct partition (maximal precincts), reversible only — the lossless
-configuration Sentinel-2 L2A uses for its 20/60 m bands. The irreversible
-9/7 path and multi-tile streams raise cleanly. Decode accepts both the
-JP2 box container and a bare codestream.
+Scope: MULTI-TILE (regular tile grid per §B.3, Isot-indexed SOT/SOD
+tile-parts, per-tile DWT + packet coding, main-header-global QCD
+exponents covering every tile; tile-parts of one tile concatenate, and a
+last tile-part with Psot=0 runs to EOC per §A.4.2), single quality
+layer, no precinct partition (maximal precincts), reversible only — the
+lossless configuration Sentinel-2 L2A uses for its 20/60 m bands. The
+irreversible 9/7 path raises cleanly. Decode accepts both the JP2 box
+container and a bare codestream. Tiling note: tiles are transformed in
+tile-local coordinates; with the customary even tile sizes (256/512/
+1024/2048) tile origins are even, so the 5/3 lifting phase matches the
+spec's reference-grid parity exactly — odd tile sizes round-trip
+self-consistently but are not phase-aligned to external encoders.
 
 This is an interop codec: encode/decode run driver- or executor-side on
 whole granule payloads (same call sites as PNG/TIFF/HDF4 in codecs.py);
@@ -884,9 +891,15 @@ def _marker(code: int, payload: bytes) -> bytes:
     return struct.pack(">HH", code, len(payload) + 2) + payload
 
 
-def encode_j2k(img: np.ndarray, levels: int = 5) -> bytes:
+def encode_j2k(img: np.ndarray, levels: int = 5,
+               tile_size: tuple | None = None) -> bytes:
     """(h, w) or (h, w, c) unsigned int image -> raw JPEG 2000 codestream
-    (SOC..EOC), reversible 5/3, single tile, one layer, LRCP."""
+    (SOC..EOC), reversible 5/3, one layer, LRCP.  ``tile_size`` = (th,
+    tw) splits the image into the spec's regular tile grid (ISO/IEC
+    15444-1 §B.3 — the layout of real Sentinel-2 band files): each tile
+    is independently wavelet-transformed and packet-coded into its own
+    Isot-indexed SOT/SOD tile-part; edge tiles clip.  Default: single
+    tile (byte-identical to the pre-tiling encoder)."""
     a = np.asarray(img)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -897,41 +910,59 @@ def encode_j2k(img: np.ndarray, levels: int = 5) -> bytes:
         depth = 16
     else:
         raise ValueError(f"unsupported dtype {a.dtype} (uint8/uint16)")
-    levels = min(levels, max(1, (min(h, w) - 1).bit_length() - 2))
+    th, tw = (h, w) if tile_size is None else (int(tile_size[0]), int(tile_size[1]))
+    if th < 1 or tw < 1:
+        raise ValueError("tile_size must be positive")
+    tiles = [(y0, x0, min(y0 + th, h) - y0, min(x0 + tw, w) - x0)
+             for y0 in range(0, h, th) for x0 in range(0, w, tw)]
+    min_dim = min(min(t[2] for t in tiles), min(t[3] for t in tiles))
+    levels = min(levels, max(1, (min_dim - 1).bit_length() - 2))
     shift = 1 << (depth - 1)
 
-    comp_bands = []   # per comp: {res -> [(name, coeffs)]}
-    for ci in range(nc):
-        x = a[:, :, ci].astype(np.int64) - shift   # DC level shift
-        ll, bands = dwt53_forward(x, levels)
-        per_res = {0: [("LL", ll)]}
-        for r in range(1, levels + 1):
-            hl, lh, hh = bands[levels - r]
-            per_res[r] = [("HL", hl), ("LH", lh), ("HH", hh)]
-        comp_bands.append(per_res)
+    # pass 1: per-tile, per-component DWT (QCD exponents are main-header
+    # global, so they must cover every tile's coefficients)
+    tile_bands = []   # per tile: per comp {res -> [(name, coeffs)]}
+    for (y0, x0, hh, ww) in tiles:
+        comp_bands = []
+        for ci in range(nc):
+            x = a[y0:y0 + hh, x0:x0 + ww, ci].astype(np.int64) - shift
+            ll, bands = dwt53_forward(x, levels)
+            per_res = {0: [("LL", ll)]}
+            for r in range(1, levels + 1):
+                hl, lh, hh_ = bands[levels - r]
+                per_res[r] = [("HL", hl), ("LH", lh), ("HH", hh_)]
+            comp_bands.append(per_res)
+        tile_bands.append(comp_bands)
 
-    # QCD exponents: shared across components, so Mb must cover the max
-    # plane count over ALL components per subband (reversible: Mb = G+e-1)
+    # shared exponents: Mb covers the max plane count over ALL tiles and
+    # components per subband (reversible: Mb = G+e-1)
     eps_of = {}
     for r in range(levels + 1):
-        for bi in range(len(comp_bands[0][r])):
+        for bi in range(len(tile_bands[0][0][r])):
             mx = 0
-            for ci in range(nc):
-                arr = comp_bands[ci][r][bi][1]
-                if arr.size:
-                    mx = max(mx, int(np.abs(arr).max()).bit_length())
+            for comp_bands in tile_bands:
+                for ci in range(nc):
+                    arr = comp_bands[ci][r][bi][1]
+                    if arr.size:
+                        mx = max(mx, int(np.abs(arr).max()).bit_length())
             eps_of[(r, bi)] = max(1, mx + 1 - _GUARD)
 
-    # encode packets LRCP (1 layer): res-major, then component
-    packets = []
-    for r in range(levels + 1):
-        mbs = [_GUARD + eps_of[(r, bi)] - 1 for bi in range(len(comp_bands[0][r]))]
-        for ci in range(nc):
-            packets.append(_encode_packet(comp_bands[ci][r], mbs))
-    tile_data = b"".join(packets)
+    # pass 2: encode packets LRCP (1 layer): res-major, then component
+    body = b""
+    for t, comp_bands in enumerate(tile_bands):
+        packets = []
+        for r in range(levels + 1):
+            mbs = [_GUARD + eps_of[(r, bi)] - 1
+                   for bi in range(len(comp_bands[0][r]))]
+            for ci in range(nc):
+                packets.append(_encode_packet(comp_bands[ci][r], mbs))
+        tile_data = b"".join(packets)
+        psot = 12 + 2 + len(tile_data)  # SOT segment + SOD marker + data
+        sot = struct.pack(">HIBB", t, psot, 0, 1)
+        body += _marker(0xFF90, sot) + b"\xff\x93" + tile_data
 
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, nc
+        ">HIIIIIIIIH", 0, w, h, 0, 0, tw, th, 0, 0, nc
     ) + b"".join(struct.pack(">BBB", depth - 1, 1, 1) for _ in range(nc))
     cod = struct.pack(">B", 0)                      # Scod: defaults
     cod += struct.pack(">BHB", 0, 1, 0)             # SGcod: LRCP, 1 layer, no MCT
@@ -942,20 +973,15 @@ def encode_j2k(img: np.ndarray, levels: int = 5) -> bytes:
     # we derive exponents identically for each component packet)
     exps = []
     for r in range(levels + 1):
-        exps.extend(eps_of[(r, bi)] for bi in range(len(comp_bands[0][r])))
+        exps.extend(eps_of[(r, bi)] for bi in range(len(tile_bands[0][0][r])))
     qcd = struct.pack(">B", _GUARD << 5) + bytes((e << 3) for e in exps)
-
-    psot = 12 + 2 + len(tile_data)  # SOT segment + SOD marker + data
-    sot = struct.pack(">HIBB", 0, psot, 0, 1)
 
     return (
         _SOC
         + _marker(0xFF51, siz)
         + _marker(0xFF52, cod)
         + _marker(0xFF5C, qcd)
-        + _marker(0xFF90, sot)
-        + b"\xff\x93"
-        + tile_data
+        + body
         + _EOC
     )
 
@@ -963,14 +989,15 @@ def encode_j2k(img: np.ndarray, levels: int = 5) -> bytes:
 _JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
 
 
-def encode_jp2(img: np.ndarray, levels: int = 5) -> bytes:
+def encode_jp2(img: np.ndarray, levels: int = 5,
+               tile_size: tuple | None = None) -> bytes:
     """Full JP2 container (signature/ftyp/jp2h/jp2c boxes) around
     encode_j2k — the file shape of a Sentinel-2 band payload."""
     a = np.asarray(img)
     nc = 1 if a.ndim == 2 else a.shape[2]
     h, w = a.shape[:2]
     depth = 8 if a.dtype == np.uint8 else 16
-    code = encode_j2k(img, levels)
+    code = encode_j2k(img, levels, tile_size=tile_size)
 
     def box(tag: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + tag + payload
@@ -1007,8 +1034,9 @@ def decode_jp2(data: bytes) -> np.ndarray:
 
     pos = 2
     w = h = nc = depth = levels = None
+    tw = th = None
     exps = None
-    tile = None
+    tiles_data: dict[int, bytes] = {}
     while pos < len(buf):
         code = struct.unpack_from(">H", buf, pos)[0]
         if code == 0xFFD9:
@@ -1018,8 +1046,6 @@ def decode_jp2(data: bytes) -> np.ndarray:
         if code == 0xFF51:  # SIZ
             _r, w, h, _xo, _yo, tw, th, _xto, _yto, nc = struct.unpack_from(
                 ">HIIIIIIIIH", seg, 0)
-            if (tw, th) != (w, h):
-                raise ValueError("multi-tile codestreams unsupported")
             depth = seg[36] + 1  # Ssiz of component 0 (after the 36-byte fixed part)
         elif code == 0xFF52:  # COD
             scod = seg[0]
@@ -1035,42 +1061,55 @@ def decode_jp2(data: bytes) -> np.ndarray:
                 raise ValueError("quantized (lossy) codestreams unsupported")
             exps = [b >> 3 for b in seg[1:]]
         elif code == 0xFF90:  # SOT
-            _i, psot, _tp, _tn = struct.unpack_from(">HIBB", seg, 0)
+            isot, psot, _tp, _tn = struct.unpack_from(">HIBB", seg, 0)
             sod_at = pos + 2 + ln
             if buf[sod_at:sod_at + 2] != b"\xff\x93":
                 raise ValueError("SOT not followed by SOD")
-            tile = buf[sod_at + 2:pos + psot]
+            if psot == 0:  # last tile-part may run to EOC (spec §A.4.2)
+                psot = len(buf) - 2 - pos
+            # tile-parts of one tile concatenate in stream order
+            tiles_data[isot] = tiles_data.get(isot, b"") + buf[sod_at + 2:pos + psot]
             pos = pos + psot
             continue
         pos += 2 + ln
-    if tile is None or w is None:
+    if not tiles_data or w is None:
         raise ValueError("incomplete codestream")
 
-    layout = _subband_layout(h, w, levels)
-    dpos = 0
-    per_comp = [dict() for _ in range(nc)]
-    ei = 0
+    ntx = (w + tw - 1) // tw
+    nty = (h + th - 1) // th
+    if set(tiles_data) != set(range(ntx * nty)):
+        raise ValueError(f"tile grid {ntx}x{nty} but SOT indices {sorted(tiles_data)}")
     mb_of = {}
+    nbands = [1] + [3] * levels
+    ei = 0
     for r in range(levels + 1):
-        for bi, (name, bh, bwid) in enumerate(layout[r]):
+        for bi in range(nbands[r]):
             mb_of[(r, bi)] = _GUARD + exps[ei] - 1
             ei += 1
-    for r in range(levels + 1):
-        for ci in range(nc):
-            meta = [
-                (name, bh, bwid, mb_of[(r, bi)])
-                for bi, (name, bh, bwid) in enumerate(layout[r])
-            ]
-            arrays, dpos = _decode_packet(tile, dpos, meta)
-            per_comp[ci][r] = arrays
     shift = 1 << (depth - 1)
     out = np.empty((h, w, nc), dtype=np.uint8 if depth == 8 else np.uint16)
-    for ci in range(nc):
-        ll = per_comp[ci][0][0][1]
-        bands = []
-        for r in range(levels, 0, -1):  # finest first for dwt53_inverse
-            d = dict(per_comp[ci][r])
-            bands.append((d["HL"], d["LH"], d["HH"]))
-        img = dwt53_inverse(ll, bands, (h, w)) + shift
-        out[:, :, ci] = img.astype(out.dtype)
+    for t in range(ntx * nty):
+        ty, tx = divmod(t, ntx)
+        y0, x0 = ty * th, tx * tw
+        h_t, w_t = min(th, h - y0), min(tw, w - x0)
+        layout = _subband_layout(h_t, w_t, levels)
+        tile = tiles_data[t]
+        dpos = 0
+        per_comp = [dict() for _ in range(nc)]
+        for r in range(levels + 1):
+            for ci in range(nc):
+                meta = [
+                    (name, bh, bwid, mb_of[(r, bi)])
+                    for bi, (name, bh, bwid) in enumerate(layout[r])
+                ]
+                arrays, dpos = _decode_packet(tile, dpos, meta)
+                per_comp[ci][r] = arrays
+        for ci in range(nc):
+            ll = per_comp[ci][0][0][1]
+            bands = []
+            for r in range(levels, 0, -1):  # finest first for dwt53_inverse
+                d = dict(per_comp[ci][r])
+                bands.append((d["HL"], d["LH"], d["HH"]))
+            img = dwt53_inverse(ll, bands, (h_t, w_t)) + shift
+            out[y0:y0 + h_t, x0:x0 + w_t, ci] = img.astype(out.dtype)
     return out

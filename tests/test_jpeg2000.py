@@ -242,3 +242,71 @@ def test_s2_preset_pixels_end_to_end(spark):
     assert len(got) == 32 * 32
     for (iy, ix), val in got.items():
         assert val == float(plane[iy, ix])
+
+
+# ---------------------------------------------------------------------------
+# Multi-tile codestreams (§B.3 tile grid, Isot-indexed tile-parts)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,tile,levels", [
+    ((64, 64), (32, 32), 3),        # exact 2x2 grid
+    ((70, 50), (32, 32), 3),        # edge tiles clip
+    ((48, 96, 3), (48, 32), 2),     # multi-component, 1x3 grid
+    ((96, 96), (96, 96), 4),        # tile == image (degenerate grid)
+])
+def test_multitile_lossless_roundtrip(shape, tile, levels):
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 5000, size=shape).astype(np.uint16)
+    out = decode_jp2(encode_jp2(img, levels=levels, tile_size=tile))
+    want = img if img.ndim == 3 else img[:, :, None]
+    assert out.shape == want.shape and (out == want).all()
+
+
+def test_multitile_codestream_structure():
+    """SIZ advertises the tile grid; one SOT per tile with sequential
+    Isot; single-tile output is byte-identical to the pre-tiling encoder
+    (tile_size=None == tile_size=(h, w))."""
+    img = (np.arange(64 * 64, dtype=np.uint16).reshape(64, 64) * 7) % 3000
+    buf = encode_j2k(img, levels=2, tile_size=(32, 32))
+    i = buf.find(b"\xff\x51")
+    _r, w, h, _xo, _yo, tw, th, _xto, _yto, nc = struct.unpack_from(
+        ">HIIIIIIIIH", buf, i + 4)
+    assert (w, h, tw, th) == (64, 64, 32, 32)
+    isots = []
+    pos = 0
+    while True:
+        j = buf.find(b"\xff\x90", pos)
+        if j < 0:
+            break
+        isots.append(struct.unpack_from(">H", buf, j + 4)[0])
+        pos = j + 2
+    assert isots == [0, 1, 2, 3]
+    assert encode_j2k(img, levels=2) == encode_j2k(img, levels=2,
+                                                   tile_size=(64, 64))
+
+
+def test_multitile_psot_zero_last_tile_part():
+    """A last tile-part with Psot=0 (legal per §A.4.2) decodes: the
+    segment runs to EOC."""
+    img = (np.arange(40 * 40, dtype=np.uint16).reshape(40, 40) * 13) % 2000
+    buf = bytearray(encode_j2k(img, levels=2, tile_size=(40, 40)))
+    j = buf.find(b"\xff\x90")
+    struct.pack_into(">I", buf, j + 6, 0)   # Psot := 0
+    out = decode_jp2(bytes(buf))
+    assert (out[:, :, 0] == img).all()
+
+
+def test_multitile_missing_tile_raises():
+    """Truncated tile grids fail loudly, not with garbage pixels."""
+    img = np.zeros((64, 64), dtype=np.uint8)
+    buf = encode_j2k(img, levels=2, tile_size=(32, 32))
+    # drop everything from the LAST SOT to EOC, keep EOC
+    pos, last = 0, -1
+    while True:
+        j = buf.find(b"\xff\x90", pos)
+        if j < 0:
+            break
+        last = j
+        pos = j + 2
+    with pytest.raises(ValueError, match="tile grid"):
+        decode_jp2(buf[:last] + buf[-2:])
