@@ -1,6 +1,7 @@
-"""Pure-python netCDF-3 (classic, CDF-1) container export/import — the
-single-file netCDF interop the reference writes via netcdf-c
-(src/cube.cpp:736 write_netcdf_file; read side src/ncdf_cube.h:48-50).
+"""Pure-python netCDF-3 (classic CDF-1 + 64-bit-offset CDF-2) container
+export/import — the single-file netCDF interop the reference writes via
+netcdf-c (src/cube.cpp:736 write_netcdf_file; read side
+src/ncdf_cube.h:48-50).
 
 The classic format is simple and fully public (NetCDF Classic Format
 Specification, Unidata): a big-endian header (dim/att/var lists) followed
@@ -83,11 +84,20 @@ def _pack_plane(plane: np.ndarray, packing: dict):
     return np.where(np.isnan(plane), fill, packed).astype(np.int16)
 
 
-def _nc_plan(view, bands: tuple, packing: dict | None):
+def _nc_plan(view, bands: tuple, packing: dict | None,
+             version: int | None = None):
     """The file layout computed from METADATA alone: header bytes, the
     per-variable begin offsets, coordinate-variable payloads, and the band
     slot geometry — everything a distributed writer needs to place a
-    (band, it) slice without seeing any other pixel."""
+    (band, it) slice without seeing any other pixel.
+
+    ``version``: 1 = classic CDF-1 (32-bit offsets), 2 = 64-bit-offset
+    CDF-2 (same spec document, 'Large File Support': magic ``CDF\\x02``
+    and 8-byte variable ``begin`` words are the ONLY changes) — None
+    auto-selects: CDF-1 while the data fits its 2 GiB offset space, CDF-2
+    beyond (per-variable sizes stay < 2**31, the conservative reading of
+    the CDF-2 variable-size rule; a larger single band slice should use
+    write_chunks)."""
     v = view
     dims = [("time", v.nt), ("y", v.ny), ("x", v.nx)]
     coord_data = [
@@ -122,8 +132,8 @@ def _nc_plan(view, bands: tuple, packing: dict | None):
         ("view", NC_CHAR, v.to_json()),
     ]
 
-    def header(begins: list) -> bytes:
-        h = b"CDF\x01" + struct.pack(">i", 0)  # numrecs = 0 (no record dim)
+    def header(begins: list, ver: int) -> bytes:
+        h = b"CDF" + bytes([ver]) + struct.pack(">i", 0)  # numrecs = 0
         h += struct.pack(">ii", NC_DIMENSION, len(dims))
         for dname, dsize in dims:
             h += _name(dname) + struct.pack(">i", dsize)
@@ -139,35 +149,52 @@ def _nc_plan(view, bands: tuple, packing: dict | None):
             h += _att_list(atts)
             h += struct.pack(">i", nc_type)
             h += struct.pack(">i", vsize)
-            h += struct.pack(">i", begin)  # CDF-1: 32-bit offsets
+            # CDF-1: 32-bit begin; CDF-2: 64-bit begin
+            h += struct.pack(">i" if ver == 1 else ">q", begin)
         return h
 
-    begins = [0] * len(variables)
-    off = len(header(begins))
-    for i, (_, _, _, n, nc_type) in enumerate(variables):
-        begins[i] = off
-        sz = n * _TYPE_SIZE[nc_type]
-        off += sz + _pad4(sz)
-    if off > 2**31 - 1:
-        raise ValueError("cube too large for CDF-1 (32-bit offsets); use write_chunks")
+    def layout(ver: int):
+        begins = [0] * len(variables)
+        off = len(header(begins, ver))
+        for i, (_, _, _, n, nc_type) in enumerate(variables):
+            begins[i] = off
+            sz = n * _TYPE_SIZE[nc_type]
+            off += sz + _pad4(sz)
+        return begins, off
+
+    for _, _, _, n, nc_type in variables:
+        if n * _TYPE_SIZE[nc_type] > 2**31 - 1:
+            raise ValueError("variable exceeds the classic-format size "
+                             "word; use write_chunks")
+    ver = version
+    if ver is None:
+        _, off1 = layout(1)
+        ver = 1 if off1 <= 2**31 - 1 else 2
+    begins, off = layout(ver)
+    if ver == 1 and off > 2**31 - 1:
+        raise ValueError("cube too large for CDF-1 (32-bit offsets); "
+                         "pass version=2 (64-bit offsets)")
     return {
-        "header": header(begins), "begins": begins, "total": off,
+        "header": header(begins, ver), "begins": begins, "total": off,
         "coord_data": coord_data, "band_type": band_type,
         "slice_bytes": v.ny * v.nx * _TYPE_SIZE[band_type],
+        "version": ver,
     }
 
 
-def write_netcdf(cube, path: str, packing: dict | None = None) -> None:
+def write_netcdf(cube, path: str, packing: dict | None = None,
+                 version: int | None = None) -> None:
     """Materialize the cube and write ONE classic netCDF-3 file.
 
     ``packing`` = {"scale": s, "offset": o, "nodata": fill} writes band
     variables as NC_SHORT with CF ``scale_factor``/``add_offset``
     attributes — the reference's packed netCDF export (src/cube.cpp:149
     packed_export; same packed = round((v - offset)/scale) rule as
-    operators/export.py). read_netcdf auto-unpacks (ncdf_cube.h:45)."""
+    operators/export.py). read_netcdf auto-unpacks (ncdf_cube.h:45).
+    ``version``: None auto-selects CDF-1 vs 64-bit-offset CDF-2."""
     v = cube.view
     dense = cube.collect_dense()  # (nb, nt, ny, nx)
-    plan = _nc_plan(v, tuple(cube.bands), packing)
+    plan = _nc_plan(v, tuple(cube.bands), packing, version)
 
     with open(path, "wb") as f:
         f.write(plan["header"])
@@ -182,7 +209,8 @@ def write_netcdf(cube, path: str, packing: dict | None = None) -> None:
             f.write(raw + b"\x00" * _pad4(len(raw)))
 
 
-def write_netcdf_distributed(cube, path: str, packing: dict | None = None) -> None:
+def write_netcdf_distributed(cube, path: str, packing: dict | None = None,
+                             version: int | None = None) -> None:
     """The same file, assembled without a driver gather (r3 VERDICT next
     #6, mirroring geotiff.write_gtiff_distributed): the driver writes the
     metadata-only header + coordinate vars and truncates the file to its
@@ -199,7 +227,7 @@ def write_netcdf_distributed(cube, path: str, packing: dict | None = None) -> No
 
     v = cube.view
     bands = tuple(cube.bands)
-    plan = _nc_plan(v, bands, packing)
+    plan = _nc_plan(v, bands, packing, version)
     band_begins = plan["begins"][3:]
     slice_bytes = v.ny * v.nx * _TYPE_SIZE[plan["band_type"]]
     band_type = plan["band_type"]
@@ -277,7 +305,9 @@ def read_netcdf(path: str) -> dict:
     returns {"dims": {...}, "gatts": {...}, "vars": {name: ndarray}}."""
     with open(path, "rb") as f:
         buf = memoryview(f.read())
-    assert bytes(buf[:4]) == b"CDF\x01", "not a CDF-1 classic file"
+    assert bytes(buf[:3]) == b"CDF" and buf[3] in (1, 2), \
+        "not a CDF-1/CDF-2 classic file"
+    ver = buf[3]
     pos = 8  # magic + numrecs
     tag, ndims = struct.unpack_from(">ii", buf, pos)
     pos += 8
@@ -300,8 +330,14 @@ def read_netcdf(path: str) -> dict:
         dimids = list(struct.unpack_from(f">{nd}i", buf, pos)) if nd else []
         pos += 4 * nd
         _atts, pos = _read_atts(buf, pos)
-        nc_type, vsize, begin = struct.unpack_from(">iii", buf, pos)
-        pos += 12
+        nc_type, vsize = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        if ver == 1:
+            (begin,) = struct.unpack_from(">i", buf, pos)
+            pos += 4
+        else:
+            (begin,) = struct.unpack_from(">q", buf, pos)
+            pos += 8
         shape = tuple(dims[d][1] for d in dimids)
         n = int(np.prod(shape)) if shape else 1
         raw = bytes(buf[begin:begin + _TYPE_SIZE[nc_type] * n])

@@ -147,3 +147,58 @@ def test_distributed_writer_byte_identical(spark, tmp_path):
         ba, bb = open(a, "rb").read(), open(b, "rb").read()
         assert len(ba) == len(bb)
         assert ba == bb
+
+
+def test_cdf2_64bit_offset_roundtrip(spark, tmp_path):
+    """CDF-2 (64-bit offset, spec 'Large File Support'): magic CDF\\x02,
+    8-byte variable begin words — values and layout otherwise identical
+    to CDF-1; both writers agree byte-for-byte, the reader auto-detects,
+    and the auto version picker stays at CDF-1 for small files."""
+    from gdalcubes_cpp_spark.sources.collection import formula_cube
+    from gdalcubes_cpp_spark.sources.netcdf3 import (
+        _nc_plan, read_netcdf, write_netcdf, write_netcdf_distributed,
+    )
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(left=0.0, right=8.0, bottom=0.0, top=6.0, nx=8, ny=6,
+                        t0="2020-01-01", nt=4, dt="P1D", chunk_size=(2, 3, 4))
+    cube = formula_cube(spark, v, {
+        "B1": "CAST(it*3 + iy + ix AS DOUBLE)",
+    })
+    p1 = str(tmp_path / "v1.nc")
+    p2 = str(tmp_path / "v2.nc")
+    p2d = str(tmp_path / "v2d.nc")
+    write_netcdf(cube, p1)
+    write_netcdf(cube, p2, version=2)
+    write_netcdf_distributed(cube, p2d, version=2)
+    b1, b2, b2d = (open(p, "rb").read() for p in (p1, p2, p2d))
+    assert b1[:4] == b"CDF\x01" and b2[:4] == b"CDF\x02"
+    assert b2 == b2d
+    # CDF-2 header is exactly 4 extra bytes per variable (4 vars here)
+    assert len(b2) == len(b1) + 4 * 4
+    n1, n2 = read_netcdf(p1), read_netcdf(p2)
+    for k in n1["vars"]:
+        a, b = n1["vars"][k], n2["vars"][k]
+        if isinstance(a, bytes):
+            assert a == b
+        else:
+            assert np.array_equal(a, b, equal_nan=True)
+    # auto picker: small file stays CDF-1
+    assert _nc_plan(v, ("B1",), None)["version"] == 1
+    # forcing CDF-1 on an over-2GiB layout raises; auto upgrades to 2
+    import pytest as _pytest
+
+    # per-band variable = 2*8192*8192*8 = 1 GiB (< the 2**31 size word),
+    # two bands push the offsets past 2**31-1
+    big = CubeView.create(left=0.0, right=1.0, bottom=0.0, top=1.0,
+                          nx=8192, ny=8192, t0="2020-01-01", nt=2,
+                          dt="P1D", chunk_size=(1, 256, 256))
+    with _pytest.raises(ValueError, match="CDF-1"):
+        _nc_plan(big, ("B1", "B2"), None, version=1)
+    assert _nc_plan(big, ("B1", "B2"), None)["version"] == 2
+    # a single over-4GiB variable is past classic entirely
+    huge = CubeView.create(left=0.0, right=1.0, bottom=0.0, top=1.0,
+                           nx=16384, ny=16384, t0="2020-01-01", nt=2,
+                           dt="P1D", chunk_size=(1, 256, 256))
+    with _pytest.raises(ValueError, match="size word"):
+        _nc_plan(huge, ("B1",), None)
