@@ -39,7 +39,13 @@ into decode-time semantics (fill -> NaN, then v = raw*scale + offset —
 the GDAL/CF orientation the reference inherits through GDAL's
 GetScale/GetOffset, src/image_collection.cpp band metadata).
 
-Out of scope (raises cleanly): linked-block and external-file elements.
+Also implemented: linked-block elements (SPECIAL_LINKED, the layout the
+HDF library writes for appendable data — spec "Linked Block Element":
+header of element length / first-block length / successive-block length /
+blocks-per-table / first-table ref; DFTAG_LINKED block tables chain via
+a leading next-table ref and list data-block refs, zero-terminated).
+
+Out of scope (raises cleanly): external-file elements.
 
 Spark-side use: granule bytes live in a binary column; codecs.decode
 dispatches on the HDF4 magic and stacks the file's SDS planes as
@@ -73,6 +79,7 @@ SPECIAL_COMP = 3
 SPECIAL_VLINKED = 4
 SPECIAL_CHUNKED = 6
 DFTAG_CHUNK = 61
+DFTAG_LINKED = 20
 DFTAG_VH = 1962
 DFTAG_VS = 1963
 DFTAG_VG = 1965
@@ -179,6 +186,35 @@ def _vdata_pair(elems: list, ref: int, name: str, klass: str,
     elems.append((DFTAG_VS, ref, records))
 
 
+def _linked_pair(elems: list, tag: int, ref: int, raw: bytes,
+                 blk_len: int, num_blk: int, next_ref: int) -> int:
+    """Store ``raw`` as a SPECIAL_LINKED element (spec 'Linked Block
+    Element'): data split into DFTAG_LINKED blocks of ``blk_len`` bytes,
+    block tables of ``num_blk`` entries chaining via a leading next-table
+    ref (0 terminates). Returns the updated ref counter."""
+    blocks = [raw[i:i + blk_len] for i in range(0, max(1, len(raw)), blk_len)]
+    blk_refs = []
+    for b in blocks:
+        elems.append((DFTAG_LINKED, next_ref, b))
+        blk_refs.append(next_ref)
+        next_ref += 1
+    ntab = max(1, (len(blk_refs) + num_blk - 1) // num_blk)
+    tab_refs = [next_ref + i for i in range(ntab)]
+    next_ref += ntab
+    for ti in range(ntab):
+        chunk = blk_refs[ti * num_blk:(ti + 1) * num_blk]
+        chunk += [0] * (num_blk - len(chunk))
+        nxt = tab_refs[ti + 1] if ti + 1 < ntab else 0
+        tab = struct.pack(">H", nxt) + b"".join(
+            struct.pack(">H", r) for r in chunk)
+        elems.append((DFTAG_LINKED, tab_refs[ti], tab))
+    first_len = len(blocks[0])
+    sp = struct.pack(">HIIIIH", SPECIAL_LINKED, len(raw), first_len,
+                     blk_len, num_blk, tab_refs[0])
+    elems.append((tag | SPECIAL_BIT, ref, sp))
+    return next_ref
+
+
 def _vgroup(elems: list, ref: int, name: str, klass: str,
             members: list) -> None:
     """Append a Vgroup element (HDF 4.2 spec, 'Vgroup structure'): member
@@ -216,7 +252,8 @@ def _attr_vdata(elems: list, ref: int, name: str, value) -> None:
 
 def hdf4_sds_bytes(arrays, names=None, compress: str | None = None,
                    chunks: tuple | None = None, attrs=None,
-                   global_attrs: dict | None = None) -> bytes:
+                   global_attrs: dict | None = None,
+                   linked: tuple | None = None) -> bytes:
     """Encode 2-D numpy arrays as an HDF4 file of labeled SDS objects.
 
     ``arrays``: one (h, w) array or a list of them (one SDS each — the
@@ -235,6 +272,9 @@ def hdf4_sds_bytes(arrays, names=None, compress: str | None = None,
     float -> FLOAT64, numpy scalars/arrays keep their dtype).
     ``global_attrs``: file-level attributes, hung off the root CDF0.0
     Vgroup (where GDAL's HDF4 driver reads e.g. StructMetadata.0).
+    ``linked``: (blk_len, num_blk) — store each SDS's data as a
+    SPECIAL_LINKED element (the HDF library's appendable layout) instead
+    of contiguous/compressed/chunked; mutually exclusive with both.
     """
     if isinstance(arrays, np.ndarray):
         arrays = [arrays]
@@ -276,7 +316,12 @@ def hdf4_sds_bytes(arrays, names=None, compress: str | None = None,
         elems.append((DFTAG_SDD, ref, sdd))
         elems.append((DFTAG_SDL, ref, name.encode() + b"\x00"))
         big = np.ascontiguousarray(a, dtype=np.dtype(dt))
-        if chunks is None:
+        if linked is not None:
+            if chunks is not None or code is not None:
+                raise ValueError("linked excludes chunks/compress")
+            next_ref = _linked_pair(elems, DFTAG_SD, ref, big.tobytes(),
+                                    int(linked[0]), int(linked[1]), next_ref)
+        elif chunks is None:
             raw = big.tobytes()
             if code is None:
                 elems.append((DFTAG_SD, ref, raw))
@@ -388,9 +433,29 @@ def _element(buf: bytes, dds: dict, tag: int, ref: int) -> bytes:
     (code,) = struct.unpack_from(">H", buf, off)
     if code == SPECIAL_CHUNKED:
         return _chunked_element(buf, dds, off)
+    if code == SPECIAL_LINKED:
+        total, first_len, blk_len, num_blk, tab_ref = struct.unpack_from(
+            ">IIIIH", buf, off + 2)
+        out = bytearray()
+        first = True
+        while tab_ref:
+            toff, tlen = dds[(DFTAG_LINKED, tab_ref)]
+            (tab_ref,) = struct.unpack_from(">H", buf, toff)
+            nrefs = min(num_blk, (tlen - 2) // 2)
+            for i in range(nrefs):
+                (bref,) = struct.unpack_from(">H", buf, toff + 2 + 2 * i)
+                if bref == 0:
+                    break
+                boff, blen = dds[(DFTAG_LINKED, bref)]
+                want = first_len if first else blk_len
+                out += buf[boff:boff + min(blen, want)]
+                first = False
+        if len(out) < total:
+            raise ValueError("corrupt linked-block element")
+        return bytes(out[:total])
     if code != SPECIAL_COMP:
         raise ValueError(f"unsupported special element code {code} "
-                         f"(linked/external not implemented)")
+                         f"(external-file elements not implemented)")
     _ver, ulen, comp_ref, _model, ctype = struct.unpack_from(">HIHHH", buf, off + 2)
     coff, clen = dds[(DFTAG_COMPRESSED, comp_ref)]
     stream = buf[coff:coff + clen]

@@ -371,3 +371,86 @@ def test_no_attrs_bytes_unchanged():
     buf = hdf4_sds_bytes(a, names=["x"])
     assert not [1 for (t, _) in _walk_dds(buf) if t == DFTAG_VG]
     assert read_hdf4_bytes(buf)[0]["attrs"] == {}
+
+
+# ---------------------------------------------------------------------------
+# Linked-block elements (SPECIAL_LINKED, the HDF library's appendable layout)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("blk,per_tab", [(64, 16), (50, 4), (1024, 128)])
+def test_linked_block_roundtrip(blk, per_tab):
+    """Data split across DFTAG_LINKED blocks + chained block tables
+    reassembles exactly — including multi-table chains (per_tab smaller
+    than the block count) and a non-multiple final block."""
+    rng = np.random.RandomState(31)
+    a = (rng.rand(23, 29) * 1000).astype(np.int16)   # 1334 bytes
+    buf = hdf4_sds_bytes(a, names=["L"], linked=(blk, per_tab))
+    out = read_hdf4_bytes(buf)
+    assert (out[0]["data"] == a).all()
+
+
+def test_linked_block_structure():
+    """On-disk conformance: special header fields (length, first/succ
+    block length, blocks-per-table, first-table ref), zero-terminated
+    table, table chaining."""
+    from gdalcubes_cpp_spark.sources.hdf4 import (
+        DFTAG_LINKED, DFTAG_SD, SPECIAL_BIT, SPECIAL_LINKED, _walk_dds,
+    )
+
+    a = np.arange(100, dtype=np.uint8).reshape(10, 10)  # 100 bytes
+    buf = hdf4_sds_bytes(a, names=["L"], linked=(30, 2))
+    dds = _walk_dds(buf)
+    off, _ln = dds[(DFTAG_SD | SPECIAL_BIT, 1)]
+    code, total, first_len, blk_len, num_blk, tab_ref = struct.unpack_from(
+        ">HIIIIH", buf, off)
+    assert code == SPECIAL_LINKED == 1
+    assert (total, first_len, blk_len, num_blk) == (100, 30, 30, 2)
+    # 4 data blocks (30+30+30+10) over tables of 2 -> 2 chained tables
+    toff, tlen = dds[(DFTAG_LINKED, tab_ref)]
+    (nxt,) = struct.unpack_from(">H", buf, toff)
+    assert nxt != 0
+    toff2, _ = dds[(DFTAG_LINKED, nxt)]
+    (nxt2,) = struct.unpack_from(">H", buf, toff2)
+    assert nxt2 == 0
+    assert (out := read_hdf4_bytes(buf))[0]["data"].tobytes() == a.tobytes()
+
+
+def test_linked_with_attrs():
+    """Linked storage composes with the SD attribute layer."""
+    a = np.arange(60, dtype=np.int16).reshape(6, 10)
+    buf = hdf4_sds_bytes(a, names=["X"], linked=(16, 3),
+                         attrs={"scale_factor": 0.5})
+    out = read_hdf4_bytes(buf)
+    assert (out[0]["data"] == a).all()
+    assert out[0]["attrs"] == {"scale_factor": 0.5}
+
+
+def test_linked_excludes_chunks_and_compress():
+    a = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="linked excludes"):
+        hdf4_sds_bytes(a, linked=(16, 2), compress="rle")
+    with pytest.raises(ValueError, match="linked excludes"):
+        hdf4_sds_bytes(a, linked=(16, 2), chunks=(2, 2))
+
+
+def test_linked_first_block_shorter():
+    """External-file semantics: first_len may differ from blk_len — the
+    reader takes first_len bytes from the first block and blk_len from
+    successive ones, honoring the header rather than assuming uniform
+    blocks (element-level check with a consistently rewritten header)."""
+    from gdalcubes_cpp_spark.sources.hdf4 import (
+        DFTAG_SD, SPECIAL_BIT, _element, _walk_dds,
+    )
+
+    a = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    buf = bytearray(hdf4_sds_bytes(a, names=["L"], linked=(40, 8)))
+    dds = _walk_dds(bytes(buf))
+    off, _ = dds[(DFTAG_SD | SPECIAL_BIT, 1)]
+    # declare the first block as 25 bytes and the total as what the
+    # chain then yields (25 + 40 + 20): the reader must skip the first
+    # block's trailing 15 physical bytes
+    struct.pack_into(">I", buf, off + 2, 85)   # length
+    struct.pack_into(">I", buf, off + 6, 25)   # first_len
+    out = _element(bytes(buf), _walk_dds(bytes(buf)), DFTAG_SD, 1)
+    raw = a.tobytes()
+    assert out == raw[:25] + raw[40:80] + raw[80:100]
