@@ -301,28 +301,42 @@ def _read_atts(buf: memoryview, pos: int):
 
 
 def read_netcdf(path: str) -> dict:
-    """Minimal classic-format reader (verification + interop ingest):
-    returns {"dims": {...}, "gatts": {...}, "vars": {name: ndarray}}."""
+    """Classic-format reader (verification + interop ingest): returns
+    {"dims": {...}, "gatts": {...}, "vars": {name: ndarray}}.
+
+    Handles the RECORD (unlimited) dimension of external files (spec
+    'The Format in Detail': a dim of size 0 is the record dim, its
+    effective length is the header's numrecs word; record variables lay
+    their per-record slabs out interleaved after the fixed data with a
+    stride of the sum of all per-record slab sizes padded to 4 — except
+    the spec's single-record-variable special case, where the record is
+    NOT padded). Our writers emit no record dim; this is read-side
+    interop with files produced by netcdf-c."""
     with open(path, "rb") as f:
         buf = memoryview(f.read())
     assert bytes(buf[:3]) == b"CDF" and buf[3] in (1, 2), \
         "not a CDF-1/CDF-2 classic file"
     ver = buf[3]
+    (numrecs,) = struct.unpack_from(">i", buf, 4)
     pos = 8  # magic + numrecs
     tag, ndims = struct.unpack_from(">ii", buf, pos)
     pos += 8
     assert tag == NC_DIMENSION
     dims = []
+    rec_dim = None
     for _ in range(ndims):
         name, pos = _read_name(buf, pos)
         (size,) = struct.unpack_from(">i", buf, pos)
         pos += 4
+        if size == 0:
+            rec_dim = len(dims)
         dims.append((name, size))
     gatts, pos = _read_atts(buf, pos)
     tag, nvars = struct.unpack_from(">ii", buf, pos)
     pos += 8
     assert tag == NC_VARIABLE
-    out = {}
+    # first pass: headers of all variables (record stride needs them all)
+    hdrs = []
     for _ in range(nvars):
         name, pos = _read_name(buf, pos)
         (nd,) = struct.unpack_from(">i", buf, pos)
@@ -338,9 +352,32 @@ def read_netcdf(path: str) -> dict:
         else:
             (begin,) = struct.unpack_from(">q", buf, pos)
             pos += 8
-        shape = tuple(dims[d][1] for d in dimids)
-        n = int(np.prod(shape)) if shape else 1
-        raw = bytes(buf[begin:begin + _TYPE_SIZE[nc_type] * n])
+        hdrs.append((name, dimids, _atts, nc_type, begin))
+    rec_vars = [h for h in hdrs if rec_dim is not None and h[1][:1] == [rec_dim]]
+
+    def slab_bytes(dimids, nc_type):
+        n = int(np.prod([dims[d][1] for d in dimids if d != rec_dim] or [1]))
+        return n * _TYPE_SIZE[nc_type]
+
+    if len(rec_vars) == 1:
+        recsize = slab_bytes(rec_vars[0][1], rec_vars[0][3])
+    else:
+        recsize = sum(s + _pad4(s) for s in
+                      (slab_bytes(h[1], h[3]) for h in rec_vars))
+
+    out = {}
+    for name, dimids, _atts, nc_type, begin in hdrs:
+        is_rec = rec_dim is not None and dimids[:1] == [rec_dim]
+        if is_rec:
+            slab = slab_bytes(dimids, nc_type)
+            raw = b"".join(
+                bytes(buf[begin + r * recsize:begin + r * recsize + slab])
+                for r in range(numrecs))
+            shape = (numrecs,) + tuple(dims[d][1] for d in dimids[1:])
+        else:
+            shape = tuple(dims[d][1] for d in dimids)
+            n = int(np.prod(shape)) if shape else 1
+            raw = bytes(buf[begin:begin + _TYPE_SIZE[nc_type] * n])
         if nc_type == NC_CHAR:
             out[name] = raw
             continue
@@ -354,7 +391,10 @@ def read_netcdf(path: str) -> dict:
                 _atts.get("add_offset", [0.0])[0]
             )
         out[name] = arr.reshape(shape)
-    return {"dims": dict(dims), "gatts": gatts, "vars": out}
+    dims_out = dict(dims)
+    if rec_dim is not None:
+        dims_out[dims[rec_dim][0]] = numrecs
+    return {"dims": dims_out, "gatts": gatts, "vars": out}
 
 
 def read_netcdf_cube(spark, path: str):

@@ -202,3 +202,69 @@ def test_cdf2_64bit_offset_roundtrip(spark, tmp_path):
                            dt="P1D", chunk_size=(1, 256, 256))
     with _pytest.raises(ValueError, match="size word"):
         _nc_plan(huge, ("B1",), None)
+
+
+def _classic_with_records(single: bool):
+    """Hand-assemble a classic CDF-1 file WITH a record dimension the
+    way netcdf-c lays it out (spec 'The Format in Detail'): dim of size
+    0, numrecs in the header word, record slabs interleaved with a
+    4-padded stride — unpadded when there is exactly one record var."""
+    import struct as st
+
+    t_slab = [st.pack(">d", 10.0), st.pack(">d", 20.0)]
+    a_slab = [np.array([1, 2, 3], ">i2").tobytes(),
+              np.array([4, 5, 6], ">i2").tobytes()]
+    y_data = np.array([7.0, 8.0, 9.0], ">f8").tobytes()
+
+    def var(name, dimids, nc_type, vsize, begin):
+        v = nc3._name(name) + st.pack(">i", len(dimids))
+        for d in dimids:
+            v += st.pack(">i", d)
+        v += nc3._att_list([]) + st.pack(">iii", nc_type, vsize, begin)
+        return v
+
+    def build(hlen):
+        h = b"CDF\x01" + st.pack(">i", 2)                # numrecs = 2
+        h += st.pack(">ii", nc3.NC_DIMENSION, 2)
+        h += nc3._name("rec") + st.pack(">i", 0)          # record dim
+        h += nc3._name("y") + st.pack(">i", 3)
+        h += nc3._att_list([])
+        if single:
+            h += st.pack(">ii", nc3.NC_VARIABLE, 1)
+            h += var("A", [0, 1], nc3.NC_SHORT, 6, hlen)
+            data = a_slab[0] + a_slab[1]                  # UNPADDED records
+        else:
+            h += st.pack(">ii", nc3.NC_VARIABLE, 3)
+            rec_off = hlen + len(y_data)                  # fixed data first
+            h += var("t", [0], nc3.NC_DOUBLE, 8, rec_off)
+            h += var("A", [0, 1], nc3.NC_SHORT, 8, rec_off + 8)
+            h += var("y", [1], nc3.NC_DOUBLE, 24, hlen)
+            data = y_data
+            for r in range(2):
+                data += t_slab[r] + a_slab[r] + b"\x00\x00"  # pad 6 -> 8
+        return h, data
+
+    h0, _ = build(0)            # begins depend only on the header LENGTH
+    h, data = build(len(h0))
+    return h + data
+
+
+def test_record_dimension_read(tmp_path):
+    """Record (unlimited) dimension interop: interleaved record slabs
+    de-stride into (numrecs, ...) arrays; fixed vars unaffected."""
+    p = str(tmp_path / "rec.nc")
+    open(p, "wb").write(_classic_with_records(single=False))
+    nc = nc3.read_netcdf(p)
+    assert nc["dims"] == {"rec": 2, "y": 3}
+    assert np.array_equal(nc["vars"]["t"], [10.0, 20.0])
+    assert np.array_equal(nc["vars"]["A"], [[1, 2, 3], [4, 5, 6]])
+    assert np.array_equal(nc["vars"]["y"], [7.0, 8.0, 9.0])
+
+
+def test_record_dimension_single_var_unpadded(tmp_path):
+    """The spec's special case: exactly one record variable -> records
+    are NOT 4-padded (stride 6 here, not 8)."""
+    p = str(tmp_path / "rec1.nc")
+    open(p, "wb").write(_classic_with_records(single=True))
+    nc = nc3.read_netcdf(p)
+    assert np.array_equal(nc["vars"]["A"], [[1, 2, 3], [4, 5, 6]])
