@@ -454,3 +454,56 @@ def test_linked_first_block_shorter():
     out = _element(bytes(buf), _walk_dds(bytes(buf)), DFTAG_SD, 1)
     raw = a.tobytes()
     assert out == raw[:25] + raw[40:80] + raw[80:100]
+
+
+def test_attr_decode_in_build_cube(spark):
+    """attr_decode runs executor-side inside the scan: granules carry
+    their OWN _FillValue/scale_factor/add_offset, no preset constants;
+    cells checked against a straight numpy oracle (near-warp at 2x
+    coarsening picks pixel (2i+1, 2j+1), the cube_jp2_decode geometry)."""
+    import pyspark.sql.functions as F
+
+    from gdalcubes_cpp_spark.operators.build import build_cube
+    from gdalcubes_cpp_spark.sources.hdf4 import attr_decode
+    from gdalcubes_cpp_spark.view import CubeView
+
+    r = np.arange(40)[:, None]
+    c = np.arange(40)[None, :]
+    rows = []
+    planes = {}
+    for k, ts in ((0, "2020-02-10"), (1, "2020-05-20")):
+        plane = (((r * 31 + c * 17 + k * 1000) % 4999) - 1500).astype(np.int16)
+        plane[k::7, 3::5] = -3000        # fill holes
+        planes[k] = plane
+        buf = hdf4_sds_bytes(
+            plane, names=["NDVI"],
+            attrs={"_FillValue": np.int16(-3000),
+                   "scale_factor": 0.0001, "add_offset": 0.5},
+        )
+        rows.append((f"h4_{k}", bytearray(buf), 40, 40, "hdf", ts,
+                     -12.05, -8.05, 18.05, 22.05))
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "ts string, left double, right double, bottom double, top double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    v = CubeView.create(
+        left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=20, ny=20,
+        t0="2020-01-01", t1="2020-12-31", dt="P3M",
+        aggregation="mean", resampling="near", chunk_size=(2, 10, 10),
+    )
+    got = {(row["it"], row["iy"], row["ix"]): row["B1"]
+           for row in build_cube(images, v, bands=("B1",),
+                                 decode_fn=attr_decode()).df.collect()}
+    for k in (0, 1):
+        w = planes[k].astype(np.float64)
+        w[w == -3000] = np.nan
+        w = w * 0.0001 + 0.5
+        for iy in range(20):
+            for ix in range(20):
+                want = w[2 * iy + 1, 2 * ix + 1]
+                gv = got.get((k, iy, ix))
+                if np.isnan(want):
+                    assert gv is None or np.isnan(gv), (k, iy, ix)
+                else:
+                    assert gv == want, (k, iy, ix)
