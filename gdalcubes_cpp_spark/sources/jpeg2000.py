@@ -1010,9 +1010,19 @@ def encode_jp2(img: np.ndarray, levels: int = 5,
     return _JP2_SIG + ftyp + jp2h + jp2c
 
 
-def decode_jp2(data: bytes) -> np.ndarray:
+def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
     """JP2 container or raw codestream -> (h, w, c) array (original dtype
-    range; uint8/uint16 by signaled depth)."""
+    range; uint8/uint16 by signaled depth).
+
+    ``reduce`` drops the ``reduce`` FINEST resolution levels (the
+    GDAL/OpenJPEG discard-level convention) — the JP2 analog of COG
+    overview pushdown: packets of the dropped resolutions are never
+    entropy-decoded (LRCP order puts them last per tile), so a coarse
+    read of a remote granule costs a fraction of the full EBCOT work.
+    Output dims are the tile-wise ceil-half composition; with the
+    customary even tile sizes that equals ceil(dim / 2**reduce). The
+    reduced image is the exact 5/3 lowpass pyramid level (what an
+    encoder's DWT produced), not a post-hoc resample."""
     buf = bytes(data)
     if buf[:12] == _JP2_SIG:
         pos = 12
@@ -1087,16 +1097,30 @@ def decode_jp2(data: bytes) -> np.ndarray:
             mb_of[(r, bi)] = _GUARD + exps[ei] - 1
             ei += 1
     shift = 1 << (depth - 1)
-    out = np.empty((h, w, nc), dtype=np.uint8 if depth == 8 else np.uint16)
+    reduce = min(max(0, int(reduce)), levels)
+    keep = levels - reduce            # highest resolution index decoded
+
+    def red(n: int) -> int:           # dim after `reduce` ceil-half steps
+        for _ in range(reduce):
+            n = (n + 1) // 2
+        return n
+
+    # reduced output geometry: tile-wise offsets by cumulative reduced dims
+    ys = [red(min(th, h - ty * th)) for ty in range(nty)]
+    xs = [red(min(tw, w - tx * tw)) for tx in range(ntx)]
+    y_off = [sum(ys[:i]) for i in range(nty)]
+    x_off = [sum(xs[:i]) for i in range(ntx)]
+    out = np.empty((sum(ys), sum(xs), nc),
+                   dtype=np.uint8 if depth == 8 else np.uint16)
     for t in range(ntx * nty):
         ty, tx = divmod(t, ntx)
-        y0, x0 = ty * th, tx * tw
-        h_t, w_t = min(th, h - y0), min(tw, w - x0)
+        h_t = min(th, h - ty * th)
+        w_t = min(tw, w - tx * tw)
         layout = _subband_layout(h_t, w_t, levels)
         tile = tiles_data[t]
         dpos = 0
         per_comp = [dict() for _ in range(nc)]
-        for r in range(levels + 1):
+        for r in range(keep + 1):     # dropped resolutions: never decoded
             for ci in range(nc):
                 meta = [
                     (name, bh, bwid, mb_of[(r, bi)])
@@ -1104,12 +1128,19 @@ def decode_jp2(data: bytes) -> np.ndarray:
                 ]
                 arrays, dpos = _decode_packet(tile, dpos, meta)
                 per_comp[ci][r] = arrays
+        rh, rw = red(h_t), red(w_t)
         for ci in range(nc):
             ll = per_comp[ci][0][0][1]
             bands = []
-            for r in range(levels, 0, -1):  # finest first for dwt53_inverse
+            for r in range(keep, 0, -1):  # finest kept first for inverse
                 d = dict(per_comp[ci][r])
                 bands.append((d["HL"], d["LH"], d["HH"]))
-            img = dwt53_inverse(ll, bands, (h_t, w_t)) + shift
-            out[y0:y0 + h_t, x0:x0 + w_t, ci] = img.astype(out.dtype)
+            img = dwt53_inverse(ll, bands, (rh, rw)) + shift
+            if reduce:
+                # the 5/3 LL band is gain-1 (constant c -> c at every
+                # level) but can ring slightly past the original range;
+                # clip to the signaled depth
+                img = np.clip(img, 0, (1 << depth) - 1)
+            out[y_off[ty]:y_off[ty] + rh, x_off[tx]:x_off[tx] + rw, ci] = \
+                img.astype(out.dtype)
     return out

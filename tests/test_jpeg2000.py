@@ -310,3 +310,50 @@ def test_multitile_missing_tile_raises():
         pos = j + 2
     with pytest.raises(ValueError, match="tile grid"):
         decode_jp2(buf[:last] + buf[-2:])
+
+
+def test_reduced_resolution_decode():
+    """reduce=k drops the k finest resolutions and reconstructs the
+    exact 5/3 lowpass pyramid level: decode(reduce=k) equals the LL of
+    dwt53_forward at level k (gain-1), dims ceil-halved k times; full
+    decode unchanged at reduce=0."""
+    from gdalcubes_cpp_spark.sources.jpeg2000 import dwt53_forward
+
+    rng = np.random.RandomState(41)
+    img = (2000 + 150 * rng.rand(96, 80)).astype(np.uint16)
+    buf = encode_jp2(img, levels=4)
+    full = decode_jp2(buf, reduce=0)
+    assert (full[:, :, 0] == img).all()
+    for k in (1, 2, 3):
+        got = decode_jp2(buf, reduce=k)
+        ll, _ = dwt53_forward(img.astype(np.int64) - 32768, k)
+        want = np.clip(ll + 32768, 0, 65535)
+        assert got.shape == (96 >> k, 80 >> k, 1)
+        assert (got[:, :, 0] == want).all(), k
+
+
+def test_reduced_resolution_multitile():
+    """Reduction composes with the tile grid (per-tile partial decode,
+    reduced offsets): each tile region equals its own lowpass."""
+    from gdalcubes_cpp_spark.sources.jpeg2000 import dwt53_forward
+
+    rng = np.random.RandomState(43)
+    img = (1000 + 500 * rng.rand(64, 96)).astype(np.uint16)
+    buf = encode_jp2(img, levels=3, tile_size=(32, 32))
+    got = decode_jp2(buf, reduce=2)
+    assert got.shape == (16, 24, 1)
+    for ty in range(2):
+        for tx in range(3):
+            tile = img[32 * ty:32 * (ty + 1), 32 * tx:32 * (tx + 1)]
+            ll, _ = dwt53_forward(tile.astype(np.int64) - 32768, 2)
+            want = np.clip(ll + 32768, 0, 65535)
+            assert (got[8 * ty:8 * (ty + 1), 8 * tx:8 * (tx + 1), 0]
+                    == want).all(), (ty, tx)
+
+
+def test_reduce_clamps_to_levels():
+    img = (np.arange(256, dtype=np.uint8)).reshape(16, 16)
+    buf = encode_jp2(img, levels=2)
+    a = decode_jp2(buf, reduce=2)
+    b = decode_jp2(buf, reduce=99)   # clamped to levels
+    assert a.shape == b.shape == (4, 4, 1) and (a == b).all()
