@@ -154,7 +154,7 @@ def encode_lossy(img: np.ndarray) -> bytes:
 def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
     """Decode PNG / lossy-stub bytes -> (h, w, c) uint8, or one of our
     GeoTIFF payloads (translate_collection output) -> (h, w, c) float64."""
-    if data[:4] == b"II*\x00":
+    if data[:4] in (b"II*\x00", b"II+\x00"):   # classic TIFF / BigTIFF
         from .sources.geotiff import read_gtiff_bytes
 
         return np.moveaxis(read_gtiff_bytes(bytes(data))["planes"], 0, -1)

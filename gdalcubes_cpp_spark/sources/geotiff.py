@@ -37,9 +37,10 @@ T_ASCII = 2
 T_SHORT = 3
 T_LONG = 4
 T_DOUBLE = 12
+T_LONG8 = 16    # BigTIFF (TIFF spec supplement 2 / BigTIFF design): u64
 
-_TYPE_SIZE = {T_ASCII: 1, T_SHORT: 2, T_LONG: 4, T_DOUBLE: 8}
-_TYPE_FMT = {T_SHORT: "<H", T_LONG: "<I", T_DOUBLE: "<d"}
+_TYPE_SIZE = {T_ASCII: 1, T_SHORT: 2, T_LONG: 4, T_DOUBLE: 8, T_LONG8: 8}
+_TYPE_FMT = {T_SHORT: "<H", T_LONG: "<I", T_DOUBLE: "<d", T_LONG8: "<Q"}
 
 # tags
 TAG_SUBFILE_TYPE = 254
@@ -86,24 +87,35 @@ def _pack_values(ftype: int, values) -> bytes:
     return b"".join(struct.pack(_TYPE_FMT[ftype], v) for v in values)
 
 
-def _build_ifd(entries: list, data_start: int) -> tuple[bytes, bytes]:
+def _build_ifd(entries: list, data_start: int,
+               big: bool = False) -> tuple[bytes, bytes]:
     """entries: [(tag, ftype, values)] -> (ifd_bytes, values_area_bytes).
-    ``data_start`` is the absolute file offset where the values area begins."""
+    ``data_start`` is the absolute file offset where the values area
+    begins. ``big``: BigTIFF IFD shape — u64 entry count, 20-byte entries
+    (count and value/offset words are u64, 8 inline bytes), u64 next."""
     entries = sorted(entries, key=lambda e: e[0])
+    cap = 8 if big else 4
+    cnt_fmt, off_fmt = ("<HHQ", "<Q") if big else ("<HHI", "<I")
     values_area = b""
     packed = []
     for tag, ftype, values in entries:
         raw = _pack_values(ftype, values)
         count = len(raw) if ftype == T_ASCII else len(values)
-        if len(raw) <= 4:
-            inline = raw + b"\x00" * (4 - len(raw))
-            packed.append(struct.pack("<HHI", tag, ftype, count) + inline)
+        if len(raw) <= cap:
+            inline = raw + b"\x00" * (cap - len(raw))
+            packed.append(struct.pack(cnt_fmt, tag, ftype, count) + inline)
         else:
             off = data_start + len(values_area)
-            packed.append(struct.pack("<HHI", tag, ftype, count) + struct.pack("<I", off))
+            packed.append(struct.pack(cnt_fmt, tag, ftype, count)
+                          + struct.pack(off_fmt, off))
             values_area += raw + (b"\x00" if len(raw) % 2 else b"")
-    ifd = struct.pack("<H", len(packed)) + b"".join(packed) + struct.pack("<I", 0)
+    head = struct.pack("<Q", len(packed)) if big else struct.pack("<H", len(packed))
+    ifd = head + b"".join(packed) + struct.pack(off_fmt, 0)
     return ifd, values_area
+
+
+def _ifd_struct_size(n_entries: int, big: bool) -> int:
+    return (8 + 20 * n_entries + 8) if big else (2 + 12 * n_entries + 4)
 
 
 def _geo_keys(srs: str) -> list:
@@ -125,12 +137,15 @@ def _geo_keys(srs: str) -> list:
 
 def gtiff_bytes(
     planes: np.ndarray, dx: float, dy: float, left: float, top: float,
-    srs: str, desc: str,
+    srs: str, desc: str, bigtiff: bool = False,
 ) -> bytes:
-    """(nb, ny, nx) float64 -> uncompressed band-sequential GeoTIFF bytes."""
+    """(nb, ny, nx) float64 -> uncompressed band-sequential GeoTIFF bytes.
+    ``bigtiff``: write TIFF version 43 (BigTIFF — u64 offsets, 20-byte
+    IFD entries), lifting classic TIFF's 4 GiB file ceiling."""
     nb, ny, nx = planes.shape
-    # layout: header(8) | IFD | values area | plane data
+    # layout: header(8|16) | IFD | values area | plane data
     plane_bytes = ny * nx * 8
+    off_t = T_LONG8 if bigtiff else T_LONG
     entries_wo_offsets = [
         (TAG_WIDTH, T_LONG, [nx]),
         (TAG_LENGTH, T_LONG, [ny]),
@@ -140,7 +155,7 @@ def gtiff_bytes(
         (TAG_DESCRIPTION, T_ASCII, desc),
         (TAG_SPP, T_SHORT, [nb]),
         (TAG_ROWS_PER_STRIP, T_LONG, [ny]),
-        (TAG_STRIP_COUNTS, T_LONG, [plane_bytes] * nb),
+        (TAG_STRIP_COUNTS, off_t, [plane_bytes] * nb),
         (TAG_PLANAR, T_SHORT, [2]),
         (TAG_SAMPLE_FORMAT, T_SHORT, [3] * nb),
         (TAG_MODEL_PIXEL_SCALE, T_DOUBLE, [dx, dy, 0.0]),
@@ -148,36 +163,46 @@ def gtiff_bytes(
         (TAG_GEO_KEYS, T_SHORT, _geo_keys(srs)),
     ]
     n_entries = len(entries_wo_offsets) + 1  # + StripOffsets
-    ifd_size = 2 + 12 * n_entries + 4
-    data_start = 8 + ifd_size
+    hdr_size = 16 if bigtiff else 8
+    ifd_size = _ifd_struct_size(n_entries, bigtiff)
+    data_start = hdr_size + ifd_size
     # two passes: strip offsets depend on the values-area size
     _, probe_values = _build_ifd(
-        entries_wo_offsets + [(TAG_STRIP_OFFSETS, T_LONG, [0] * nb)], data_start
+        entries_wo_offsets + [(TAG_STRIP_OFFSETS, off_t, [0] * nb)],
+        data_start, bigtiff,
     )
     pix_start = data_start + len(probe_values)
     strip_offsets = [pix_start + i * plane_bytes for i in range(nb)]
     ifd, values_area = _build_ifd(
-        entries_wo_offsets + [(TAG_STRIP_OFFSETS, T_LONG, strip_offsets)], data_start
+        entries_wo_offsets + [(TAG_STRIP_OFFSETS, off_t, strip_offsets)],
+        data_start, bigtiff,
     )
     assert len(values_area) == len(probe_values)
+    if bigtiff:
+        # BigTIFF header: version 43, offset size 8, pad 0, u64 first IFD
+        hdr = b"II+\x00" + struct.pack("<HHQ", 8, 0, 16)
+    else:
+        hdr = b"II*\x00" + struct.pack("<I", 8)
     return (
-        b"II*\x00" + struct.pack("<I", 8) + ifd + values_area
+        hdr + ifd + values_area
         + np.ascontiguousarray(planes, dtype="<f8").tobytes()
     )
 
 
-def write_gtiff_slice(planes: np.ndarray, view, bands, it: int, path: str) -> None:
+def write_gtiff_slice(planes: np.ndarray, view, bands, it: int, path: str,
+                      bigtiff: bool = False) -> None:
     """(nb, ny, nx) float64 -> ONE uncompressed band-sequential GeoTIFF."""
     desc = json.dumps(
         {"view": view.to_json(), "bands": list(bands), "it": it},
         separators=(",", ":"),
     )
-    buf = gtiff_bytes(planes, view.dx, view.dy, view.left, view.top, view.srs, desc)
+    buf = gtiff_bytes(planes, view.dx, view.dy, view.left, view.top, view.srs,
+                      desc, bigtiff=bigtiff)
     with open(path, "wb") as f:
         f.write(buf)
 
 
-def write_gtiff(cube, out_dir: str) -> list:
+def write_gtiff(cube, out_dir: str, bigtiff: bool = False) -> list:
     """Cube -> one GeoTIFF per time slice (src/cube.cpp:116 analog);
     returns the written paths. Slice filenames carry the slice datetime
     like the reference's <prefix>YYYY-MM-dd... naming."""
@@ -188,7 +213,7 @@ def write_gtiff(cube, out_dir: str) -> list:
     for it in range(v.nt):
         stamp = v.datetime_at(it).isoformat().replace(":", "")
         path = os.path.join(out_dir, f"cube_{it:04d}_{stamp}.tif")
-        write_gtiff_slice(dense[:, it], v, cube.bands, it, path)
+        write_gtiff_slice(dense[:, it], v, cube.bands, it, path, bigtiff)
         paths.append(path)
     return paths
 
@@ -278,6 +303,7 @@ def _tile_plane(p: np.ndarray, tw: int, th: int) -> list:
 def cog_bytes(
     planes: np.ndarray, dx: float, dy: float, left: float, top: float,
     srs: str, desc: str, tile: int = 256, levels=(2, 4),
+    bigtiff: bool = False,
 ) -> bytes:
     """(nb, ny, nx) float64 -> COG bytes: full-res IFD + one reduced-
     resolution IFD per overview level, deflate-compressed tiles,
@@ -311,7 +337,7 @@ def cog_bytes(
             (TAG_PLANAR, T_SHORT, [2]),
             (TAG_TILE_WIDTH, T_SHORT, [tile]),
             (TAG_TILE_LENGTH, T_SHORT, [tile]),
-            (TAG_TILE_OFFSETS, T_LONG, tile_offsets),
+            (TAG_TILE_OFFSETS, T_LONG8 if bigtiff else T_LONG, tile_offsets),
             (TAG_TILE_COUNTS, T_LONG, [len(t) for t in lev["tiles"]]),
             (TAG_SAMPLE_FORMAT, T_SHORT, [3] * nb),
         ]
@@ -325,12 +351,12 @@ def cog_bytes(
         return ent
 
     # layout pass 1 with dummy offsets: learn each IFD + values-area size
-    pos = 8
+    pos = 16 if bigtiff else 8
     spans = []  # (ifd_start, values_start) per level
     for i, lev in enumerate(per_level):
         dummy = entries_for(i, lev, [0] * len(lev["tiles"]))
-        ifd_size = 2 + 12 * len(dummy) + 4
-        _, values = _build_ifd(dummy, 0)
+        ifd_size = _ifd_struct_size(len(dummy), bigtiff)
+        _, values = _build_ifd(dummy, 0, bigtiff)
         spans.append((pos, pos + ifd_size, len(values)))
         pos += ifd_size + len(values)
     data_start = pos
@@ -347,14 +373,21 @@ def cog_bytes(
         level_offsets[i] = offs
 
     out = bytearray()
-    out += b"II*\x00" + struct.pack("<I", 8)
+    if bigtiff:
+        out += b"II+\x00" + struct.pack("<HHQ", 8, 0, 16)
+    else:
+        out += b"II*\x00" + struct.pack("<I", 8)
     for i, lev in enumerate(per_level):
         ifd_start, values_start, values_len = spans[i]
-        ifd, values = _build_ifd(entries_for(i, lev, level_offsets[i]), values_start)
+        ifd, values = _build_ifd(entries_for(i, lev, level_offsets[i]),
+                                 values_start, bigtiff)
         assert len(values) == values_len
-        # chain: next-IFD pointer is the last 4 bytes of the IFD block
+        # chain: next-IFD pointer is the last offset word of the IFD block
         next_off = spans[i + 1][0] if i + 1 < len(per_level) else 0
-        ifd = ifd[:-4] + struct.pack("<I", next_off)
+        if bigtiff:
+            ifd = ifd[:-8] + struct.pack("<Q", next_off)
+        else:
+            ifd = ifd[:-4] + struct.pack("<I", next_off)
         assert len(out) == ifd_start
         out += ifd + values
     # emit tile data in file order (ascending offsets)
@@ -367,20 +400,22 @@ def cog_bytes(
     return bytes(out)
 
 
-def write_cog_slice(planes, view, bands, it, path, tile: int = 256, levels=(2, 4)):
+def write_cog_slice(planes, view, bands, it, path, tile: int = 256,
+                    levels=(2, 4), bigtiff: bool = False):
     desc = json.dumps(
         {"view": view.to_json(), "bands": list(bands), "it": it},
         separators=(",", ":"),
     )
     buf = cog_bytes(
         planes, view.dx, view.dy, view.left, view.top, view.srs, desc,
-        tile=tile, levels=levels,
+        tile=tile, levels=levels, bigtiff=bigtiff,
     )
     with open(path, "wb") as f:
         f.write(buf)
 
 
-def write_cog(cube, out_dir: str, tile: int = 256, levels=(2, 4)) -> list:
+def write_cog(cube, out_dir: str, tile: int = 256, levels=(2, 4),
+              bigtiff: bool = False) -> list:
     """Cube -> one COG per time slice (tiled + deflate + overviews)."""
     os.makedirs(out_dir, exist_ok=True)
     v = cube.view
@@ -389,7 +424,8 @@ def write_cog(cube, out_dir: str, tile: int = 256, levels=(2, 4)) -> list:
     for it in range(v.nt):
         stamp = v.datetime_at(it).isoformat().replace(":", "")
         path = os.path.join(out_dir, f"cube_{it:04d}_{stamp}.tif")
-        write_cog_slice(dense[:, it], v, cube.bands, it, path, tile, levels)
+        write_cog_slice(dense[:, it], v, cube.bands, it, path, tile, levels,
+                        bigtiff=bigtiff)
         paths.append(path)
     return paths
 
@@ -399,22 +435,29 @@ def write_cog(cube, out_dir: str, tile: int = 256, levels=(2, 4)) -> list:
 # _TYPE_SIZE/_TYPE_FMT still appear in external files (RATIONAL
 # XResolution, BYTE GDAL tags) and must parse — or be skipped — cleanly.
 _IFD_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-                  10: 8, 11: 4, 12: 8}
+                  10: 8, 11: 4, 12: 8, 13: 4, 16: 8, 17: 8, 18: 8}
 _IFD_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i",
-                 11: "f", 12: "d"}
+                 11: "f", 12: "d", 13: "I", 16: "Q", 17: "q", 18: "Q"}
 
 
-def _parse_ifd(buf: bytes, off: int):
-    (n,) = struct.unpack_from("<H", buf, off)
+def _parse_ifd(buf: bytes, off: int, big: bool = False):
+    if big:
+        (n,) = struct.unpack_from("<Q", buf, off)
+        base, stride, cap = off + 8, 20, 8
+        ent_fmt, off_fmt = "<HHQ", "<Q"
+    else:
+        (n,) = struct.unpack_from("<H", buf, off)
+        base, stride, cap = off + 2, 12, 4
+        ent_fmt, off_fmt = "<HHI", "<I"
     tags = {}
     for i in range(n):
-        tag, ftype, count = struct.unpack_from("<HHI", buf, off + 2 + 12 * i)
+        tag, ftype, count = struct.unpack_from(ent_fmt, buf, base + stride * i)
         if ftype not in _IFD_TYPE_SIZE:
             continue  # unknown/vendor field type: skip, don't crash
         size = _IFD_TYPE_SIZE[ftype] * count
-        vo = off + 2 + 12 * i + 8
-        if size > 4:
-            (vo,) = struct.unpack_from("<I", buf, vo)
+        vo = base + stride * i + (stride - cap)
+        if size > cap:
+            (vo,) = struct.unpack_from(off_fmt, buf, vo)
         if ftype == T_ASCII:
             tags[tag] = buf[vo:vo + count].split(b"\x00")[0].decode()
         elif ftype in (5, 10):  # (S)RATIONAL: pairs of (s)longs -> float
@@ -425,7 +468,7 @@ def _parse_ifd(buf: bytes, off: int):
         else:
             fmt = "<" + _IFD_TYPE_FMT[ftype] * count
             tags[tag] = list(struct.unpack_from(fmt, buf, vo))
-    (next_off,) = struct.unpack_from("<I", buf, off + 2 + 12 * n)
+    (next_off,) = struct.unpack_from(off_fmt, buf, base + stride * n)
     return tags, next_off
 
 
@@ -576,12 +619,10 @@ def read_cog_bytes(buf: bytes) -> dict:
     """Parse a (possibly tiled/compressed/multi-IFD) file of ours: returns
     the full-res dict of read_gtiff_bytes plus ``overviews``: a list of
     {planes, level_shape} reduced-resolution IFDs."""
-    if buf[:4] != b"II*\x00":
-        raise ValueError("not a little-endian classic TIFF")
-    (off,) = struct.unpack_from("<I", buf, 4)
+    big, off = _tiff_header(buf)
     ifds = []
     while off:
-        tags, off = _parse_ifd(buf, off)
+        tags, off = _parse_ifd(buf, off, big)
         ifds.append(tags)
     main = ifds[0]
     try:
@@ -608,6 +649,20 @@ def read_cog_bytes(buf: bytes) -> dict:
     }
 
 
+def _tiff_header(buf: bytes):
+    """-> (is_bigtiff, first_ifd_offset); validates the magic."""
+    if buf[:4] == b"II*\x00":
+        (off,) = struct.unpack_from("<I", buf, 4)
+        return False, off
+    if buf[:4] == b"II+\x00":
+        osize, pad = struct.unpack_from("<HH", buf, 4)
+        if (osize, pad) != (8, 0):
+            raise ValueError(f"unsupported BigTIFF offset size {osize}")
+        (off,) = struct.unpack_from("<Q", buf, 8)
+        return True, off
+    raise ValueError("not a little-endian classic TIFF or BigTIFF")
+
+
 def _ifds_before_data(buf: bytes, ifds: list) -> bool:
     """The COG property: every IFD (and its values) precedes all pixel data."""
     first_data = min(
@@ -616,12 +671,17 @@ def _ifds_before_data(buf: bytes, ifds: list) -> bool:
     # the last IFD structure must end before the first data offset; IFD
     # positions are implicit, so approximate via the values referenced by
     # offsets: conservative check on the chain head positions
-    (off,) = struct.unpack_from("<I", buf, 4)
+    big, off = _tiff_header(buf)
     last_end = 0
     while off:
-        (n,) = struct.unpack_from("<H", buf, off)
-        last_end = max(last_end, off + 2 + 12 * n + 4)
-        (off,) = struct.unpack_from("<I", buf, off + 2 + 12 * n)
+        if big:
+            (n,) = struct.unpack_from("<Q", buf, off)
+            last_end = max(last_end, off + _ifd_struct_size(n, True))
+            (off,) = struct.unpack_from("<Q", buf, off + 8 + 20 * n)
+        else:
+            (n,) = struct.unpack_from("<H", buf, off)
+            last_end = max(last_end, off + _ifd_struct_size(n, False))
+            (off,) = struct.unpack_from("<I", buf, off + 2 + 12 * n)
     return last_end <= first_data
 
 
@@ -640,10 +700,12 @@ def _encode_slice_group(pdf, view, bands, out_dir, flavor, tile, levels):
         planes[bi, iy, ix] = vals
     stamp = view.datetime_at(it).isoformat().replace(":", "")
     path = os.path.join(out_dir, f"cube_{it:04d}_{stamp}.tif")
-    if flavor == "cog":
-        write_cog_slice(planes, view, bands, it, path, tile=tile, levels=levels)
+    big = flavor.endswith("8")   # "gtiff8"/"cog8" = BigTIFF variants
+    if flavor.startswith("cog"):
+        write_cog_slice(planes, view, bands, it, path, tile=tile,
+                        levels=levels, bigtiff=big)
     else:
-        write_gtiff_slice(planes, view, bands, it, path)
+        write_gtiff_slice(planes, view, bands, it, path, bigtiff=big)
     return pd.DataFrame({"it": [it], "path": [path], "nbytes": [os.path.getsize(path)]})
 
 

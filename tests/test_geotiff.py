@@ -470,3 +470,91 @@ def test_packbits_decode():
                  + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10)
     assert _packbits_decode(enc) == want
     assert _packbits_decode(bytes([128]) + enc) == want  # leading no-op
+
+
+# ---------------------------------------------------------------------------
+# BigTIFF (TIFF version 43: u64 offsets, 20-byte IFD entries)
+# ---------------------------------------------------------------------------
+
+def test_bigtiff_striped_roundtrip():
+    """bigtiff=True writes version 43 with u64 strip offsets/counts; the
+    reader auto-detects; values identical to the classic file."""
+    planes = tiny_planes()
+    classic = gt.gtiff_bytes(planes, 1.0, 1.0, 0.0, 4.0, "EPSG:4326", "d")
+    big = gt.gtiff_bytes(planes, 1.0, 1.0, 0.0, 4.0, "EPSG:4326", "d",
+                         bigtiff=True)
+    assert classic[:4] == b"II*\x00" and big[:4] == b"II+\x00"
+    osize, pad, first = struct.unpack_from("<HHQ", big, 4)
+    assert (osize, pad, first) == (8, 0, 16)
+    a = gt.read_gtiff_bytes(classic)["planes"]
+    b = gt.read_gtiff_bytes(big)["planes"]
+    assert np.array_equal(a, b, equal_nan=True)
+    assert np.array_equal(b, planes, equal_nan=True)
+
+
+def test_bigtiff_ifd_structure():
+    """Byte-level conformance: u64 entry count, 20-byte entries with u64
+    count and value/offset words, u64 next-IFD terminator."""
+    big = gt.gtiff_bytes(tiny_planes(), 1.0, 1.0, 0.0, 4.0,
+                         "EPSG:4326", "d", bigtiff=True)
+    (n,) = struct.unpack_from("<Q", big, 16)
+    assert n == 15
+    # every entry's type is a known field type and count sane
+    for i in range(n):
+        tag, ftype, count = struct.unpack_from("<HHQ", big, 24 + 20 * i)
+        assert ftype in gt._IFD_TYPE_SIZE and 1 <= count < 10000
+    (nxt,) = struct.unpack_from("<Q", big, 24 + 20 * n)
+    assert nxt == 0
+    # strip offsets are LONG8
+    tags, _ = gt._parse_ifd(big, 16, big=True)
+    assert tags[gt.TAG_STRIP_OFFSETS][0] > 16
+
+
+def test_bigtiff_cog_roundtrip():
+    """COG flavor in BigTIFF: multi-IFD chain with u64 next pointers,
+    overviews intact, IFDs-before-data property preserved."""
+    rng = np.random.RandomState(5)
+    planes = rng.rand(2, 70, 90) * 100
+    classic = gt.cog_bytes(planes, 1.0, 1.0, 0.0, 70.0, "EPSG:3857", "d",
+                           tile=32, levels=(2,))
+    big = gt.cog_bytes(planes, 1.0, 1.0, 0.0, 70.0, "EPSG:3857", "d",
+                       tile=32, levels=(2,), bigtiff=True)
+    assert big[:4] == b"II+\x00"
+    ca, cb = gt.read_cog_bytes(classic), gt.read_cog_bytes(big)
+    assert np.array_equal(ca["planes"], cb["planes"], equal_nan=True)
+    assert len(cb["overviews"]) == 1
+    assert np.array_equal(ca["overviews"][0]["planes"],
+                          cb["overviews"][0]["planes"], equal_nan=True)
+    assert cb["ifds_before_data"]
+
+
+def test_bigtiff_codecs_dispatch():
+    """codecs.decode sniffs the BigTIFF magic."""
+    from gdalcubes_cpp_spark import codecs
+
+    planes = tiny_planes()
+    big = gt.gtiff_bytes(planes, 1.0, 1.0, 0.0, 4.0, "EPSG:4326", "d",
+                         bigtiff=True)
+    out = codecs.decode(big)
+    assert out.shape == (4, 4, 2)
+    assert np.array_equal(np.moveaxis(out, -1, 0), planes, equal_nan=True)
+
+
+def test_bigtiff_distributed_flavors(spark, tmp_path):
+    """The distributed writer's gtiff8/cog8 flavors produce BigTIFF files
+    byte-identical to the driver-side bigtiff writers."""
+    from gdalcubes_cpp_spark.sources.collection import formula_cube
+
+    v = tiny_view()
+    cube = formula_cube(spark, v, {
+        "B1": "CAST(it*3 + iy + ix AS DOUBLE)",
+        "B2": "CAST(it + iy*2 + ix AS DOUBLE)",
+    })
+    a = str(tmp_path / "gather")
+    b = str(tmp_path / "dist")
+    gt.write_gtiff(cube, a, bigtiff=True)
+    gt.write_gtiff_distributed(cube, b, flavor="gtiff8")
+    for f in sorted(os.listdir(a)):
+        ba = open(os.path.join(a, f), "rb").read()
+        bb = open(os.path.join(b, f), "rb").read()
+        assert ba[:4] == b"II+\x00" and ba == bb, f
