@@ -1046,6 +1046,8 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
     w = h = nc = depth = levels = None
     tw = th = None
     exps = None
+    guard = _GUARD
+    qcc = {}      # per-component (guard, exps) overrides (QCC markers)
     tiles_data: dict[int, bytes] = {}
     while pos < len(buf):
         code = struct.unpack_from(">H", buf, pos)[0]
@@ -1066,10 +1068,34 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
                 raise ValueError("irreversible 9/7 codestreams unsupported")
             if nlayers != 1 or scod & 1:
                 raise ValueError("multi-layer/precinct codestreams unsupported")
+            # with one layer and maximal precincts the packet order of
+            # LRCP/RLCP/RPCL coincides (res-major, then component); the
+            # position- and component-major orders only coincide for a
+            # single component
+            if prog not in (0, 1, 2) and nc != 1:
+                raise ValueError(f"progression order {prog} unsupported "
+                                 "for multi-component streams")
+        elif code == 0xFF53:  # COC: per-component coding style override
+            ci = seg[0] if nc < 257 else struct.unpack_from(">H", seg, 0)[0]
+            o = 1 if nc < 257 else 2
+            if seg[o] & 1:
+                raise ValueError("COC precinct partition unsupported")
+            c_levels = seg[o + 1]
+            c_transform = seg[o + 5]
+            if c_levels != levels or c_transform != 1:
+                raise ValueError("COC overrides that differ from the COD "
+                                 "(levels/transform) are unsupported")
         elif code == 0xFF5C:  # QCD
             if seg[0] & 0x1F:
                 raise ValueError("quantized (lossy) codestreams unsupported")
+            guard = seg[0] >> 5
             exps = [b >> 3 for b in seg[1:]]
+        elif code == 0xFF5D:  # QCC: per-component quantization override
+            ci = seg[0] if nc < 257 else struct.unpack_from(">H", seg, 0)[0]
+            o = 1 if nc < 257 else 2
+            if seg[o] & 0x1F:
+                raise ValueError("quantized (lossy) QCC unsupported")
+            qcc[ci] = (seg[o] >> 5, [b >> 3 for b in seg[o + 1:]])
         elif code == 0xFF90:  # SOT
             isot, psot, _tp, _tn = struct.unpack_from(">HIBB", seg, 0)
             sod_at = pos + 2 + ln
@@ -1091,11 +1117,13 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
         raise ValueError(f"tile grid {ntx}x{nty} but SOT indices {sorted(tiles_data)}")
     mb_of = {}
     nbands = [1] + [3] * levels
-    ei = 0
-    for r in range(levels + 1):
-        for bi in range(nbands[r]):
-            mb_of[(r, bi)] = _GUARD + exps[ei] - 1
-            ei += 1
+    for ci in range(nc):
+        g, ex = qcc.get(ci, (guard, exps))
+        ei = 0
+        for r in range(levels + 1):
+            for bi in range(nbands[r]):
+                mb_of[(ci, r, bi)] = g + ex[ei] - 1
+                ei += 1
     shift = 1 << (depth - 1)
     reduce = min(max(0, int(reduce)), levels)
     keep = levels - reduce            # highest resolution index decoded
@@ -1123,7 +1151,7 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
         for r in range(keep + 1):     # dropped resolutions: never decoded
             for ci in range(nc):
                 meta = [
-                    (name, bh, bwid, mb_of[(r, bi)])
+                    (name, bh, bwid, mb_of[(ci, r, bi)])
                     for bi, (name, bh, bwid) in enumerate(layout[r])
                 ]
                 arrays, dpos = _decode_packet(tile, dpos, meta)

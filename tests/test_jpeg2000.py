@@ -357,3 +357,95 @@ def test_reduce_clamps_to_levels():
     a = decode_jp2(buf, reduce=2)
     b = decode_jp2(buf, reduce=99)   # clamped to levels
     assert a.shape == b.shape == (4, 4, 1) and (a == b).all()
+
+
+# ---------------------------------------------------------------------------
+# External-encoder tolerance: progression orders, QCC/COC markers, guard bits
+# ---------------------------------------------------------------------------
+
+def _set_cod_prog(code: bytes, prog: int) -> bytes:
+    b = bytearray(code)
+    i = b.find(b"\xff\x52")
+    b[i + 5] = prog          # SGcod progression byte (after Scod)
+    return bytes(b)
+
+
+def test_progression_order_tolerance():
+    """With one layer + maximal precincts the packet order of LRCP/RLCP/
+    RPCL coincides — all three decode; position/component-major orders
+    raise for multi-component but decode for single-component."""
+    rng = np.random.RandomState(53)
+    mono = rng.randint(0, 3000, (32, 32)).astype(np.uint16)
+    multi = rng.randint(0, 3000, (32, 32, 2)).astype(np.uint16)
+    code_m = encode_j2k(multi, levels=2)
+    for prog in (1, 2):
+        out = decode_jp2(_set_cod_prog(code_m, prog))
+        assert (out == multi).all(), prog
+    with pytest.raises(ValueError, match="progression"):
+        decode_jp2(_set_cod_prog(code_m, 3))
+    code_1 = encode_j2k(mono, levels=2)
+    for prog in (1, 2, 3, 4):
+        assert (decode_jp2(_set_cod_prog(code_1, prog))[:, :, 0] == mono).all()
+
+
+def test_guard_bits_honored():
+    """The decoder derives Mb from the SIGNALED guard bits, not a
+    constant: rewriting Sqcd to guard+1 with every exponent-1 keeps
+    Mb identical, so the stream still decodes bit-exactly."""
+    img = (np.arange(24 * 24, dtype=np.uint16).reshape(24, 24) * 7) % 2500
+    code = bytearray(encode_j2k(img, levels=2))
+    i = code.find(b"\xff\x5c")
+    (ln,) = struct.unpack_from(">H", code, i + 2)
+    sqcd = code[i + 4]
+    code[i + 4] = ((sqcd >> 5) + 1) << 5 | (sqcd & 0x1F)
+    for k in range(i + 5, i + 2 + ln):
+        code[k] = ((code[k] >> 3) - 1) << 3
+    assert (decode_jp2(bytes(code))[:, :, 0] == img).all()
+
+
+def test_qcc_per_component_override():
+    """A QCC marker overrides the QCD for its component (per-component
+    guard/exponents): inject an equivalent-Mb QCC for component 1 —
+    decode must honor it and stay bit-exact."""
+    rng = np.random.RandomState(59)
+    img = rng.randint(0, 2000, (16, 16, 2)).astype(np.uint16)
+    code = bytearray(encode_j2k(img, levels=1))
+    i = code.find(b"\xff\x5c")
+    (ln,) = struct.unpack_from(">H", code, i + 2)
+    qcd = bytes(code[i + 4:i + 2 + ln])
+    sqcd, spqcd = qcd[0], qcd[1:]
+    # component 1: guard+1, exponents-1 -> same Mb per subband
+    qcc_body = bytes([1, ((sqcd >> 5) + 1) << 5]) + bytes(
+        ((b >> 3) - 1) << 3 for b in spqcd)
+    qcc = b"\xff\x5d" + struct.pack(">H", len(qcc_body) + 2) + qcc_body
+    code[i + 2 + ln:i + 2 + ln] = qcc     # insert right after QCD
+    assert (decode_jp2(bytes(code)) == img).all()
+    # a LOSSY (quantized) QCC raises
+    bad_body = bytes([1, (qcc_body[1] & 0xE0) | 1]) + qcc_body[2:]
+    bad = b"\xff\x5d" + struct.pack(">H", len(bad_body) + 2) + bad_body
+    code2 = bytearray(encode_j2k(img, levels=1))
+    code2[i + 2 + ln:i + 2 + ln] = bad
+    with pytest.raises(ValueError, match="QCC"):
+        decode_jp2(bytes(code2))
+
+
+def test_coc_markers():
+    """COC overrides matching the COD pass through; differing levels
+    raise (honest partial support, not silent wrong pixels)."""
+    img = (np.arange(16 * 16, dtype=np.uint8)).reshape(16, 16)
+    code = bytearray(encode_j2k(img, levels=2))
+    i = code.find(b"\xff\x52")
+    (ln,) = struct.unpack_from(">H", code, i + 2)
+    # consistent COC for comp 0: Scoc=0, levels=2, cb=64 exps, no precincts,
+    # reversible  (SPcoc mirrors the COD's SPcod)
+    spcod = bytes(code[i + 9:i + 2 + ln])   # levels..transform
+    coc_body = bytes([0, 0]) + spcod
+    coc = b"\xff\x53" + struct.pack(">H", len(coc_body) + 2) + coc_body
+    code[i + 2 + ln:i + 2 + ln] = coc
+    assert (decode_jp2(bytes(code))[:, :, 0] == img).all()
+    bad_body = bytes([0, 0, spcod[0] + 1]) + spcod[1:]
+    bad = b"\xff\x53" + struct.pack(">H", len(bad_body) + 2) + bad_body
+    code2 = bytearray(encode_j2k(img, levels=2))
+    code2[i + 2 + ln:i + 2 + ln] = bad
+    with pytest.raises(ValueError, match="COC"):
+        decode_jp2(bytes(code2))
