@@ -549,9 +549,10 @@ def _ifd_planes(buf: bytes, tags: dict) -> np.ndarray:
     if comp not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported compression {comp}")
     # PlanarConfiguration defaults to 1 (chunky) and may be absent in
-    # minimal single-band files (TIFF 6.0 baseline default)
-    if tags.get(TAG_PLANAR, [1])[0] != 2 and nb != 1:
-        raise ValueError("expected band-sequential planes (or a single band)")
+    # minimal single-band files (TIFF 6.0 baseline default); chunky
+    # multi-band (the GDAL PLANARCONFIG_CONTIG default: samples
+    # interleaved per pixel) de-interleaves on read
+    chunky = tags.get(TAG_PLANAR, [1])[0] != 2
     sf = tags.get(TAG_SAMPLE_FORMAT, [1] * nb)
     bits = tags[TAG_BITS]
     if len(set(sf)) != 1 or len(set(bits)) != 1:
@@ -566,7 +567,7 @@ def _ifd_planes(buf: bytes, tags: dict) -> np.ndarray:
     if predictor == 2 and dt.kind == "f":
         raise ValueError("predictor=2 applies to integer samples only")
 
-    def block(off, cnt, rows, cols):
+    def block(off, cnt, rows, cols, spp=1):
         raw = buf[off:off + cnt]
         if comp == 8:
             raw = zlib.decompress(raw)
@@ -574,10 +575,12 @@ def _ifd_planes(buf: bytes, tags: dict) -> np.ndarray:
             raw = _lzw_decode(raw)
         elif comp == 32773:
             raw = _packbits_decode(raw)
-        a = np.frombuffer(raw, dtype=dt, count=rows * cols).reshape(rows, cols)
+        a = np.frombuffer(raw, dtype=dt, count=rows * cols * spp)
+        a = a.reshape((rows, cols, spp) if spp > 1 else (rows, cols))
         if predictor == 2:
-            # horizontal differencing: each sample stores the delta to its
-            # left neighbor; integer cumsum (wrapping) restores the row
+            # horizontal differencing: each sample stores the delta to the
+            # SAME channel of the left pixel; integer cumsum (wrapping)
+            # over the column axis restores the row for both layouts
             a = np.cumsum(a, axis=1, dtype=dt)
         return a
 
@@ -587,18 +590,39 @@ def _ifd_planes(buf: bytes, tags: dict) -> np.ndarray:
         ntx = -(-nx // tw)
         nty = -(-ny // th)
         per_plane = ntx * nty
-        for b in range(nb):
+        if chunky and nb > 1:
+            # one tile grid, samples interleaved per pixel
             for i in range(per_plane):
-                off = tags[TAG_TILE_OFFSETS][b * per_plane + i]
-                cnt = tags[TAG_TILE_COUNTS][b * per_plane + i]
-                t = block(off, cnt, th, tw)
+                off = tags[TAG_TILE_OFFSETS][i]
+                cnt = tags[TAG_TILE_COUNTS][i]
+                t = block(off, cnt, th, tw, nb)
                 ty, tx = divmod(i, ntx)
-                planes[b, ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw] = (
-                    t[: min(th, ny - ty * th), : min(tw, nx - tx * tw)]
+                rr, cc = min(th, ny - ty * th), min(tw, nx - tx * tw)
+                planes[:, ty * th:ty * th + rr, tx * tw:tx * tw + cc] = (
+                    np.moveaxis(t[:rr, :cc], -1, 0)
                 )
+        else:
+            for b in range(nb):
+                for i in range(per_plane):
+                    off = tags[TAG_TILE_OFFSETS][b * per_plane + i]
+                    cnt = tags[TAG_TILE_COUNTS][b * per_plane + i]
+                    t = block(off, cnt, th, tw)
+                    ty, tx = divmod(i, ntx)
+                    planes[b, ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw] = (
+                        t[: min(th, ny - ty * th), : min(tw, nx - tx * tw)]
+                    )
     else:
         offs, cnts = tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_COUNTS]
-        if len(offs) == nb:
+        if chunky and nb > 1:
+            # GDAL's default: interleaved rows in rows_per_strip strips
+            rps = tags.get(TAG_ROWS_PER_STRIP, [ny])[0]
+            y = 0
+            for off, cnt in zip(offs, cnts):
+                rows = min(rps, ny - y)
+                planes[:, y:y + rows] = np.moveaxis(
+                    block(off, cnt, rows, nx, nb), -1, 0)
+                y += rows
+        elif len(offs) == nb and not chunky:
             # our layout: one full-plane strip per band
             for b, (off, cnt) in enumerate(zip(offs, cnts)):
                 planes[b] = block(off, cnt, ny, nx)
@@ -611,7 +635,19 @@ def _ifd_planes(buf: bytes, tags: dict) -> np.ndarray:
                 planes[0, y:y + rows] = block(off, cnt, rows, nx)
                 y += rows
         else:
-            raise ValueError("multi-band multi-strip layout unsupported")
+            # band-sequential with multiple strips per band: strips run
+            # through band 0's rows, then band 1's, ... (TIFF 6.0 §13)
+            rps = tags.get(TAG_ROWS_PER_STRIP, [ny])[0]
+            per_band = -(-ny // rps)
+            if len(offs) != per_band * nb:
+                raise ValueError("inconsistent strip count")
+            for b in range(nb):
+                y = 0
+                for s in range(per_band):
+                    off, cnt = offs[b * per_band + s], cnts[b * per_band + s]
+                    rows = min(rps, ny - y)
+                    planes[b, y:y + rows] = block(off, cnt, rows, nx)
+                    y += rows
     return planes
 
 

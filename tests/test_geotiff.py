@@ -558,3 +558,99 @@ def test_bigtiff_distributed_flavors(spark, tmp_path):
         ba = open(os.path.join(a, f), "rb").read()
         bb = open(os.path.join(b, f), "rb").read()
         assert ba[:4] == b"II+\x00" and ba == bb, f
+
+
+# ---------------------------------------------------------------------------
+# External chunky (PlanarConfiguration=1) multi-band layouts — GDAL's default
+# ---------------------------------------------------------------------------
+
+def _external_tiff(planes, chunky, tiled=False, rps=None, predictor=1):
+    """Hand-assemble an external-style uint16 TIFF: chunky (interleaved)
+    or band-sequential, strips or tiles, optional predictor=2."""
+    nb, ny, nx = planes.shape
+    data = b""
+    entries = [
+        (gt.TAG_WIDTH, gt.T_LONG, [nx]),
+        (gt.TAG_LENGTH, gt.T_LONG, [ny]),
+        (gt.TAG_BITS, gt.T_SHORT, [16] * nb),
+        (gt.TAG_COMPRESSION, gt.T_SHORT, [1]),
+        (gt.TAG_PHOTOMETRIC, gt.T_SHORT, [1]),
+        (gt.TAG_SPP, gt.T_SHORT, [nb]),
+        (gt.TAG_SAMPLE_FORMAT, gt.T_SHORT, [1] * nb),
+        (gt.TAG_PLANAR, gt.T_SHORT, [1 if chunky else 2]),
+        (gt.TAG_PREDICTOR, gt.T_SHORT, [predictor]),
+    ]
+
+    def enc(a):   # (rows, cols[, spp]) -> bytes, with optional differencing
+        if predictor == 2:
+            a = np.concatenate([a[:, :1], np.diff(a.astype(np.int64), axis=1)],
+                               axis=1).astype(np.uint16)
+        return np.ascontiguousarray(a, dtype="<u2").tobytes()
+
+    blocks = []
+    if tiled:
+        twid = 8
+        ntx, nty = -(-nx // twid), -(-ny // twid)
+        entries += [(gt.TAG_TILE_WIDTH, gt.T_SHORT, [twid]),
+                    (gt.TAG_TILE_LENGTH, gt.T_SHORT, [twid])]
+        src = np.moveaxis(planes, 0, -1) if chunky else None
+        bands = [None] if chunky else range(nb)
+        for b in bands:
+            for ty in range(nty):
+                for tx in range(ntx):
+                    pad_shape = (twid, twid, nb) if chunky else (twid, twid)
+                    t = np.zeros(pad_shape, dtype=np.uint16)
+                    blk = (src if chunky else planes[b])[
+                        ty * twid:(ty + 1) * twid, tx * twid:(tx + 1) * twid]
+                    t[:blk.shape[0], :blk.shape[1]] = blk
+                    blocks.append(enc(t))
+        otag, ctag = gt.TAG_TILE_OFFSETS, gt.TAG_TILE_COUNTS
+    else:
+        rps = rps or ny
+        entries.append((gt.TAG_ROWS_PER_STRIP, gt.T_LONG, [rps]))
+        if chunky:
+            src = np.moveaxis(planes, 0, -1)
+            for y in range(0, ny, rps):
+                blocks.append(enc(src[y:y + rps]))
+        else:
+            for b in range(nb):
+                for y in range(0, ny, rps):
+                    blocks.append(enc(planes[b][y:y + rps]))
+        otag, ctag = gt.TAG_STRIP_OFFSETS, gt.TAG_STRIP_COUNTS
+    n_entries = len(entries) + 2
+    ifd_size = gt._ifd_struct_size(n_entries, False)
+    data_start = 8 + ifd_size
+    _, probe = gt._build_ifd(
+        entries + [(otag, gt.T_LONG, [0] * len(blocks)),
+                   (ctag, gt.T_LONG, [len(b) for b in blocks])], data_start)
+    pos = data_start + len(probe)
+    offs = []
+    for b in blocks:
+        offs.append(pos)
+        pos += len(b)
+    ifd, values = gt._build_ifd(
+        entries + [(otag, gt.T_LONG, offs),
+                   (ctag, gt.T_LONG, [len(b) for b in blocks])], data_start)
+    assert len(values) == len(probe)
+    return b"II*\x00" + struct.pack("<I", 8) + ifd + values + b"".join(blocks)
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_external_chunky_multiband(tiled, predictor):
+    rng = np.random.RandomState(61)
+    planes = rng.randint(0, 60000, (3, 11, 13)).astype(np.uint16)
+    buf = _external_tiff(planes, chunky=True, tiled=tiled, rps=4,
+                         predictor=predictor)
+    got = gt.read_gtiff_bytes(buf)["planes"]
+    assert np.array_equal(got, planes)
+
+
+def test_external_bandseq_multistrip():
+    """Band-sequential with several strips per band (TIFF 6.0 §13 strip
+    ordering: all of band 0's strips, then band 1's) — previously raised."""
+    rng = np.random.RandomState(67)
+    planes = rng.randint(0, 60000, (2, 10, 6)).astype(np.uint16)
+    buf = _external_tiff(planes, chunky=False, rps=3)
+    got = gt.read_gtiff_bytes(buf)["planes"]
+    assert np.array_equal(got, planes)
