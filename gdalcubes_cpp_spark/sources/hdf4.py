@@ -280,8 +280,11 @@ def hdf4_sds_bytes(arrays, names=None, compress: str | None = None,
         arrays = [arrays]
     arrays = [np.asarray(a) for a in arrays]
     for a in arrays:
-        if a.ndim != 2:
-            raise ValueError("each SDS must be a 2-D array")
+        if a.ndim not in (2, 3):
+            raise ValueError("each SDS must be a 2-D or 3-D array")
+        if a.ndim == 3 and (chunks is not None or linked is not None):
+            raise ValueError("3-D SDS supports contiguous/compressed "
+                             "storage only")
         if str(a.dtype.name) not in _DTYPE_TO_DFNT:
             raise ValueError(f"unsupported dtype {a.dtype}")
     if names is None:
@@ -309,10 +312,10 @@ def hdf4_sds_bytes(arrays, names=None, compress: str | None = None,
         # NT: version=1, type, width(bits), class (IEEE/MBO = 1)
         elems.append((DFTAG_NT, ref, struct.pack(">BBBB", 1, dfnt, width, 1)))
         # SDD: rank, dims, (tag,ref) of data NT, rank x (tag,ref) scale NTs
-        h, w = a.shape
-        sdd = struct.pack(">H", 2) + struct.pack(">II", h, w)
+        sdd = struct.pack(">H", a.ndim)
+        sdd += b"".join(struct.pack(">I", d) for d in a.shape)
         sdd += struct.pack(">HH", DFTAG_NT, ref)
-        sdd += struct.pack(">HH", DFTAG_NT, ref) * 2
+        sdd += struct.pack(">HH", DFTAG_NT, ref) * a.ndim
         elems.append((DFTAG_SDD, ref, sdd))
         elems.append((DFTAG_SDL, ref, name.encode() + b"\x00"))
         big = np.ascontiguousarray(a, dtype=np.dtype(dt))
@@ -328,6 +331,7 @@ def hdf4_sds_bytes(arrays, names=None, compress: str | None = None,
             else:
                 _compressed_pair(elems, DFTAG_SD, ref, raw, code)
         else:
+            h, w = a.shape
             cy, cx = int(chunks[0]), int(chunks[1])
             recs = bytearray()
             nrec = 0
@@ -661,14 +665,25 @@ def read_hdf4_bytes(data: bytes) -> list[dict]:
 def decode_hdf4(data: bytes) -> np.ndarray:
     """codecs.decode entry: stack the file's SDS planes -> (h, w, c),
     native dtype preserved (int16 MODIS NDVI stays int16 so declared
-    nodata matching in srcdata_decode sees exact values)."""
+    nodata matching in srcdata_decode sees exact values). A rank-3 SDS
+    (the band-major (band, y, x) layout of e.g. MxD021KM EV_1KM_RefSB)
+    contributes each of its leading-axis planes as a channel."""
     sds = read_hdf4_bytes(data)
     if not sds:
         raise ValueError("HDF4 file contains no SDS")
-    shapes = {s["data"].shape for s in sds}
+    planes = []
+    for s in sds:
+        a = s["data"]
+        if a.ndim == 2:
+            planes.append(a)
+        elif a.ndim == 3:
+            planes.extend(a[i] for i in range(a.shape[0]))
+        else:
+            raise ValueError(f"rank-{a.ndim} SDS unsupported")
+    shapes = {p.shape for p in planes}
     if len(shapes) != 1:
-        raise ValueError(f"SDS shapes differ: {shapes}")
-    return np.stack([s["data"] for s in sds], axis=-1)
+        raise ValueError(f"SDS plane shapes differ: {shapes}")
+    return np.stack(planes, axis=-1)
 
 
 def attr_decode(base=None):

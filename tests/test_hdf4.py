@@ -507,3 +507,56 @@ def test_attr_decode_in_build_cube(spark):
                     assert gv is None or np.isnan(gv), (k, iy, ix)
                 else:
                     assert gv == want, (k, iy, ix)
+
+
+# ---------------------------------------------------------------------------
+# Rank-3 SDS (band-major MODIS layouts like MxD021KM EV_1KM_RefSB)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("comp", [None, "deflate", "rle"])
+def test_rank3_sds_roundtrip(comp):
+    rng = np.random.RandomState(71)
+    a = (rng.rand(4, 9, 11) * 30000).astype(np.uint16)   # (band, y, x)
+    buf = hdf4_sds_bytes(a, names=["EV_1KM_RefSB"], compress=comp)
+    out = read_hdf4_bytes(buf)
+    assert out[0]["data"].shape == (4, 9, 11)
+    assert (out[0]["data"] == a).all()
+    # codecs channel stacking: leading axis -> channels
+    dec = codecs.decode(buf)
+    assert dec.shape == (9, 11, 4)
+    for b in range(4):
+        assert (dec[:, :, b] == a[b]).all()
+
+
+def test_rank3_mixed_with_2d():
+    """A granule mixing a 3-D SDS and 2-D SDS decodes to the channel
+    concatenation in SDS order."""
+    a3 = (np.arange(2 * 4 * 5, dtype=np.int16)).reshape(2, 4, 5)
+    a2 = (np.arange(4 * 5, dtype=np.int16) * 3).reshape(4, 5)
+    buf = hdf4_sds_bytes([a3, a2], names=["RefSB", "QA"])
+    dec = codecs.decode(buf)
+    assert dec.shape == (4, 5, 3)
+    assert (dec[:, :, 0] == a3[0]).all()
+    assert (dec[:, :, 1] == a3[1]).all()
+    assert (dec[:, :, 2] == a2).all()
+
+
+def test_rank3_sdd_rank_word():
+    """SDD advertises rank 3 with all three dim words."""
+    from gdalcubes_cpp_spark.sources.hdf4 import DFTAG_SDD, _element, _walk_dds
+
+    a = np.zeros((2, 3, 4), dtype=np.uint8)
+    buf = hdf4_sds_bytes(a)
+    dds = _walk_dds(buf)
+    sdd = _element(buf, dds, DFTAG_SDD, 1)
+    (rank,) = struct.unpack_from(">H", sdd, 0)
+    assert rank == 3
+    assert struct.unpack_from(">III", sdd, 2) == (2, 3, 4)
+
+
+def test_rank3_excludes_chunks_linked():
+    a = np.zeros((2, 3, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="3-D SDS"):
+        hdf4_sds_bytes(a, chunks=(2, 2))
+    with pytest.raises(ValueError, match="3-D SDS"):
+        hdf4_sds_bytes(a, linked=(16, 2))
