@@ -28,7 +28,7 @@ BENCH_QUERIES = [
     # suites get per-member timings here so regressions localize)
     "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
     "cube_laea_mean", "cube_aea_mean", "cube_osgb_mean", "cube_swiss_mean",
-    "cube_hom_mean", "cube_cea_mean", "cube_aeqd_mean",
+    "cube_hom_mean", "cube_cea_mean", "cube_aeqd_mean", "cube_eqc_mean",
     # remaining folded-suite members
     "cube_first", "cube_last", "cube_count_values",
     "cube_mask_value", "cube_mask_range", "cube_mask_file",

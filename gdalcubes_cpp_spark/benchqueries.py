@@ -1799,6 +1799,63 @@ def cube_aeqd_mean(spark, sf_dir):
     ).df
 
 
+# Margins audited (tests/test_srs_datum.py::test_driver_view_margins):
+# cell centers >= 4.8e-4 deg clear of the 0.01-deg footprint-edge grid.
+# EPSG:4087 World Equidistant Cylindrical (Plate Carree) — the SECOND
+# separable non-4326 member (with CEA), so the 1-D axis-transform warp
+# path is verified by two independent inverse series.
+V_EQC = CubeView.create(
+    srs="EPSG:4087", left=1447376.0, right=1781334.0,
+    bottom=5118850.0, top=5452404.0, nx=30, ny=32,
+    t0="1995-01-01", nt=27, dt="P3M",
+    aggregation="mean", resampling="near", chunk_size=(8, 16, 15),
+)
+
+
+def _eqc_cells_sql(v: CubeView) -> str:
+    from . import srs as _srs
+
+    p = _srs._eqc_of(_srs.normalize(v.srs))
+    x_sql = f"({_srs._flit(v.left)} + (x.ix + 0.5) * {_srs._flit(v.dx)})"
+    y_sql = f"({_srs._flit(v.top)} - (y.iy + 0.5) * {_srs._flit(v.dy)})"
+    lon_sql, lat_sql = _srs.eqc_inverse_sql(x_sql, y_sql, p)
+    return f"""
+  SELECT CAST(t.it AS INT) AS it, CAST(y.iy AS INT) AS iy, CAST(x.ix AS INT) AS ix,
+         {lon_sql} AS cx, {lat_sql} AS cy
+  FROM range({v.nt}) t(it), range({v.ny}) y(iy), range({v.nx}) x(ix)
+"""
+
+
+@q(
+    "cube_eqc_mean",
+    f"""
+WITH img AS ({UTM_IMG_SQL}),
+cells AS ({_eqc_cells_sql(V_EQC)}),
+cov AS (
+  SELECT cells.it, cells.iy, cells.ix, img.val1, img.val2
+  FROM cells JOIN img
+    ON {_COVER_SQL}
+   AND cells.it = {_it_sql(V_EQC)}
+)
+SELECT it, iy, ix, avg(val1) AS B1, avg(val2) AS B2
+FROM cov GROUP BY it, iy, ix
+""",
+)
+def cube_eqc_mean(spark, sf_dir):
+    """Cube build in the WORLD EQUIDISTANT CYLINDRICAL view (EPSG:4087,
+    method 1028 / Plate Carree — the 'unprojected meters' grid of global
+    mosaics and tiling systems). Separable like CEA, so this member
+    double-covers the 1-D axis-transform warp path with an independent
+    inverse (meridional-arc footpoint series vs authalic-latitude
+    series). Validated against the EPSG GN7-2 worked example to the cm
+    (tests/test_srs_datum); eqc_inverse_sql replays term for term."""
+    from .operators.build import build_cube
+
+    return build_cube(
+        images_meta_utm(spark, sf_dir), V_EQC, bands=("B1", "B2"), value_fn=_value_fn
+    ).df
+
+
 # ----------------------------------------------- LAEA + Albers views
 
 # Margins audited (tests/test_srs_polar.py::test_driver_laea_aea_margins):
@@ -2903,7 +2960,7 @@ _fold("cube_srs_suite", "srs",  # every non-separable-SRS warp family
        ("laea", "cube_laea_mean"), ("aea", "cube_aea_mean"),
        ("osgb", "cube_osgb_mean"), ("swiss", "cube_swiss_mean"),
        ("hom", "cube_hom_mean"), ("cea", "cube_cea_mean"),
-       ("aeqd", "cube_aeqd_mean")])
+       ("aeqd", "cube_aeqd_mean"), ("eqc", "cube_eqc_mean")])
 @q("cube_decode_suite", None)  # rows-only: every real-byte decode path
 def cube_decode_suite(spark, sf_dir):
     """Folded rows-only suite: all four real-decode paths — aggregating

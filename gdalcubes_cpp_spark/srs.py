@@ -310,6 +310,21 @@ def _from_proj4(s: str) -> str:
             key += ":" + ":".join(repr(v) for v in helm)
         _AEQD[key] = pq
         return key
+    if proj == "eqc":
+        a, e2 = _proj4_ellps(kv, s)
+        pe = EqcParams(
+            lat_ts=float(kv.get("lat_ts", 0.0)), lat0=float(kv.get("lat_0", 0.0)),
+            lon0=float(kv.get("lon_0", 0.0)),
+            fe=float(kv.get("x_0", 0.0)), fn=float(kv.get("y_0", 0.0)),
+            a=a, e2=e2,
+        )
+        for code, known in _EQC.items():
+            if known == pe:
+                return code
+        key = "EQC:" + ":".join(repr(v) for v in (
+            pe.lat_ts, pe.lat0, pe.lon0, pe.fe, pe.fn, pe.a, pe.e2))
+        _EQC[key] = pe
+        return key
     if proj == "cea":
         a, e2 = _proj4_ellps(kv, s)
         pc = CeaParams(
@@ -359,7 +374,7 @@ def normalize(srs: str) -> str:
             code = hits[-1][0] or hits[-1][1]
             return normalize(f"EPSG:{code}")
         raise ValueError(f"WKT without an EPSG authority is unsupported: {raw[:60]}...")
-    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:", "AEA:", "ETM:", "SOMERC:", "HOM:", "CEA:", "AEQD:")):
+    if raw.startswith(("PS:", "LAEA:", "SINU:", "LCC:", "AEA:", "ETM:", "SOMERC:", "HOM:", "CEA:", "AEQD:", "EQC:")):
         # dynamic keys are SELF-DESCRIBING (parse-on-demand): executor
         # python workers import srs.py fresh, so a driver-side registry
         # alone would not resolve them inside kernels
@@ -369,6 +384,7 @@ def normalize(srs: str) -> str:
             and _aea_of(raw) is None and _etm_of(raw) is None
             and _swiss_of(raw) is None and _hom_of(raw) is None
             and _cea_of(raw) is None and _aeqd_of(raw) is None
+            and _eqc_of(raw) is None
         ):
             raise ValueError(f"malformed dynamic SRS key {raw!r}")
         return raw
@@ -378,7 +394,8 @@ def normalize(srs: str) -> str:
     if s in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
         return "EPSG:3857"
     if (s in _POLAR or s in _LAEA or s in _LCC or s in _AEA or s in _ETM
-            or s in _SWISS or s in _HOM or s in _CEA or s in _AEQD):
+            or s in _SWISS or s in _HOM or s in _CEA or s in _AEQD
+            or s in _EQC):
         return s
     m = _UTM_RE.match(s)
     if m:
@@ -393,16 +410,18 @@ def normalize(srs: str) -> str:
         f"EPSG:27700 British National Grid (OSGB36 datum), EPSG:2056/21781 "
         f"Swiss oblique Mercator (CH1903 datum), equivalent proj4/WKT "
         f"strings, and any polar-stereographic/LAEA/sinusoidal/LCC/Albers/"
-        f"tmerc/somerc proj4 parameter set incl. +towgs84 datum shifts)"
+        f"tmerc/somerc/cea/eqc proj4 parameter set incl. +towgs84 datum shifts)"
     )
 
 
 def is_separable(srs: str) -> bool:
     """True iff x depends only on lon and y only on lat (1-D axis transforms
     suffice); UTM/polar/LAEA are non-separable. Cylindrical equal area
-    (EPSG:6933 EASE-Grid 2.0) IS separable."""
+    (EPSG:6933 EASE-Grid 2.0) and equidistant cylindrical (EPSG:4087
+    Plate Carrée) ARE separable."""
     s = normalize(srs)
-    return s in ("EPSG:4326", "EPSG:3857") or _cea_of(s) is not None
+    return (s in ("EPSG:4326", "EPSG:3857") or _cea_of(s) is not None
+            or _eqc_of(s) is not None)
 
 
 def utm_params(srs: str):
@@ -1571,6 +1590,99 @@ def _cea_of(s: str):
     return None
 
 
+# -- Equidistant cylindrical (EPSG method 1028; Plate Carrée) -----------------
+#
+# EPSG:4087 WGS 84 / World Equidistant Cylindrical — the "unprojected
+# meters" grid of many tiling systems and global mosaics. SEPARABLE like
+# CEA: x = fe + ν(φts)·cosφts·λ depends only on lon, y = fn + M(φ) − M(φ0)
+# (meridional arc, same _tm_consts series as tmerc) only on lat; the
+# footpoint-latitude series gives a closed-form, iteration-free inverse
+# that the SQL mirror replays term for term.
+
+@dataclass(frozen=True)
+class EqcParams:
+    lat_ts: float
+    lat0: float
+    lon0: float
+    fe: float
+    fn: float
+    a: float
+    e2: float
+
+
+_EQC: dict = {
+    "EPSG:4087": EqcParams(lat_ts=0.0, lat0=0.0, lon0=0.0, fe=0.0, fn=0.0,
+                           a=A_WGS84, e2=E2),
+}
+
+
+def _eqc_consts(p: EqcParams):
+    c0, c2, c4, c6, e1 = _tm_consts(p.e2)
+    ts = p.lat_ts * _RAD
+    nu_cos = p.a / math.sqrt(1.0 - p.e2 * math.sin(ts) ** 2) * math.cos(ts)
+    phi0 = p.lat0 * _RAD
+    m0 = p.a * (c0 * phi0 - c2 * math.sin(2.0 * phi0)
+                + c4 * math.sin(4.0 * phi0) - c6 * math.sin(6.0 * phi0))
+    return nu_cos, m0, (c0, c2, c4, c6, e1)
+
+
+def eqc_forward(lon, lat, p: EqcParams):
+    nu_cos, m0, (c0, c2, c4, c6, _e1) = _eqc_consts(p)
+    lam = (np.asarray(lon, dtype=np.float64) - p.lon0) * _RAD
+    phi = np.asarray(lat, dtype=np.float64) * _RAD
+    x = p.fe + nu_cos * lam
+    m = p.a * (c0 * phi - c2 * np.sin(2.0 * phi)
+               + c4 * np.sin(4.0 * phi) - c6 * np.sin(6.0 * phi))
+    return x, p.fn + m - m0
+
+
+def eqc_inverse(x, y, p: EqcParams):
+    """Operation order mirrors eqc_inverse_sql EXACTLY."""
+    nu_cos, m0, (c0, _c2, _c4, _c6, e1) = _eqc_consts(p)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = p.lon0 + (x - p.fe) / nu_cos * _DEG
+    mu = (m0 + (y - p.fn)) / (p.a * c0)
+    phi = (
+        mu
+        + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu)
+        + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0) * np.sin(4.0 * mu)
+        + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu)
+        + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu)
+    )
+    return lon, phi * _DEG
+
+
+def eqc_inverse_sql(x_expr: str, y_expr: str, p: EqcParams):
+    nu_cos, m0, (c0, _c2, _c4, _c6, e1) = _eqc_consts(p)
+    L = _flit
+    lon = f"({L(p.lon0)} + (({x_expr}) - {L(p.fe)}) / {L(nu_cos)} * {L(_DEG)})"
+    mu = f"(({L(m0)} + (({y_expr}) - {L(p.fn)})) / {L(p.a * c0)})"
+    lat = (
+        f"(({mu} + {L(3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0)} * sin(2.0 * {mu})"
+        f" + {L(21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0)} * sin(4.0 * {mu})"
+        f" + {L(151.0 * e1 ** 3 / 96.0)} * sin(6.0 * {mu})"
+        f" + {L(1097.0 * e1 ** 4 / 512.0)} * sin(8.0 * {mu})) * {L(_DEG)})"
+    )
+    return lon, lat
+
+
+def _eqc_of(s: str):
+    p = _EQC.get(s)
+    if p is not None:
+        return p
+    if s.startswith("EQC:"):
+        try:
+            _, lat_ts, lat0, lon0, fe, fn, a, e2 = s.split(":")
+            p = EqcParams(float(lat_ts), float(lat0), float(lon0),
+                          float(fe), float(fn), float(a), float(e2))
+        except ValueError:
+            return None
+        _EQC[s] = p
+        return p
+    return None
+
+
 # -- Modified azimuthal equidistant (EPSG method 9832) ------------------------
 #
 # The Micronesia island grids (Guam-successor zones; EPSG:3295 Yap).
@@ -2073,6 +2185,11 @@ def axis_to_wgs84(xs: np.ndarray, ys: np.ndarray, srs: str):
         lon, _ = cea_inverse(xs, np.zeros_like(np.asarray(xs, dtype=np.float64)), pc)
         _, lat = cea_inverse(np.zeros_like(np.asarray(ys, dtype=np.float64)), ys, pc)
         return lon, lat
+    pe = _eqc_of(s)
+    if pe is not None:
+        lon, _ = eqc_inverse(xs, np.zeros_like(np.asarray(xs, dtype=np.float64)), pe)
+        _, lat = eqc_inverse(np.zeros_like(np.asarray(ys, dtype=np.float64)), ys, pe)
+        return lon, lat
     raise ValueError(f"{srs} is not separable; use grid_to_wgs84")
 
 
@@ -2100,6 +2217,9 @@ def from_wgs84(lon, lat, srs: str):
     pc = _cea_of(s)
     if pc is not None:
         return cea_forward(lon, lat, pc)
+    pe = _eqc_of(s)
+    if pe is not None:
+        return eqc_forward(lon, lat, pe)
     return _nonsep_forward(lon, lat, s)
 
 
@@ -2116,6 +2236,9 @@ def points_to_wgs84(x, y, srs: str):
     pc = _cea_of(s)
     if pc is not None:
         return cea_inverse(x, y, pc)
+    pe = _eqc_of(s)
+    if pe is not None:
+        return eqc_inverse(x, y, pe)
     return _nonsep_inverse(x, y, s)
 
 
@@ -2136,6 +2259,11 @@ def bbox_to_wgs84(left, right, bottom, top, srs: str, n_samples: int = 9):
     if _pc is not None:  # separable: corners map to corners, exact
         lon0, lat0 = cea_inverse(left, bottom, _pc)
         lon1, lat1 = cea_inverse(right, top, _pc)
+        return float(lon0), float(lon1), float(lat0), float(lat1)
+    _pe = _eqc_of(s)
+    if _pe is not None:
+        lon0, lat0 = eqc_inverse(left, bottom, _pe)
+        lon1, lat1 = eqc_inverse(right, top, _pe)
         return float(lon0), float(lon1), float(lat0), float(lat1)
     _pp = _polar_of(s)
     if _pp is not None and (left <= _pp.fe <= right) and (bottom <= _pp.fn <= top):

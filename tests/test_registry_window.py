@@ -68,7 +68,7 @@ def test_every_def_reachable():
         "cube_laea_mean", "cube_aea_mean", "zonal_statistics", "zonal_topk",
             "cube_osgb_mean", "cube_swiss_mean", "cube_jp2_decode", "cube_hom_mean",
             "doc_minhash", "doc_simhash",
-            "cube_cea_mean", "cube_aeqd_mean",
+            "cube_cea_mean", "cube_aeqd_mean", "cube_eqc_mean",
         "reduce_time_exact", "reduce_time_stats", "reduce_time_which",
     }
     window = set(REGISTRY)

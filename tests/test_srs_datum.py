@@ -166,10 +166,10 @@ def test_driver_view_margins():
     """Placement audit for the driver suite members: every cell center is
     >= 1e-5 deg clear of the 0.01-deg footprint-edge grid."""
     from gdalcubes_cpp_spark.benchqueries import (
-        V_AEQD, V_CEA, V_HOM, V_OSGB, V_SWISS,
+        V_AEQD, V_CEA, V_EQC, V_HOM, V_OSGB, V_SWISS,
     )
 
-    for v in (V_OSGB, V_SWISS, V_HOM, V_CEA, V_AEQD):
+    for v in (V_OSGB, V_SWISS, V_HOM, V_CEA, V_AEQD, V_EQC):
         xs = v.left + (np.arange(v.nx) + 0.5) * v.dx
         ys = v.top - (np.arange(v.ny) + 0.5) * v.dy
         LON, LAT = srs.grid_to_wgs84(xs, ys, v.srs)  # works for separable too
@@ -318,3 +318,64 @@ def test_aeqd_yap():
     assert k.startswith("AEQD:")
     srs._AEQD.pop(k)
     assert srs.normalize(k) == k
+
+
+def test_eqc_worked_example_and_roundtrip():
+    """Equidistant cylindrical (EPSG method 1028, EPSG:4087): the EPSG
+    GN7-2 worked example — 55N 10E -> E 1,113,194.91 / N 6,097,230.31 m
+    — to the cm; dense roundtrip to sub-mm."""
+    p = srs._EQC["EPSG:4087"]
+    x, y = srs.eqc_forward(10.0, 55.0, p)
+    assert abs(float(x) - 1113194.91) < 0.01
+    assert abs(float(y) - 6097230.31) < 0.01
+    rng = np.random.RandomState(9)
+    lon = rng.uniform(-179, 179, 400)
+    lat = rng.uniform(-84, 84, 400)
+    X, Y = srs.eqc_forward(lon, lat, p)
+    lo, la = srs.eqc_inverse(X, Y, p)
+    assert np.abs(lo - lon).max() < 1e-9
+    # footpoint series truncation ~4e-9 deg (sub-mm on the meridian)
+    assert np.abs(la - lat).max() < 1e-8
+
+
+def test_eqc_sql_mirror_parity():
+    """eqc_inverse_sql replayed in DuckDB == numpy to ~1e-9 deg."""
+    import duckdb
+
+    p = srs._EQC["EPSG:4087"]
+    xs = np.linspace(-1.9e7, 1.9e7, 15)
+    ys = np.linspace(-9.0e6, 9.0e6, 12)
+    lon_sql, lat_sql = srs.eqc_inverse_sql("g.x", "g.y", p)
+    rows = duckdb.sql(
+        f"SELECT {lon_sql} AS lon, {lat_sql} AS lat FROM "
+        f"(SELECT unnest(?) AS x, unnest(?) AS y) g",
+        params=[list(np.repeat(xs, len(ys))), list(np.tile(ys, len(xs)))],
+    ).fetchall()
+    lo_np, la_np = srs.eqc_inverse(np.repeat(xs, len(ys)), np.tile(ys, len(xs)), p)
+    got = np.array(rows)
+    assert np.abs(got[:, 0] - lo_np).max() < 1e-9
+    assert np.abs(got[:, 1] - la_np).max() < 1e-9
+
+
+def test_eqc_separable_axis_transform():
+    """EPSG:4087 takes the separable 1-D axis path; axis transforms agree
+    with the point-wise inverse; proj4 +proj=eqc canonicalizes; dynamic
+    EQC: keys self-describe across a fresh import."""
+    assert srs.is_separable("EPSG:4087")
+    xs = np.linspace(-2.0e6, 2.0e6, 7)
+    ys = np.linspace(-1.0e6, 3.0e6, 5)
+    lon, lat = srs.axis_to_wgs84(xs, ys, "EPSG:4087")
+    lo2, la2 = srs.points_to_wgs84(xs, np.zeros_like(xs), "EPSG:4087")
+    assert np.allclose(lon, lo2, atol=1e-12)
+    assert srs.normalize("+proj=eqc +ellps=WGS84") == "EPSG:4087"
+    k = srs.normalize("+proj=eqc +lat_ts=30 +lon_0=10 +x_0=100 +ellps=grs80")
+    assert k.startswith("EQC:")
+    srs._EQC.pop(k)       # fresh-executor semantics
+    assert srs.normalize(k) == k
+    x, y = srs.from_wgs84(np.array([12.0]), np.array([48.0]), k)
+    lo, la = srs.points_to_wgs84(x, y, k)
+    assert abs(float(lo[0]) - 12.0) < 1e-9 and abs(float(la[0]) - 48.0) < 1e-7
+    # bbox: separable corners-exact
+    l, r, b, t = srs.bbox_to_wgs84(-1113194.9, 1113194.9, -1113194.9,
+                                   1113194.9, "EPSG:4087")
+    assert abs(l + 10.0) < 1e-6 and abs(r - 10.0) < 1e-6
