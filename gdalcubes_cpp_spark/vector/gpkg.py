@@ -217,3 +217,58 @@ def write_gpkg_zonal(zonal, geoms, view, path: str, srs_id: int = 4326) -> None:
         con.commit()
     finally:
         con.close()
+
+
+def _wkt_of(kind: str, g) -> str:
+    """Inverse of parse_wkt_geom for the shapes the writer emits."""
+    def ring(r):
+        return "(" + ", ".join(f"{float(x)!r} {float(y)!r}" for x, y in r) + ")"
+
+    if kind == "point":
+        return f"POINT ({float(g[0])!r} {float(g[1])!r})"
+    if kind == "linestring":
+        return "LINESTRING " + ring(g)
+    if kind == "polygon":
+        return "POLYGON (" + ", ".join(ring(r) for r in g) + ")"
+    if kind == "multipolygon":
+        return ("MULTIPOLYGON ("
+                + ", ".join("(" + ", ".join(ring(r) for r in rings) + ")"
+                            for rings in g) + ")")
+    raise ValueError(f"unsupported kind {kind}")
+
+
+def read_gpkg_zonal(spark, path: str):
+    """Read a write_gpkg_zonal container back: -> (geoms DataFrame
+    (fid, wkt, srs_id), zonal DataFrame (fid, it, <stat cols>...)).
+    The interop loop-closer: geometry blobs decode through the from-spec
+    GeoPackageBinary/WKB parser (not a GIS library), attribute layers
+    are matched by the reference's attr_<datetime> naming with ``it``
+    recovered from the lexicographic slice order."""
+    import pandas as pd
+
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        (app_id,) = cur.execute("PRAGMA application_id").fetchone()
+        if app_id != GPKG_APP_ID:
+            raise ValueError("not a GeoPackage (application_id mismatch)")
+        geo_rows = []
+        for fid, blob in cur.execute("SELECT fid, geom FROM geom ORDER BY fid"):
+            kind, g, srs_id = read_gpkg_geom_blob(blob)
+            geo_rows.append((int(fid), _wkt_of(kind, g), int(srs_id)))
+        attr_tables = [
+            r[0] for r in cur.execute(
+                "SELECT table_name FROM gpkg_contents "
+                "WHERE data_type = 'attributes' AND table_name LIKE 'attr_%' "
+                "ORDER BY table_name")
+        ]
+        frames = []
+        for it, tname in enumerate(attr_tables):
+            df = pd.read_sql_query(f'SELECT * FROM "{tname}"', con)
+            df.insert(1, "it", it)
+            frames.append(df)
+    finally:
+        con.close()
+    geoms = spark.createDataFrame(geo_rows, "fid int, wkt string, srs_id int")
+    zonal = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    return geoms, zonal

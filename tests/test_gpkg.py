@@ -95,3 +95,45 @@ def test_write_gpkg_zonal(spark, tmp_path):
             seen += 1
     assert seen == len(zrows)
     con.close()
+
+
+def test_read_gpkg_zonal_roundtrip(spark, tmp_path):
+    """Write -> read the zonal GeoPackage: geometries come back as the
+    original WKT (same float repr discipline as the transform path) and
+    every (fid, it, stat) value survives exactly."""
+    from gdalcubes_cpp_spark.benchqueries import _formula_cube, _rects_df
+    from gdalcubes_cpp_spark.vector.gpkg import read_gpkg_zonal
+    from gdalcubes_cpp_spark.vector.queries import zonal_statistics
+
+    cube = _formula_cube(spark)
+    zones = _rects_df(spark)
+    z = zonal_statistics(cube, zones, stats=("mean", "count", "min"))
+    path = str(tmp_path / "zonal.gpkg")
+    write_gpkg_zonal(z, zones, cube.view, path)
+
+    geoms, back = read_gpkg_zonal(spark, path)
+    want_wkt = {int(r["fid"]): r["wkt"] for r in zones.collect()}
+    got_wkt = {int(r["fid"]): r["wkt"] for r in geoms.collect()}
+    assert set(got_wkt) == set(want_wkt)
+    from gdalcubes_cpp_spark.vector.geom import parse_wkt_geom
+    import numpy as np
+
+    for fid in want_wkt:
+        ka, ga = parse_wkt_geom(want_wkt[fid])
+        kb, gb = parse_wkt_geom(got_wkt[fid])
+        assert ka == kb
+        assert np.allclose(np.asarray(ga, dtype=object).astype(float).ravel()
+                           if ka == "point" else np.concatenate(
+                               [np.asarray(r, float).ravel() for r in
+                                (ga if ka != "point" else [ga])]),
+                           np.concatenate(
+                               [np.asarray(r, float).ravel() for r in
+                                (gb if kb != "point" else [gb])]),
+                           rtol=0, atol=0)
+    want = {(int(r["fid"]), int(r["it"])): tuple(
+        r[c] for c in z.columns if c not in ("fid", "it"))
+        for r in z.collect()}
+    got = {(int(r["fid"]), int(r["it"])): tuple(
+        r[c] for c in back.columns if c not in ("fid", "it"))
+        for r in back.collect()}
+    assert want == got
