@@ -722,3 +722,100 @@ def attr_decode(base=None):
         return np.stack(planes, axis=-1)
 
     return fn
+
+
+def parse_struct_metadata(text: str) -> list[dict]:
+    """Parse HDF-EOS ``StructMetadata.0`` (the ODL text every real MODIS
+    granule stores as a global attribute; HDF-EOS Library User's Guide,
+    'Structural Metadata') into grid descriptors:
+
+    [{'grid_name', 'nx', 'ny', 'left', 'top', 'right', 'bottom',
+      'projection', 'proj_params'}] — one per GRID group, in file order.
+    Only the fields the ingest path needs are extracted; unknown keys
+    are ignored (ODL is line-oriented ``Key=Value`` with GROUP nesting).
+    """
+    import re
+
+    grids = []
+    cur = None
+    depth_grid = False
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("GROUP=GridStructure"):
+            depth_grid = True
+            continue
+        if line.startswith("END_GROUP=GridStructure"):
+            depth_grid = False
+            continue
+        if not depth_grid:
+            continue
+        if re.match(r"GROUP=GRID_\d+$", line):
+            cur = {}
+            continue
+        if re.match(r"END_GROUP=GRID_\d+$", line):
+            if cur is not None:
+                grids.append(cur)
+            cur = None
+            continue
+        if cur is None or "=" not in line:
+            continue
+        k, v = line.split("=", 1)
+        k, v = k.strip(), v.strip()
+        if k == "GridName":
+            cur["grid_name"] = v.strip('"')
+        elif k == "XDim":
+            cur["nx"] = int(v)
+        elif k == "YDim":
+            cur["ny"] = int(v)
+        elif k == "UpperLeftPointMtrs":
+            x, y = (float(t) for t in v.strip("()").split(","))
+            cur["left"], cur["top"] = x, y
+        elif k == "LowerRightMtrs":
+            x, y = (float(t) for t in v.strip("()").split(","))
+            cur["right"], cur["bottom"] = x, y
+        elif k == "Projection":
+            cur["projection"] = v
+        elif k == "ProjParams":
+            cur["proj_params"] = [float(t) for t in v.strip("()").split(",")]
+    return grids
+
+
+def hdfeos_grid_info(data: bytes) -> list[dict]:
+    """Self-describing MODIS ingest: read StructMetadata.0 from a
+    granule's own global attributes and resolve each grid to the
+    engine's footprint + SRS — no collection-table sidecar needed.
+
+    Returns [{'grid_name', 'nx', 'ny', 'left', 'right', 'bottom',
+    'top', 'srs'}]: GCTP_SNSOID grids map to the dynamic spherical-
+    sinusoidal key (radius = ProjParams[0], the MODIS 6371007.181 m
+    sphere); GCTP_GEO grids are EPSG:4326 with the corner points
+    already in degrees (HDF-EOS stores GEO corners in DMS — converted).
+    Other GCTP codes raise (name the gap, don't guess)."""
+    g_attrs, _per = read_hdf4_attrs(data)
+    sm = "".join(v for k, v in sorted(g_attrs.items())
+                 if k.startswith("StructMetadata") and isinstance(v, str))
+    if not sm:
+        raise ValueError("granule has no StructMetadata.0 global attribute")
+    out = []
+    for g in parse_struct_metadata(sm):
+        proj = g.get("projection")
+        info = {k: g[k] for k in ("grid_name", "nx", "ny", "left", "right",
+                                  "bottom", "top")}
+        if proj == "GCTP_SNSOID":
+            r = (g.get("proj_params") or [6371007.181])[0]
+            info["srs"] = f"SINU:{float(r)}:0.0:0.0:0.0"
+        elif proj == "GCTP_GEO":
+            def dms(v):  # HDF-EOS packed DMS: DDDMMMSSS.ss
+                sign = -1.0 if v < 0 else 1.0
+                v = abs(v)
+                d = int(v // 1_000_000)
+                m = int((v - d * 1_000_000) // 1_000)
+                s = v - d * 1_000_000 - m * 1_000
+                return sign * (d + m / 60.0 + s / 3600.0)
+            for k in ("left", "right", "bottom", "top"):
+                info[k] = dms(info[k])
+            info["srs"] = "EPSG:4326"
+        else:
+            raise ValueError(f"unsupported HDF-EOS projection {proj}")
+        out.append(info)
+    return out

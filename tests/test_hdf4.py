@@ -560,3 +560,89 @@ def test_rank3_excludes_chunks_linked():
         hdf4_sds_bytes(a, chunks=(2, 2))
     with pytest.raises(ValueError, match="3-D SDS"):
         hdf4_sds_bytes(a, linked=(16, 2))
+
+
+# ---------------------------------------------------------------------------
+# HDF-EOS StructMetadata.0: self-describing MODIS grid ingest
+# ---------------------------------------------------------------------------
+
+_SM = """GROUP=SwathStructure
+END_GROUP=SwathStructure
+GROUP=GridStructure
+\tGROUP=GRID_1
+\t\tGridName="MODIS_Grid_16DAY_1km_VI"
+\t\tXDim=1200
+\t\tYDim=1200
+\t\tUpperLeftPointMtrs=(-1111950.519667,5559752.598333)
+\t\tLowerRightMtrs=(0.000000,4447802.078667)
+\t\tProjection=GCTP_SNSOID
+\t\tProjParams=(6371007.181000,0,0,0,0,0,0,0,0,0,0,0,0)
+\t\tSphereCode=-1
+\tEND_GROUP=GRID_1
+END_GROUP=GridStructure
+END
+"""
+
+
+def test_struct_metadata_parse_and_grid_info():
+    """The MOD13A2 h18v04-style StructMetadata resolves to the engine's
+    sinusoidal footprint: radius from ProjParams, corners verbatim, and
+    the dynamic SINU key round-trips through srs.normalize."""
+    from gdalcubes_cpp_spark import srs
+    from gdalcubes_cpp_spark.sources.hdf4 import (
+        hdfeos_grid_info, parse_struct_metadata,
+    )
+
+    grids = parse_struct_metadata(_SM)
+    assert len(grids) == 1
+    g = grids[0]
+    assert g["grid_name"] == "MODIS_Grid_16DAY_1km_VI"
+    assert (g["nx"], g["ny"]) == (1200, 1200)
+    assert g["left"] == -1111950.519667 and g["top"] == 5559752.598333
+    assert g["projection"] == "GCTP_SNSOID"
+
+    a = np.zeros((4, 4), dtype=np.int16)
+    buf = hdf4_sds_bytes(a, names=["NDVI"],
+                         global_attrs={"StructMetadata.0": _SM})
+    (info,) = hdfeos_grid_info(buf)
+    assert info["srs"] == "SINU:6371007.181:0.0:0.0:0.0"
+    assert srs.normalize(info["srs"]) == info["srs"]
+    # the key actually transforms: this tile (UL x = -1111950 m) sits
+    # one tile west of Greenwich in the 40-50N row; center ~(-7.07, 45)
+    lon, lat = srs.points_to_wgs84(
+        np.array([(info["left"] + info["right"]) / 2.0]),
+        np.array([(info["top"] + info["bottom"]) / 2.0]), info["srs"])
+    assert -15.0 < float(lon[0]) < -5.0 and 44.0 < float(lat[0]) < 46.0
+
+
+def test_struct_metadata_geo_dms():
+    """GCTP_GEO grids: packed-DMS corners (DDDMMMSSS.ss) convert to
+    degrees; a 40°30'00" value is exactly 40.5."""
+    from gdalcubes_cpp_spark.sources.hdf4 import hdfeos_grid_info
+
+    sm = """GROUP=GridStructure
+GROUP=GRID_1
+GridName="GEOGRID"
+XDim=360
+YDim=180
+UpperLeftPointMtrs=(-180000000.000000,40030000.000000)
+LowerRightMtrs=(180000000.000000,-40030000.000000)
+Projection=GCTP_GEO
+END_GROUP=GRID_1
+END_GROUP=GridStructure
+END
+"""
+    a = np.zeros((2, 2), dtype=np.uint8)
+    buf = hdf4_sds_bytes(a, global_attrs={"StructMetadata.0": sm})
+    (info,) = hdfeos_grid_info(buf)
+    assert info["srs"] == "EPSG:4326"
+    assert info["left"] == -180.0 and info["right"] == 180.0
+    assert info["top"] == 40.5 and info["bottom"] == -40.5
+
+
+def test_struct_metadata_missing_raises():
+    from gdalcubes_cpp_spark.sources.hdf4 import hdfeos_grid_info
+
+    buf = hdf4_sds_bytes(np.zeros((2, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="StructMetadata"):
+        hdfeos_grid_info(buf)
