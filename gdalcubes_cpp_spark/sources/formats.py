@@ -390,12 +390,47 @@ def images_table(refs: DataFrame) -> DataFrame:
     images SQLite table keyed for the find_range_st join. Footprints are
     not derivable from file NAMES; the reference opens each file with GDAL
     for its bbox (src/image_collection.cpp:330-360) — at scale that is a
-    metadata backfill join against an inventory/STAC table, left to the
-    caller (synth/testdata provide footprints directly)."""
+    metadata backfill join against an inventory/STAC table — or, for
+    HDF-EOS payloads whose bytes are at hand, one executor-side pass
+    over the granules' own StructMetadata (footprints_from_hdfeos
+    below); synth/testdata provide footprints directly."""
     return refs.groupBy("image_id").agg(
         F.min("ts").alias("ts"),
         F.count("*").alias("n_bands"),
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct(F.col("band"), F.col("path"))))
         ).alias("band_paths"),
+    )
+
+
+def footprints_from_hdfeos(images: DataFrame, bytes_col: str = "bytes",
+                           id_col: str = "image_id") -> DataFrame:
+    """Derive footprints from granule BYTES — the reference's GDAL-open
+    backfill (src/image_collection.cpp:330-360) done Spark-side for
+    HDF-EOS payloads: a mapInPandas pass reads each granule's OWN
+    StructMetadata.0 (sources/hdf4.hdfeos_grid_info) and emits
+    (image_id, left, right, bottom, top, srs, nx, ny) for its first
+    grid. Only the two metadata columns enter the exchange-free scan;
+    the bytes never shuffle. Join the result back onto the collection
+    to complete an images table without any sidecar inventory."""
+    import pandas as pd
+
+    cols = images.select(id_col, bytes_col)
+
+    def extract(it):
+        from .hdf4 import hdfeos_grid_info
+
+        for pdf in it:
+            rows = []
+            for iid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                g = hdfeos_grid_info(bytes(raw))[0]
+                rows.append((iid, g["left"], g["right"], g["bottom"],
+                             g["top"], g["srs"], g["nx"], g["ny"]))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "left", "right", "bottom", "top", "srs", "nx", "ny"])
+
+    return cols.mapInPandas(
+        extract,
+        f"{id_col} string, left double, right double, bottom double, "
+        "top double, srs string, nx int, ny int",
     )

@@ -222,3 +222,46 @@ def test_all_reference_presets_translated():
         "CHIRPS_v2_0_monthly_p05_tif", "PlanetScope_3B_AnalyticMS_SR",
     }
     assert want <= set(PRESETS)
+
+
+def test_footprints_from_hdfeos(spark):
+    """Collection footprints backfilled from granule bytes executor-side
+    (the reference's GDAL-open loop as one mapInPandas pass): each
+    granule's StructMetadata.0 yields its own sinusoidal footprint."""
+    import numpy as np
+
+    from gdalcubes_cpp_spark.sources.formats import footprints_from_hdfeos
+    from gdalcubes_cpp_spark.sources.hdf4 import hdf4_sds_bytes
+
+    def sm(ulx, uly):
+        return f"""GROUP=GridStructure
+GROUP=GRID_1
+GridName="G"
+XDim=1200
+YDim=1200
+UpperLeftPointMtrs=({ulx:.6f},{uly:.6f})
+LowerRightMtrs=({ulx + 1111950.519667:.6f},{uly - 1111950.519667:.6f})
+Projection=GCTP_SNSOID
+ProjParams=(6371007.181000,0,0,0,0,0,0,0,0,0,0,0,0)
+END_GROUP=GRID_1
+END_GROUP=GridStructure
+END
+"""
+    tiles = {"h17v04": (-1111950.519667, 5559752.598333),
+             "h18v04": (0.0, 5559752.598333)}
+    rows = [
+        (tid, bytearray(hdf4_sds_bytes(
+            np.zeros((4, 4), dtype=np.int16), names=["NDVI"],
+            global_attrs={"StructMetadata.0": sm(*ul)})))
+        for tid, ul in tiles.items()
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r for r in
+           footprints_from_hdfeos(df).collect()}
+    assert set(got) == set(tiles)
+    for tid, (ulx, uly) in tiles.items():
+        r = got[tid]
+        assert r["left"] == ulx and r["top"] == uly
+        assert abs(r["right"] - (ulx + 1111950.519667)) < 1e-6
+        assert r["srs"].startswith("SINU:6371007.181")
+        assert (r["nx"], r["ny"]) == (1200, 1200)
