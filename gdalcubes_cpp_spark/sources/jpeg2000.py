@@ -1,4 +1,5 @@
-"""Pure-python JPEG 2000 (ISO/IEC 15444-1) — reversible 5/3, single tile.
+"""Pure-python JPEG 2000 (ISO/IEC 15444-1) — reversible 5/3 AND
+irreversible 9/7, multi-tile.
 
 The reference reads Sentinel-2 ``.jp2`` payloads through GDAL's JP2
 driver; the Sentinel2_* collection-format presets point band patterns at
@@ -23,9 +24,16 @@ Scope: MULTI-TILE (regular tile grid per §B.3, Isot-indexed SOT/SOD
 tile-parts, per-tile DWT + packet coding, main-header-global QCD
 exponents covering every tile; tile-parts of one tile concatenate, and a
 last tile-part with Psot=0 runs to EOC per §A.4.2), single quality
-layer, no precinct partition (maximal precincts), reversible only — the
-lossless configuration Sentinel-2 L2A uses for its 20/60 m bands. The
-irreversible 9/7 path raises cleanly. Decode accepts both the JP2 box
+layer, no precinct partition (maximal precincts). The reversible 5/3
+path is the lossless configuration Sentinel-2 L2A uses for its 20/60 m
+bands; PLUS the irreversible 9/7 path (Annex F float lifting normalized to DC
+gain 1 so reduce=k behaves identically across transforms; per-subband
+scalar quantization signaled as a style-2 scalar-expounded QCD per
+E-3, deadzone quantizer, midpoint reconstruction per M.4; the
+``qstep`` knob sets the step in sample units and drives a monotone
+rate-distortion trade, PSNR-gated in tests). Interop caveat: the 9/7
+normalization is the DC-gain-1 convention, self-consistent and spec-
+signaled, but untestable against external encoders in this container. Decode accepts both the JP2 box
 container and a bare codestream. Tiling note: tiles are transformed in
 tile-local coordinates; with the customary even tile sizes (256/512/
 1024/2048) tile origins are even, so the 5/3 lifting phase matches the
@@ -39,6 +47,7 @@ the pure-python MQ coder favors spec fidelity over speed.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -706,6 +715,123 @@ def decode_codeblock(data: bytes, h: int, w: int, band: str,
     return np.where(st.sgn, -out, out)
 
 
+# CDF 9/7 lifting constants (ITU-T T.800 Annex F, irreversible path)
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+# DC-gain-1 normalization: the four lifting steps give a constant-signal
+# lowpass gain of (1+2*beta*(1+2*alpha))*(1+2*delta*(1+2*gamma*...)) —
+# computed once; dividing by it makes the 9/7 LL behave like the 5/3 LL
+# (constant c -> c at every level), so reduce=k and the packed-int
+# pipeline stay consistent across both transforms.
+
+
+def _dc_gain_97():
+    c = 1.0
+    d = c + _A97 * 2.0 * c
+    s = c + _B97 * 2.0 * d
+    d2 = d + _G97 * 2.0 * s
+    s2 = s + _D97 * 2.0 * d2
+    return s2
+
+
+_KLOW97 = 1.0 / _dc_gain_97()
+_KHIGH97 = 1.230174104914001  # the spec's K on the highpass branch
+
+
+def _dwt97_1d(x: np.ndarray) -> tuple:
+    """One 1-D irreversible analysis level (Annex F lifting, whole-sample
+    symmetric extension realized by edge replication of the computed
+    sequences — the same neighbor pattern as _dwt53_1d)."""
+    even = x[..., 0::2].astype(np.float64)
+    odd = x[..., 1::2].astype(np.float64)
+    n = x.shape[-1]
+    ne, no = even.shape[-1], odd.shape[-1]
+    if no == 0:   # n == 1: single lowpass sample, scaling kept consistent
+        return even * _KLOW97, odd.astype(np.float64)
+
+    def right(ev):
+        if n % 2 == 0:
+            return np.concatenate([ev[..., 1:], ev[..., ne - 1:ne]], axis=-1)
+        return ev[..., 1:]
+
+    def lr(dd):
+        d_l = np.concatenate([dd[..., 0:1], dd], axis=-1)[..., :ne]
+        d_r = np.concatenate([dd, dd[..., no - 1:no]], axis=-1)[..., :ne]
+        return d_l, d_r
+
+    d = odd + _A97 * (even[..., :no] + right(even))
+    dl, dr = lr(d)
+    s = even + _B97 * (dl + dr)
+    d = d + _G97 * (s[..., :no] + right(s))
+    dl, dr = lr(d)
+    s = s + _D97 * (dl + dr)
+    return s * _KLOW97, d * _KHIGH97
+
+
+def _idwt97_1d(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of _dwt97_1d for original length n."""
+    s = np.asarray(s, dtype=np.float64) / _KLOW97
+    d = np.asarray(d, dtype=np.float64) / _KHIGH97
+    ne, no = s.shape[-1], d.shape[-1]
+    if no == 0:
+        out = s.copy()
+        if ne == 1:
+            out = out  # single sample: scaling undone above
+        return out
+
+    def right(ev):
+        if n % 2 == 0:
+            return np.concatenate([ev[..., 1:], ev[..., ne - 1:ne]], axis=-1)
+        return ev[..., 1:]
+
+    def lr(dd):
+        d_l = np.concatenate([dd[..., 0:1], dd], axis=-1)[..., :ne]
+        d_r = np.concatenate([dd, dd[..., no - 1:no]], axis=-1)[..., :ne]
+        return d_l, d_r
+
+    dl, dr = lr(d)
+    s = s - _D97 * (dl + dr)
+    d = d - _G97 * (s[..., :no] + right(s))
+    dl, dr = lr(d)
+    even = s - _B97 * (dl + dr)
+    odd = d - _A97 * (even[..., :no] + right(even))
+    out = np.empty(s.shape[:-1] + (n,), dtype=np.float64)
+    out[..., 0::2] = even
+    out[..., 1::2] = odd
+    return out
+
+
+def dwt97_forward(img: np.ndarray, levels: int):
+    """-> (LL, [(HL, LH, HH) per level, finest first]) — float64."""
+    cur = img.astype(np.float64)
+    bands = []
+    for _ in range(levels):
+        s, d = _dwt97_1d(cur)
+        ll_t, lh_t = _dwt97_1d(s.swapaxes(-1, -2))
+        hl_t, hh_t = _dwt97_1d(d.swapaxes(-1, -2))
+        bands.append((hl_t.swapaxes(-1, -2), lh_t.swapaxes(-1, -2),
+                      hh_t.swapaxes(-1, -2)))
+        cur = ll_t.swapaxes(-1, -2)
+    return cur, bands
+
+
+def dwt97_inverse(ll: np.ndarray, bands, shape):
+    """Inverse of dwt97_forward; ``shape`` = original (h, w)."""
+    shapes = []
+    h, w = shape
+    for _ in range(len(bands)):
+        shapes.append((h, w))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    cur = np.asarray(ll, dtype=np.float64)
+    for (hl, lh, hh), (h, w) in zip(reversed(bands), reversed(shapes)):
+        s = _idwt97_1d(cur.swapaxes(-1, -2), lh.swapaxes(-1, -2), h).swapaxes(-1, -2)
+        d = _idwt97_1d(hl.swapaxes(-1, -2), hh.swapaxes(-1, -2), h).swapaxes(-1, -2)
+        cur = _idwt97_1d(s, d, w)
+    return cur
+
+
 def dwt53_forward(img: np.ndarray, levels: int):
     """-> (LL, [(HL, LH, HH) per level, finest first])."""
     cur = img.astype(np.int64)
@@ -891,8 +1017,30 @@ def _marker(code: int, payload: bytes) -> bytes:
     return struct.pack(">HH", code, len(payload) + 2) + payload
 
 
+_GAIN97 = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}  # log2 subband gains (E.1)
+
+
+def _quant_params(qstep: float, rb: int):
+    """Signal the step closest to ``qstep`` per T.800 E-3:
+    delta = 2**(Rb-eps) * (1 + mu/2**11). Under the DC-gain-1 transform
+    normalization a UNIFORM step across subbands bounds the spatial
+    reconstruction error at ~qstep/2 sample units. Returns
+    (eps, mu, delta_actual)."""
+    ideal = max(qstep, 1e-12)
+    k = math.floor(math.log2(ideal))
+    f = ideal / (2.0 ** k)
+    mu = int(round((f - 1.0) * 2048.0))
+    if mu >= 2048:
+        mu = 0
+        k += 1
+    eps = max(0, min(31, rb - k))
+    delta = (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+    return eps, mu, delta
+
+
 def encode_j2k(img: np.ndarray, levels: int = 5,
-               tile_size: tuple | None = None) -> bytes:
+               tile_size: tuple | None = None,
+               transform: str = "5/3", qstep: float = 1.0) -> bytes:
     """(h, w) or (h, w, c) unsigned int image -> raw JPEG 2000 codestream
     (SOC..EOC), reversible 5/3, one layer, LRCP.  ``tile_size`` = (th,
     tw) splits the image into the spec's regular tile grid (ISO/IEC
@@ -910,6 +1058,9 @@ def encode_j2k(img: np.ndarray, levels: int = 5,
         depth = 16
     else:
         raise ValueError(f"unsupported dtype {a.dtype} (uint8/uint16)")
+    if transform not in ("5/3", "9/7"):
+        raise ValueError("transform must be '5/3' or '9/7'")
+    rev = transform == "5/3"
     th, tw = (h, w) if tile_size is None else (int(tile_size[0]), int(tile_size[1]))
     if th < 1 or tw < 1:
         raise ValueError("tile_size must be positive")
@@ -926,7 +1077,8 @@ def encode_j2k(img: np.ndarray, levels: int = 5,
         comp_bands = []
         for ci in range(nc):
             x = a[y0:y0 + hh, x0:x0 + ww, ci].astype(np.int64) - shift
-            ll, bands = dwt53_forward(x, levels)
+            fwd = dwt53_forward if rev else dwt97_forward
+            ll, bands = fwd(x, levels)
             per_res = {0: [("LL", ll)]}
             for r in range(1, levels + 1):
                 hl, lh, hh_ = bands[levels - r]
@@ -934,18 +1086,37 @@ def encode_j2k(img: np.ndarray, levels: int = 5,
             comp_bands.append(per_res)
         tile_bands.append(comp_bands)
 
-    # shared exponents: Mb covers the max plane count over ALL tiles and
-    # components per subband (reversible: Mb = G+e-1)
-    eps_of = {}
-    for r in range(levels + 1):
-        for bi in range(len(tile_bands[0][0][r])):
-            mx = 0
-            for comp_bands in tile_bands:
-                for ci in range(nc):
-                    arr = comp_bands[ci][r][bi][1]
-                    if arr.size:
-                        mx = max(mx, int(np.abs(arr).max()).bit_length())
-            eps_of[(r, bi)] = max(1, mx + 1 - _GUARD)
+    if rev:
+        # shared exponents: Mb covers the max plane count over ALL tiles
+        # and components per subband (reversible: Mb = G+e-1)
+        eps_of = {}
+        for r in range(levels + 1):
+            for bi in range(len(tile_bands[0][0][r])):
+                mx = 0
+                for comp_bands in tile_bands:
+                    for ci in range(nc):
+                        arr = comp_bands[ci][r][bi][1]
+                        if arr.size:
+                            mx = max(mx, int(np.abs(arr).max()).bit_length())
+                eps_of[(r, bi)] = max(1, mx + 1 - _GUARD)
+    else:
+        # irreversible: pick a per-subband scalar step (T.800 E-3) from
+        # the global coefficient range, signal it as (eps, mu), quantize
+        # with the deadzone quantizer q = sign * floor(|c| / delta)
+        eps_of, mu_of = {}, {}
+        for r in range(levels + 1):
+            for bi, (name, _arr) in enumerate(tile_bands[0][0][r]):
+                rb = depth + _GAIN97[name]
+                eps, mu, delta = _quant_params(qstep, rb)
+                eps_of[(r, bi)], mu_of[(r, bi)] = eps, mu
+                mb = _GUARD + eps - 1
+                for comp_bands in tile_bands:
+                    for ci in range(nc):
+                        name_, arr = comp_bands[ci][r][bi]
+                        q = (np.sign(arr) * np.floor(np.abs(arr) / delta)).astype(np.int64)
+                        if arr.size and int(np.abs(q).max()).bit_length() > mb:
+                            raise ValueError("quantized magnitude exceeds Mb")
+                        comp_bands[ci][r][bi] = (name_, q)
 
     # pass 2: encode packets LRCP (1 layer): res-major, then component
     body = b""
@@ -966,15 +1137,22 @@ def encode_j2k(img: np.ndarray, levels: int = 5,
     ) + b"".join(struct.pack(">BBB", depth - 1, 1, 1) for _ in range(nc))
     cod = struct.pack(">B", 0)                      # Scod: defaults
     cod += struct.pack(">BHB", 0, 1, 0)             # SGcod: LRCP, 1 layer, no MCT
-    cod += struct.pack(">BBBBB", levels, CB.bit_length() - 3, CB.bit_length() - 3, 0, 1)
-    # QCD: no quantization (reversible); exponents per subband, LL first
-    # then HL,LH,HH per resolution — component 0's exponents (all
-    # components share the grid here; per-component QCC not needed since
-    # we derive exponents identically for each component packet)
-    exps = []
-    for r in range(levels + 1):
-        exps.extend(eps_of[(r, bi)] for bi in range(len(tile_bands[0][0][r])))
-    qcd = struct.pack(">B", _GUARD << 5) + bytes((e << 3) for e in exps)
+    cod += struct.pack(">BBBBB", levels, CB.bit_length() - 3, CB.bit_length() - 3,
+                       0, 1 if rev else 0)
+    # QCD — reversible: style 0 (no quantization), exponents per subband;
+    # irreversible: style 2 (scalar expounded), 16-bit (eps<<11 | mu)
+    # per subband. LL first then HL,LH,HH per resolution; components
+    # share the grid (identical derivation per component packet).
+    if rev:
+        exps = []
+        for r in range(levels + 1):
+            exps.extend(eps_of[(r, bi)] for bi in range(len(tile_bands[0][0][r])))
+        qcd = struct.pack(">B", _GUARD << 5) + bytes((e << 3) for e in exps)
+    else:
+        qcd = struct.pack(">B", (_GUARD << 5) | 2)
+        for r in range(levels + 1):
+            for bi in range(len(tile_bands[0][0][r])):
+                qcd += struct.pack(">H", (eps_of[(r, bi)] << 11) | mu_of[(r, bi)])
 
     return (
         _SOC
@@ -990,14 +1168,16 @@ _JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
 
 
 def encode_jp2(img: np.ndarray, levels: int = 5,
-               tile_size: tuple | None = None) -> bytes:
+               tile_size: tuple | None = None,
+               transform: str = "5/3", qstep: float = 1.0) -> bytes:
     """Full JP2 container (signature/ftyp/jp2h/jp2c boxes) around
     encode_j2k — the file shape of a Sentinel-2 band payload."""
     a = np.asarray(img)
     nc = 1 if a.ndim == 2 else a.shape[2]
     h, w = a.shape[:2]
     depth = 8 if a.dtype == np.uint8 else 16
-    code = encode_j2k(img, levels, tile_size=tile_size)
+    code = encode_j2k(img, levels, tile_size=tile_size, transform=transform,
+                      qstep=qstep)
 
     def box(tag: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + tag + payload
@@ -1046,6 +1226,8 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
     w = h = nc = depth = levels = None
     tw = th = None
     exps = None
+    mus = None
+    qstyle_main = 0
     guard = _GUARD
     qcc = {}      # per-component (guard, exps) overrides (QCC markers)
     tiles_data: dict[int, bytes] = {}
@@ -1063,9 +1245,9 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
             scod = seg[0]
             prog, nlayers, mct = struct.unpack_from(">BHB", seg, 1)
             levels = seg[5]
-            transform = seg[9]
-            if transform != 1:
-                raise ValueError("irreversible 9/7 codestreams unsupported")
+            transform = seg[9]   # 1 = reversible 5/3, 0 = irreversible 9/7
+            if transform not in (0, 1):
+                raise ValueError(f"unknown wavelet transform {transform}")
             if nlayers != 1 or scod & 1:
                 raise ValueError("multi-layer/precinct codestreams unsupported")
             # with one layer and maximal precincts the packet order of
@@ -1086,10 +1268,19 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
                 raise ValueError("COC overrides that differ from the COD "
                                  "(levels/transform) are unsupported")
         elif code == 0xFF5C:  # QCD
-            if seg[0] & 0x1F:
-                raise ValueError("quantized (lossy) codestreams unsupported")
+            qstyle = seg[0] & 0x1F
+            qstyle_main = qstyle
             guard = seg[0] >> 5
-            exps = [b >> 3 for b in seg[1:]]
+            if qstyle == 0:      # no quantization (reversible)
+                exps = [b >> 3 for b in seg[1:]]
+                mus = [0] * len(exps)
+            elif qstyle == 2:    # scalar expounded (irreversible)
+                vals = struct.unpack_from(">" + "H" * ((len(seg) - 1) // 2),
+                                          seg, 1)
+                exps = [v >> 11 for v in vals]
+                mus = [v & 0x7FF for v in vals]
+            else:
+                raise ValueError(f"QCD quantization style {qstyle} unsupported")
         elif code == 0xFF5D:  # QCC: per-component quantization override
             ci = seg[0] if nc < 257 else struct.unpack_from(">H", seg, 0)[0]
             o = 1 if nc < 257 else 2
@@ -1115,14 +1306,24 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
     nty = (h + th - 1) // th
     if set(tiles_data) != set(range(ntx * nty)):
         raise ValueError(f"tile grid {ntx}x{nty} but SOT indices {sorted(tiles_data)}")
+    rev = transform == 1
+    if not rev and qstyle_main != 2:
+        raise ValueError("irreversible 9/7 requires a scalar-expounded "
+                         "QCD (style 2)")
     mb_of = {}
+    delta_of = {}
     nbands = [1] + [3] * levels
+    band_name = lambda r, bi: "LL" if r == 0 else ("HL", "LH", "HH")[bi]
     for ci in range(nc):
         g, ex = qcc.get(ci, (guard, exps))
         ei = 0
         for r in range(levels + 1):
             for bi in range(nbands[r]):
                 mb_of[(ci, r, bi)] = g + ex[ei] - 1
+                if not rev:
+                    rb = depth + _GAIN97[band_name(r, bi)]
+                    delta_of[(ci, r, bi)] = (
+                        2.0 ** (rb - ex[ei]) * (1.0 + mus[ei] / 2048.0))
                 ei += 1
     shift = 1 << (depth - 1)
     reduce = min(max(0, int(reduce)), levels)
@@ -1158,16 +1359,33 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
                 per_comp[ci][r] = arrays
         rh, rw = red(h_t), red(w_t)
         for ci in range(nc):
-            ll = per_comp[ci][0][0][1]
-            bands = []
-            for r in range(keep, 0, -1):  # finest kept first for inverse
-                d = dict(per_comp[ci][r])
-                bands.append((d["HL"], d["LH"], d["HH"]))
-            img = dwt53_inverse(ll, bands, (rh, rw)) + shift
-            if reduce:
-                # the 5/3 LL band is gain-1 (constant c -> c at every
-                # level) but can ring slightly past the original range;
-                # clip to the signaled depth
+            if rev:
+                ll = per_comp[ci][0][0][1]
+                bands = []
+                for r in range(keep, 0, -1):  # finest kept first
+                    d = dict(per_comp[ci][r])
+                    bands.append((d["HL"], d["LH"], d["HH"]))
+                img = dwt53_inverse(ll, bands, (rh, rw)) + shift
+            else:
+                # dequantize (midpoint reconstruction, T.800 M.4) then
+                # inverse 9/7
+                def deq(q, r, bi):
+                    dl = delta_of[(ci, r, bi)]
+                    q = np.asarray(q, dtype=np.float64)
+                    return np.where(q > 0, (q + 0.5) * dl,
+                                    np.where(q < 0, (q - 0.5) * dl, 0.0))
+
+                ll = deq(per_comp[ci][0][0][1], 0, 0)
+                bands = []
+                for r in range(keep, 0, -1):
+                    d = dict(per_comp[ci][r])
+                    bands.append((deq(d["HL"], r, 0), deq(d["LH"], r, 1),
+                                  deq(d["HH"], r, 2)))
+                img = np.rint(dwt97_inverse(ll, bands, (rh, rw))) + shift
+            if reduce or not rev:
+                # the LL band is gain-1 under both transforms but can
+                # ring slightly past the original range; lossy values
+                # additionally carry quantization error — clip to depth
                 img = np.clip(img, 0, (1 << depth) - 1)
             out[y_off[ty]:y_off[ty] + rh, x_off[tx]:x_off[tx] + rw, ci] = \
                 img.astype(out.dtype)

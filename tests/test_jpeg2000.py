@@ -449,3 +449,105 @@ def test_coc_markers():
     code2[i + 2 + ln:i + 2 + ln] = bad
     with pytest.raises(ValueError, match="COC"):
         decode_jp2(bytes(code2))
+
+
+# ---------------------------------------------------------------------------
+# Irreversible 9/7 path (lossy: float lifting + signaled scalar quantization)
+# ---------------------------------------------------------------------------
+
+def _psnr(a, b, peak):
+    mse = np.mean((np.asarray(a, float) - np.asarray(b, float)) ** 2)
+    return 10 * np.log10(peak ** 2 / mse) if mse else np.inf
+
+
+def test_dwt97_perfect_reconstruction_and_dc_gain():
+    """The 9/7 lifting itself is numerically perfect (error ~1e-12) and
+    normalized to DC gain 1 (constant c -> c at every level), matching
+    the 5/3's property so reduce=k semantics are transform-agnostic."""
+    from gdalcubes_cpp_spark.sources.jpeg2000 import (
+        dwt97_forward, dwt97_inverse,
+    )
+
+    rng = np.random.RandomState(2)
+    for shape in [(64, 64), (37, 53), (5, 5)]:
+        x = rng.rand(*shape) * 4000 - 2000
+        ll, bands = dwt97_forward(x, 3)
+        assert np.abs(dwt97_inverse(ll, bands, shape) - x).max() < 1e-9
+    ll, _ = dwt97_forward(np.full((32, 32), 1234.0), 3)
+    assert np.allclose(ll, 1234.0)
+
+
+def test_97_rate_distortion():
+    """qstep drives a monotone rate-distortion trade: smaller files as
+    qstep grows, max error bounded by a small multiple of qstep, PSNR
+    above the codec-grade floor at moderate steps."""
+    rng = np.random.RandomState(3)
+    base = (2000 + 1500 * np.sin(np.arange(96) / 9.0)[:, None]
+            * np.cos(np.arange(96) / 7.0)[None, :]).astype(np.uint16)
+    img = (base + rng.randint(0, 200, (96, 96))).astype(np.uint16)
+    sizes, errs = [], []
+    for q in (1.0, 4.0, 16.0, 64.0):
+        buf = encode_jp2(img, levels=4, transform="9/7", qstep=q)
+        out = decode_jp2(buf)[:, :, 0]
+        sizes.append(len(buf))
+        errs.append(np.abs(out.astype(float) - img.astype(float)).max())
+        assert errs[-1] <= 4.0 * q
+    assert sizes == sorted(sizes, reverse=True)
+    assert sizes[-1] < img.nbytes / 5
+    out1 = decode_jp2(encode_jp2(img, levels=4, transform="9/7",
+                                 qstep=4.0))[:, :, 0]
+    assert _psnr(img, out1, 4000) > 55.0
+
+
+def test_97_codestream_signaling():
+    """COD signals transform 0; QCD is style 2 (scalar expounded) with
+    guard bits and 16-bit (eps<<11|mu) entries; a 9/7 stream whose QCD
+    claims style 0 raises instead of decoding garbage."""
+    img = (np.arange(32 * 32, dtype=np.uint16) % 3000).reshape(32, 32)
+    code = encode_j2k(img, levels=2, transform="9/7", qstep=2.0)
+    i = code.find(b"\xff\x52")
+    (ln,) = struct.unpack_from(">H", code, i + 2)
+    assert code[i + 2 + ln - 1] == 0          # SPcod transform byte
+    j = code.find(b"\xff\x5c")
+    (qln,) = struct.unpack_from(">H", code, j + 2)
+    sqcd = code[j + 4]
+    assert sqcd & 0x1F == 2 and sqcd >> 5 == 2
+    assert (qln - 3) % 2 == 0 and (qln - 3) // 2 == 1 + 3 * 2
+    bad = bytearray(code)
+    bad[j + 4] = (sqcd >> 5) << 5             # claim style 0
+    # entries are now misread as style-0 bytes; the transform check fires
+    with pytest.raises(ValueError, match="irreversible"):
+        decode_jp2(bytes(bad[:j + 4 + 1 + (qln - 3)] + code[j + 2 + qln:]))
+
+
+def test_97_multitile_reduce_and_multicomponent():
+    """The lossy path composes with the tile grid, reduce=k, and
+    multiple components."""
+    rng = np.random.RandomState(5)
+    img = (3000 + 800 * np.sin(np.arange(64) / 4.0)[:, None, None]
+           * np.cos(np.arange(96) / 5.0)[None, :, None]
+           + rng.randint(0, 60, (64, 96, 2))).astype(np.uint16)
+    buf = encode_jp2(img, levels=3, transform="9/7", qstep=4.0,
+                     tile_size=(32, 32))
+    out = decode_jp2(buf)
+    assert out.shape == img.shape
+    assert _psnr(img, out, 4000) > 50.0
+    r1 = decode_jp2(buf, reduce=1)
+    assert r1.shape == (32, 48, 2)
+    # reduced output differs from a near-lossless 9/7 reduce only by the
+    # quantization error (same transform, same pyramid level)
+    ref = decode_jp2(encode_jp2(img, levels=3, transform="9/7", qstep=1.0,
+                                tile_size=(32, 32)), reduce=1)
+    assert np.abs(r1.astype(float) - ref.astype(float)).mean() < 4.0
+    # and it stays a faithful coarse image of the scene (DC-gain-1):
+    # the 2x2 box mean agrees to well under the signal amplitude
+    box = img.astype(float).reshape(32, 2, 48, 2, 2).mean(axis=(1, 3))
+    assert np.abs(ref.astype(float) - box).mean() < 100.0
+
+
+def test_53_stream_bytes_unchanged_by_97_support():
+    """The reversible path is byte-identical to the pre-9/7 encoder
+    (default transform/qstep leave every 5/3 stream untouched)."""
+    img = (np.arange(40 * 40, dtype=np.uint16) * 11 % 2000).reshape(40, 40)
+    assert encode_j2k(img, levels=3) == encode_j2k(img, levels=3,
+                                                   transform="5/3", qstep=9.9)
