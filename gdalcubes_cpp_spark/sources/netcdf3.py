@@ -1,4 +1,5 @@
-"""Pure-python netCDF-3 (classic CDF-1 + 64-bit-offset CDF-2) container
+"""Pure-python netCDF-3 (classic CDF-1, 64-bit-offset CDF-2, and
+64-bit-data CDF-5) container
 export/import — the single-file netCDF interop the reference writes via
 netcdf-c (src/cube.cpp:736 write_netcdf_file; read side
 src/ncdf_cube.h:48-50).
@@ -41,35 +42,53 @@ NC_SHORT = 3
 NC_INT = 4
 NC_DOUBLE = 6
 
-_TYPE_SIZE = {NC_CHAR: 1, NC_SHORT: 2, NC_INT: 4, NC_DOUBLE: 8}
-_TYPE_FMT = {NC_SHORT: ">i2", NC_INT: ">i4", NC_DOUBLE: ">f8"}
+# CDF-5 (the 64-bit-data variant, a.k.a. NetCDF-5 / pnetcdf's format):
+# extra number types beyond the classic set
+NC_UBYTE = 7
+NC_USHORT = 8
+NC_UINT = 9
+NC_INT64 = 10
+NC_UINT64 = 11
+
+_TYPE_SIZE = {NC_CHAR: 1, NC_SHORT: 2, NC_INT: 4, NC_DOUBLE: 8,
+              1: 1, 5: 4, NC_UBYTE: 1, NC_USHORT: 2, NC_UINT: 4,
+              NC_INT64: 8, NC_UINT64: 8}
+_TYPE_FMT = {NC_SHORT: ">i2", NC_INT: ">i4", NC_DOUBLE: ">f8",
+             1: "i1", 5: ">f4", NC_UBYTE: "u1", NC_USHORT: ">u2",
+             NC_UINT: ">u4", NC_INT64: ">i8", NC_UINT64: ">u8"}
 
 
 def _pad4(n: int) -> int:
     return (4 - n % 4) % 4
 
 
-def _name(s: str) -> bytes:
+def _sz(n: int, big: bool = False) -> bytes:
+    """A size/count word: 4-byte INT classically, 8-byte INT64 in CDF-5."""
+    return struct.pack(">q" if big else ">i", n)
+
+
+def _name(s: str, big: bool = False) -> bytes:
     b = s.encode()
-    return struct.pack(">i", len(b)) + b + b"\x00" * _pad4(len(b))
+    return _sz(len(b), big) + b + b"\x00" * _pad4(len(b))
 
 
-def _att_values(nc_type: int, values) -> bytes:
+def _att_values(nc_type: int, values, big: bool = False) -> bytes:
     if nc_type == NC_CHAR:
         b = values.encode() if isinstance(values, str) else bytes(values)
-        return struct.pack(">i", len(b)) + b + b"\x00" * _pad4(len(b))
+        return _sz(len(b), big) + b + b"\x00" * _pad4(len(b))
     arr = np.asarray(values)
     raw = arr.astype(_TYPE_FMT[nc_type]).tobytes()
-    return struct.pack(">i", arr.size) + raw + b"\x00" * _pad4(len(raw))
+    return _sz(arr.size, big) + raw + b"\x00" * _pad4(len(raw))
 
 
-def _att_list(atts: list) -> bytes:
+def _att_list(atts: list, big: bool = False) -> bytes:
     """atts: [(name, nc_type, values)]; empty -> ABSENT (two zero words)."""
     if not atts:
-        return struct.pack(">ii", 0, 0)
-    out = struct.pack(">ii", NC_ATTRIBUTE, len(atts))
+        return struct.pack(">i", 0) + _sz(0, big)
+    out = struct.pack(">i", NC_ATTRIBUTE) + _sz(len(atts), big)
     for name, nc_type, values in atts:
-        out += _name(name) + struct.pack(">i", nc_type) + _att_values(nc_type, values)
+        out += _name(name, big) + struct.pack(">i", nc_type) \
+            + _att_values(nc_type, values, big)
     return out
 
 
@@ -133,23 +152,24 @@ def _nc_plan(view, bands: tuple, packing: dict | None,
     ]
 
     def header(begins: list, ver: int) -> bytes:
-        h = b"CDF" + bytes([ver]) + struct.pack(">i", 0)  # numrecs = 0
-        h += struct.pack(">ii", NC_DIMENSION, len(dims))
+        big = ver == 5     # CDF-5: 8-byte size/count words throughout
+        h = b"CDF" + bytes([ver]) + _sz(0, big)           # numrecs = 0
+        h += struct.pack(">i", NC_DIMENSION) + _sz(len(dims), big)
         for dname, dsize in dims:
-            h += _name(dname) + struct.pack(">i", dsize)
-        h += _att_list(gatts)
-        h += struct.pack(">ii", NC_VARIABLE, len(variables))
+            h += _name(dname, big) + _sz(dsize, big)
+        h += _att_list(gatts, big)
+        h += struct.pack(">i", NC_VARIABLE) + _sz(len(variables), big)
         for (vname, dimids, atts, n, nc_type), begin in zip(variables, begins):
             vsize = n * _TYPE_SIZE[nc_type]
             vsize += _pad4(vsize)
-            h += _name(vname)
-            h += struct.pack(">i", len(dimids))
+            h += _name(vname, big)
+            h += _sz(len(dimids), big)
             for d in dimids:
-                h += struct.pack(">i", d)
-            h += _att_list(atts)
+                h += struct.pack(">i", d)                 # dimids stay INT
+            h += _att_list(atts, big)
             h += struct.pack(">i", nc_type)
-            h += struct.pack(">i", vsize)
-            # CDF-1: 32-bit begin; CDF-2: 64-bit begin
+            h += _sz(vsize, big)
+            # begin: 32-bit in CDF-1, 64-bit in CDF-2/5
             h += struct.pack(">i" if ver == 1 else ">q", begin)
         return h
 
@@ -162,14 +182,17 @@ def _nc_plan(view, bands: tuple, packing: dict | None,
             off += sz + _pad4(sz)
         return begins, off
 
-    for _, _, _, n, nc_type in variables:
-        if n * _TYPE_SIZE[nc_type] > 2**31 - 1:
-            raise ValueError("variable exceeds the classic-format size "
-                             "word; use write_chunks")
+    max_var = max(n * _TYPE_SIZE[nc_type] for _, _, _, n, nc_type in variables)
     ver = version
     if ver is None:
-        _, off1 = layout(1)
-        ver = 1 if off1 <= 2**31 - 1 else 2
+        if max_var > 2**31 - 1:
+            ver = 5               # past the classic size word: CDF-5
+        else:
+            _, off1 = layout(1)
+            ver = 1 if off1 <= 2**31 - 1 else 2
+    if ver in (1, 2) and max_var > 2**31 - 1:
+        raise ValueError("variable exceeds the classic-format size "
+                         "word; use version=5 (CDF-5) or write_chunks")
     begins, off = layout(ver)
     if ver == 1 and off > 2**31 - 1:
         raise ValueError("cube too large for CDF-1 (32-bit offsets); "
@@ -191,7 +214,8 @@ def write_netcdf(cube, path: str, packing: dict | None = None,
     attributes — the reference's packed netCDF export (src/cube.cpp:149
     packed_export; same packed = round((v - offset)/scale) rule as
     operators/export.py). read_netcdf auto-unpacks (ncdf_cube.h:45).
-    ``version``: None auto-selects CDF-1 vs 64-bit-offset CDF-2."""
+    ``version``: None auto-selects CDF-1 / CDF-2 / CDF-5 (smallest
+    sufficient)."""
     v = cube.view
     dense = cube.collect_dense()  # (nb, nt, ny, nx)
     plan = _nc_plan(v, tuple(cube.bands), packing, version)
@@ -271,25 +295,34 @@ def write_netcdf_distributed(cube, path: str, packing: dict | None = None,
     out.collect()  # drive the job; rows are tiny (one per slice)
 
 
-def _read_name(buf: memoryview, pos: int):
+def _read_sz(buf: memoryview, pos: int, big: bool = False):
+    if big:
+        (n,) = struct.unpack_from(">q", buf, pos)
+        return n, pos + 8
     (n,) = struct.unpack_from(">i", buf, pos)
-    pos += 4
+    return n, pos + 4
+
+
+def _read_name(buf: memoryview, pos: int, big: bool = False):
+    n, pos = _read_sz(buf, pos, big)
     name = bytes(buf[pos:pos + n]).decode()
     pos += n + _pad4(n)
     return name, pos
 
 
-def _read_atts(buf: memoryview, pos: int):
-    tag, nelems = struct.unpack_from(">ii", buf, pos)
-    pos += 8
+def _read_atts(buf: memoryview, pos: int, big: bool = False):
+    (tag,) = struct.unpack_from(">i", buf, pos)
+    pos += 4
+    nelems, pos = _read_sz(buf, pos, big)
     atts = {}
     if tag == 0:
         return atts, pos
     assert tag == NC_ATTRIBUTE
     for _ in range(nelems):
-        name, pos = _read_name(buf, pos)
-        nc_type, n = struct.unpack_from(">ii", buf, pos)
-        pos += 8
+        name, pos = _read_name(buf, pos, big)
+        (nc_type,) = struct.unpack_from(">i", buf, pos)
+        pos += 4
+        n, pos = _read_sz(buf, pos, big)
         size = _TYPE_SIZE[nc_type] * n
         raw = bytes(buf[pos:pos + size])
         pos += size + _pad4(size)
@@ -314,38 +347,39 @@ def read_netcdf(path: str) -> dict:
     interop with files produced by netcdf-c."""
     with open(path, "rb") as f:
         buf = memoryview(f.read())
-    assert bytes(buf[:3]) == b"CDF" and buf[3] in (1, 2), \
-        "not a CDF-1/CDF-2 classic file"
+    assert bytes(buf[:3]) == b"CDF" and buf[3] in (1, 2, 5), \
+        "not a CDF-1/CDF-2/CDF-5 classic file"
     ver = buf[3]
-    (numrecs,) = struct.unpack_from(">i", buf, 4)
-    pos = 8  # magic + numrecs
-    tag, ndims = struct.unpack_from(">ii", buf, pos)
-    pos += 8
+    big = ver == 5
+    numrecs, pos = _read_sz(buf, 4, big)
+    (tag,) = struct.unpack_from(">i", buf, pos)
+    pos += 4
+    ndims, pos = _read_sz(buf, pos, big)
     assert tag == NC_DIMENSION
     dims = []
     rec_dim = None
     for _ in range(ndims):
-        name, pos = _read_name(buf, pos)
-        (size,) = struct.unpack_from(">i", buf, pos)
-        pos += 4
+        name, pos = _read_name(buf, pos, big)
+        size, pos = _read_sz(buf, pos, big)
         if size == 0:
             rec_dim = len(dims)
         dims.append((name, size))
-    gatts, pos = _read_atts(buf, pos)
-    tag, nvars = struct.unpack_from(">ii", buf, pos)
-    pos += 8
+    gatts, pos = _read_atts(buf, pos, big)
+    (tag,) = struct.unpack_from(">i", buf, pos)
+    pos += 4
+    nvars, pos = _read_sz(buf, pos, big)
     assert tag == NC_VARIABLE
     # first pass: headers of all variables (record stride needs them all)
     hdrs = []
     for _ in range(nvars):
-        name, pos = _read_name(buf, pos)
-        (nd,) = struct.unpack_from(">i", buf, pos)
-        pos += 4
+        name, pos = _read_name(buf, pos, big)
+        nd, pos = _read_sz(buf, pos, big)
         dimids = list(struct.unpack_from(f">{nd}i", buf, pos)) if nd else []
         pos += 4 * nd
-        _atts, pos = _read_atts(buf, pos)
-        nc_type, vsize = struct.unpack_from(">ii", buf, pos)
-        pos += 8
+        _atts, pos = _read_atts(buf, pos, big)
+        (nc_type,) = struct.unpack_from(">i", buf, pos)
+        pos += 4
+        _vsize, pos = _read_sz(buf, pos, big)
         if ver == 1:
             (begin,) = struct.unpack_from(">i", buf, pos)
             pos += 4

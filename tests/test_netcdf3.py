@@ -196,12 +196,14 @@ def test_cdf2_64bit_offset_roundtrip(spark, tmp_path):
     with _pytest.raises(ValueError, match="CDF-1"):
         _nc_plan(big, ("B1", "B2"), None, version=1)
     assert _nc_plan(big, ("B1", "B2"), None)["version"] == 2
-    # a single over-4GiB variable is past classic entirely
+    # a single over-2GiB variable overflows the classic size word:
+    # forcing CDF-1/2 raises, auto upgrades to CDF-5
     huge = CubeView.create(left=0.0, right=1.0, bottom=0.0, top=1.0,
                            nx=16384, ny=16384, t0="2020-01-01", nt=2,
                            dt="P1D", chunk_size=(1, 256, 256))
     with _pytest.raises(ValueError, match="size word"):
-        _nc_plan(huge, ("B1",), None)
+        _nc_plan(huge, ("B1",), None, version=2)
+    assert _nc_plan(huge, ("B1",), None)["version"] == 5
 
 
 def _classic_with_records(single: bool):
@@ -268,3 +270,43 @@ def test_record_dimension_single_var_unpadded(tmp_path):
     open(p, "wb").write(_classic_with_records(single=True))
     nc = nc3.read_netcdf(p)
     assert np.array_equal(nc["vars"]["A"], [[1, 2, 3], [4, 5, 6]])
+
+
+def test_cdf5_roundtrip(spark, tmp_path):
+    """CDF-5 (64-bit data): magic CDF\x05, INT64 size/count words
+    everywhere (numrecs, dim lengths, name lengths, nelems, vsize,
+    begin), INT dimids/nc_type — values identical to CDF-1, both
+    writers byte-identical, reader auto-detects."""
+    import struct as st
+
+    from gdalcubes_cpp_spark.sources.collection import formula_cube
+    from gdalcubes_cpp_spark.sources.netcdf3 import (
+        read_netcdf, write_netcdf, write_netcdf_distributed,
+    )
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(left=0.0, right=8.0, bottom=0.0, top=6.0, nx=8, ny=6,
+                        t0="2020-01-01", nt=4, dt="P1D", chunk_size=(2, 3, 4))
+    cube = formula_cube(spark, v, {
+        "B1": "CASE WHEN ix = 2 THEN NULL ELSE CAST(it*3 + iy + ix AS DOUBLE) END",
+    })
+    p1 = str(tmp_path / "v1.nc")
+    p5 = str(tmp_path / "v5.nc")
+    p5d = str(tmp_path / "v5d.nc")
+    write_netcdf(cube, p1)
+    write_netcdf(cube, p5, version=5)
+    write_netcdf_distributed(cube, p5d, version=5)
+    b1, b5, b5d = (open(p, "rb").read() for p in (p1, p5, p5d))
+    assert b5[:4] == b"CDF\x05"
+    assert b5 == b5d
+    (numrecs,) = st.unpack_from(">q", b5, 4)
+    assert numrecs == 0
+    n1, n5 = read_netcdf(p1), read_netcdf(p5)
+    assert n1["dims"] == n5["dims"]
+    assert n1["gatts"]["view"] == n5["gatts"]["view"]
+    for k in n1["vars"]:
+        a, b = n1["vars"][k], n5["vars"][k]
+        if isinstance(a, bytes):
+            assert a == b
+        else:
+            assert np.array_equal(a, b, equal_nan=True)
