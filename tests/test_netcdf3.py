@@ -310,3 +310,37 @@ def test_cdf5_roundtrip(spark, tmp_path):
             assert a == b
         else:
             assert np.array_equal(a, b, equal_nan=True)
+
+
+def test_external_float_byte_types(tmp_path):
+    """External interop: NC_FLOAT (5) and NC_BYTE (1) variables — types
+    our writers never emit but netcdf-c files commonly carry — decode
+    through the same reader (hand-assembled file)."""
+    import struct as st
+
+    vals_f = np.array([1.5, -2.25, 3.0], ">f4").tobytes() + b"\x00" * 0
+    vals_b = np.array([5, -7, 100], "i1").tobytes() + b"\x00"
+
+    def var(name, dimids, nc_type, vsize, begin):
+        v = nc3._name(name) + st.pack(">i", len(dimids))
+        for d in dimids:
+            v += st.pack(">i", d)
+        v += nc3._att_list([]) + st.pack(">iii", nc_type, vsize, begin)
+        return v
+
+    def build(hlen):
+        h = b"CDF\x01" + st.pack(">i", 0)
+        h += st.pack(">ii", nc3.NC_DIMENSION, 1)
+        h += nc3._name("y") + st.pack(">i", 3)
+        h += nc3._att_list([])
+        h += st.pack(">ii", nc3.NC_VARIABLE, 2)
+        h += var("f", [0], 5, 12, hlen)
+        h += var("b", [0], 1, 4, hlen + 12)
+        return h
+
+    h = build(len(build(0)))
+    p = str(tmp_path / "ext.nc")
+    open(p, "wb").write(h + vals_f + vals_b)
+    nc = nc3.read_netcdf(p)
+    assert np.allclose(nc["vars"]["f"], [1.5, -2.25, 3.0])
+    assert np.array_equal(nc["vars"]["b"], [5, -7, 100])
