@@ -142,13 +142,27 @@ def encode_lossy(img: np.ndarray) -> bytes:
     Deterministic quantization to step 4 + PNG container, tagged with a
     leading marker so decode() can distinguish. Real deployments replace
     this with libjpeg/turbojpeg; the Spark-side plumbing (binary column,
-    pandas-UDF batch decode, PSNR gate) is identical.
+    pandas-UDF batch decode, PSNR gate) is identical. For a REAL
+    in-repo lossy codec use encode_lossy_jp2 (irreversible 9/7 JPEG
+    2000, sources/jpeg2000.py) — this stub remains only where .jpg
+    payload semantics specifically are modeled.
     """
     a = np.asarray(img, dtype=np.uint8)
     q = (
         (a.astype(np.int32) + _LOSSY_STEP // 2) // _LOSSY_STEP * _LOSSY_STEP
     ).clip(0, 255).astype(np.uint8)
     return b"LOSY" + encode_png(q)
+
+
+def encode_lossy_jp2(img: np.ndarray, qstep: float = 4.0) -> bytes:
+    """REAL lossy compression — irreversible 9/7 JPEG 2000 (see
+    sources/jpeg2000.py): spec-signaled scalar quantization, monotone
+    rate-distortion via ``qstep`` (sample units). decode() dispatches
+    on the JP2 magic like every other payload."""
+    from .sources.jpeg2000 import encode_jp2
+
+    return encode_jp2(np.asarray(img, dtype=np.uint8), levels=4,
+                      transform="9/7", qstep=qstep)
 
 
 def decode(data: bytes, fmt: str | None = None) -> np.ndarray:

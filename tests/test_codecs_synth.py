@@ -63,3 +63,23 @@ def test_spark_generator_matches_pandas(spark):
     assert (sdf["caption"] == pdf["caption"]).all()  # caption byte-equality gate
     assert (sdf["phash"] == pdf["phash"]).all()
     assert all(bytes(x) == bytes(y) for x, y in zip(sdf["bytes"], pdf["bytes"]))
+
+
+def test_encode_lossy_jp2_real_codec():
+    """The real lossy path (9/7 JP2) through the generic decode dispatch:
+    PSNR above the same 40 dB gate as the stub, smaller than raw, and
+    rate falls as qstep grows."""
+    import numpy as np
+
+    from gdalcubes_cpp_spark import codecs
+
+    rng = np.random.RandomState(8)
+    base = (120 + 80 * np.sin(np.arange(64) / 6.0)[:, None]
+            * np.cos(np.arange(64) / 5.0)[None, :])[:, :, None]
+    img = np.clip(base + rng.randint(0, 20, (64, 64, 3)), 0, 255).astype(np.uint8)
+    b1 = codecs.encode_lossy_jp2(img, qstep=2.0)
+    b2 = codecs.encode_lossy_jp2(img, qstep=8.0)
+    out = codecs.decode(b1)
+    assert out.shape == img.shape
+    assert codecs.psnr(img, out) >= 40.0
+    assert len(b2) < len(b1) < img.nbytes
