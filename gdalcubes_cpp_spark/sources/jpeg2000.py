@@ -913,9 +913,14 @@ def _encode_packet(band_arrays: list, mbs: list) -> tuple:
     blocks_all = []
     for (name, arr), mb in zip(band_arrays, mbs):
         bh, bwid = arr.shape
+        if bh == 0 or bwid == 0:
+            # zero-size subband (1-px-wide/tall tiles): contributes no
+            # code-blocks and no header bits — the decoder mirrors this
+            blocks_all.append((name, 0, 0, [], 0, mb))
+            continue
         blocks = _blocks_of(bh, bwid)
-        gw = (bwid + CB - 1) // CB or 1
-        gh = (bh + CB - 1) // CB or 1
+        gw = (bwid + CB - 1) // CB
+        gh = (bh + CB - 1) // CB
         coded = []
         for (y0, y1, x0, x1) in blocks:
             data, npasses, nplanes = encode_codeblock(arr[y0:y1, x0:x1], name)
@@ -926,6 +931,8 @@ def _encode_packet(band_arrays: list, mbs: list) -> tuple:
 
     bw.put(1)  # non-empty packet
     for name, gw, gh, coded, eps, mb in blocks_all:
+        if gw == 0 or gh == 0:
+            continue
         incl = TagTree(gw, gh)
         zbp = TagTree(gw, gh)
         incl.set_values(np.array(
@@ -971,9 +978,12 @@ def _decode_packet(br_data: bytes, pos: int, band_meta: list):
     if br.get() == 0:
         raise ValueError("empty packets not produced by this encoder")
     for name, bh, bwid, mb in band_meta:
+        if bh == 0 or bwid == 0:
+            pending.append((name, np.zeros((bh, bwid), dtype=np.int64), [], []))
+            continue
         blocks = _blocks_of(bh, bwid)
-        gw = (bwid + CB - 1) // CB or 1
-        gh = (bh + CB - 1) // CB or 1
+        gw = (bwid + CB - 1) // CB
+        gh = (bh + CB - 1) // CB
         incl = TagTree(gw, gh)
         zbp = TagTree(gw, gh)
         arr = np.zeros((bh, bwid), dtype=np.int64)

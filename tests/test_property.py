@@ -110,3 +110,76 @@ def test_join_predicate_edges(l, w, b, h, day):
         assert hits, (l, w, b, h, ts)
     if not inside_space:
         assert not hits
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(8, 60), w=st.integers(8, 60), nb=st.integers(1, 3),
+    big=st.booleans(), seed=st.integers(0, 10_000),
+)
+def test_gtiff_roundtrip_any_version(h, w, nb, big, seed):
+    """Striped GeoTIFF roundtrips exactly for any shape/band count in
+    BOTH classic and BigTIFF containers (NaNs included)."""
+    from gdalcubes_cpp_spark.sources import geotiff as gt
+
+    rng = np.random.RandomState(seed)
+    planes = rng.rand(nb, h, w) * 100
+    planes[rng.rand(nb, h, w) < 0.1] = np.nan
+    buf = gt.gtiff_bytes(planes, 1.0, 1.0, 0.0, float(h), "EPSG:4326",
+                         "p", bigtiff=big)
+    assert buf[:4] == (b"II+\x00" if big else b"II*\x00")
+    out = gt.read_gtiff_bytes(buf)["planes"]
+    assert np.array_equal(out, planes, equal_nan=True)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(8, 80), w=st.integers(8, 80),
+    th=st.sampled_from([8, 16, 32]), tw=st.sampled_from([8, 16, 32]),
+    levels=st.integers(1, 3), seed=st.integers(0, 10_000),
+)
+def test_jp2_multitile_lossless_random(h, w, th, tw, levels, seed):
+    """Reversible multi-tile JP2 roundtrips bit-exactly for arbitrary
+    image/tile geometry (clipped edge tiles included)."""
+    from gdalcubes_cpp_spark.sources.jpeg2000 import decode_jp2, encode_jp2
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 5000, (h, w)).astype(np.uint16)
+    out = decode_jp2(encode_jp2(img, levels=levels, tile_size=(th, tw)))
+    assert (out[:, :, 0] == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(8, 60), w=st.integers(8, 60),
+    levels=st.integers(1, 3), qstep=st.floats(0.5, 32.0),
+    seed=st.integers(0, 10_000),
+)
+def test_jp2_97_error_bounded(h, w, levels, qstep, seed):
+    """The lossy 9/7 path's reconstruction error stays bounded by a
+    small multiple of the quantization step for arbitrary content."""
+    from gdalcubes_cpp_spark.sources.jpeg2000 import decode_jp2, encode_jp2
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 60000, (h, w)).astype(np.uint16)
+    out = decode_jp2(encode_jp2(img, levels=levels, transform="9/7",
+                                qstep=qstep))
+    err = np.abs(out[:, :, 0].astype(float) - img.astype(float)).max()
+    assert err <= 6.0 * qstep + 1.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    blk=st.integers(8, 200), per_tab=st.integers(1, 16),
+    n=st.integers(1, 800), seed=st.integers(0, 10_000),
+)
+def test_hdf4_linked_blocks_random(blk, per_tab, n, seed):
+    """SPECIAL_LINKED reassembly is exact for arbitrary block/table
+    geometry (multi-table chains, short final blocks)."""
+    from gdalcubes_cpp_spark.sources.hdf4 import hdf4_sds_bytes, read_hdf4_bytes
+
+    rng = np.random.RandomState(seed)
+    rows = max(1, n // 20)
+    a = rng.randint(-30000, 30000, (rows, 20)).astype(np.int16)
+    out = read_hdf4_bytes(hdf4_sds_bytes(a, linked=(blk, per_tab)))
+    assert (out[0]["data"] == a).all()
