@@ -1260,6 +1260,8 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
                 raise ValueError(f"unknown wavelet transform {transform}")
             if nlayers != 1 or scod & 1:
                 raise ValueError("multi-layer/precinct codestreams unsupported")
+            if scod & 0x06:
+                raise ValueError("SOP/EPH marker segments unsupported")
             # with one layer and maximal precincts the packet order of
             # LRCP/RLCP/RPCL coincides (res-major, then component); the
             # position- and component-major orders only coincide for a
@@ -1297,6 +1299,11 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
             if seg[o] & 0x1F:
                 raise ValueError("quantized (lossy) QCC unsupported")
             qcc[ci] = (seg[o] >> 5, [b >> 3 for b in seg[o + 1:]])
+        elif code in (0xFF5F, 0xFF60, 0xFF61):
+            # POC reorders packets, PPM/PPT relocate packet headers —
+            # either silently breaks this reader's packet walk: refuse
+            names = {0xFF5F: "POC", 0xFF60: "PPM", 0xFF61: "PPT"}
+            raise ValueError(f"{names[code]} marker segments unsupported")
         elif code == 0xFF90:  # SOT
             isot, psot, _tp, _tn = struct.unpack_from(">HIBB", seg, 0)
             sod_at = pos + 2 + ln

@@ -551,3 +551,20 @@ def test_53_stream_bytes_unchanged_by_97_support():
     img = (np.arange(40 * 40, dtype=np.uint16) * 11 % 2000).reshape(40, 40)
     assert encode_j2k(img, levels=3) == encode_j2k(img, levels=3,
                                                    transform="5/3", qstep=9.9)
+
+
+def test_semantics_changing_markers_refused():
+    """Markers that silently change packet semantics (SOP/EPH via Scod,
+    POC/PPM/PPT segments) raise cleanly instead of decoding garbage."""
+    img = np.zeros((16, 16), dtype=np.uint8)
+    code = encode_j2k(img, levels=1)
+    i = code.find(b"\xff\x52")
+    b = bytearray(code)
+    b[i + 4] |= 0x02                     # Scod: SOP markers claimed
+    with pytest.raises(ValueError, match="SOP/EPH"):
+        decode_jp2(bytes(b))
+    # inject a POC segment after COD
+    (ln,) = struct.unpack_from(">H", code, i + 2)
+    poc = b"\xff\x5f" + struct.pack(">H", 9) + b"\x00" * 7
+    with pytest.raises(ValueError, match="POC"):
+        decode_jp2(code[:i + 2 + ln] + poc + code[i + 2 + ln:])
