@@ -60,6 +60,7 @@ TAG_TILE_LENGTH = 323
 TAG_TILE_OFFSETS = 324
 TAG_TILE_COUNTS = 325
 TAG_PREDICTOR = 317
+TAG_SUB_IFDS = 330
 TAG_SAMPLE_FORMAT = 339
 
 # (sample_format, bits) -> numpy dtype for EXTERNAL files (our writer emits
@@ -660,6 +661,13 @@ def read_cog_bytes(buf: bytes) -> dict:
     while off:
         tags, off = _parse_ifd(buf, off, big)
         ifds.append(tags)
+    # SubIFD overviews (tag 330): GDAL's COPY_SRC_OVERVIEWS / SUBIFD
+    # layout hangs reduced-resolution IFDs off the main IFD instead of
+    # chaining them — append them so both layouts read identically
+    for sub_off in ifds[0].get(TAG_SUB_IFDS, []):
+        while sub_off:
+            tags, sub_off = _parse_ifd(buf, int(sub_off), big)
+            ifds.append(tags)
     main = ifds[0]
     try:
         desc = json.loads(main.get(TAG_DESCRIPTION, "null"))

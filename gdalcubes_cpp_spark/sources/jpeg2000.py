@@ -1251,6 +1251,9 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
             _r, w, h, _xo, _yo, tw, th, _xto, _yto, nc = struct.unpack_from(
                 ">HIIIIIIIIH", seg, 0)
             depth = seg[36] + 1  # Ssiz of component 0 (after the 36-byte fixed part)
+            for ci in range(nc):  # XRsiz/YRsiz: only 1:1 sampling walks
+                if seg[37 + 3 * ci] != 1 or seg[38 + 3 * ci] != 1:
+                    raise ValueError("subsampled components unsupported")
         elif code == 0xFF52:  # COD
             scod = seg[0]
             prog, nlayers, mct = struct.unpack_from(">BHB", seg, 1)

@@ -654,3 +654,48 @@ def test_external_bandseq_multistrip():
     buf = _external_tiff(planes, chunky=False, rps=3)
     got = gt.read_gtiff_bytes(buf)["planes"]
     assert np.array_equal(got, planes)
+
+
+def test_subifd_overviews_read():
+    """GDAL's SubIFD overview layout (tag 330): reduced-resolution IFDs
+    hang off the main IFD instead of the chain — synthesize one by
+    rewriting a chained COG's links into a SubIFDs tag and check both
+    layouts parse to the same overviews."""
+    rng = np.random.RandomState(9)
+    planes = rng.rand(1, 40, 40) * 50
+    chained = gt.cog_bytes(planes, 1.0, 1.0, 0.0, 40.0, "EPSG:4326", "d",
+                           tile=16, levels=(2,))
+    want = gt.read_cog_bytes(chained)
+    # locate the two IFDs, then rebuild: main IFD with next=0 plus a
+    # SubIFDs tag pointing at the overview IFD
+    big, off0 = gt._tiff_header(chained)
+    tags0, off1 = gt._parse_ifd(chained, off0, big)
+    assert off1 != 0
+    buf = bytearray(chained)
+    # append a fresh main IFD at EOF: copy the original entries, add
+    # SubIFDs, terminate the chain
+    (n,) = struct.unpack_from("<H", buf, off0)
+    entries = bytes(buf[off0 + 2:off0 + 2 + 12 * n])
+    sub_entry = struct.pack("<HHI", gt.TAG_SUB_IFDS, 4, 1) + struct.pack("<I", off1)
+    new = bytearray()
+    new += struct.pack("<H", n + 1)
+    # keep entries tag-sorted: SubIFDs (330) slots before 339/33550/...
+    parts = [entries[i:i + 12] for i in range(0, len(entries), 12)]
+    inserted = False
+    for p in parts:
+        tag = struct.unpack_from("<H", p, 0)[0]
+        if not inserted and tag > gt.TAG_SUB_IFDS:
+            new += sub_entry
+            inserted = True
+        new += p
+    if not inserted:
+        new += sub_entry
+    new += struct.pack("<I", 0)   # next IFD: none
+    new_off = len(buf)
+    buf += new
+    struct.pack_into("<I", buf, 4, new_off)   # header points at new IFD
+    got = gt.read_cog_bytes(bytes(buf))
+    assert np.array_equal(got["planes"], want["planes"], equal_nan=True)
+    assert len(got["overviews"]) == len(want["overviews"]) == 1
+    assert np.array_equal(got["overviews"][0]["planes"],
+                          want["overviews"][0]["planes"], equal_nan=True)
