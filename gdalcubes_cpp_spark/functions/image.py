@@ -133,10 +133,12 @@ def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
     interop with any TIFF reader); 'cog' = the Cloud-Optimized flavor
     (deflate tiles + internal overviews — the translate_cog analog);
     'png' = lossless uint8 (values must fit uint8 — raises otherwise);
-    'lossy' = the quantizing stub codec. Translated payloads decode
+    'lossy' = the quantizing stub codec; 'jp2' = lossless reversible-5/3
+    JPEG 2000 (uint16 range — the Sentinel-2 band-file shape);
+    'jp2-lossy' = irreversible 9/7 at qstep 4. Translated payloads decode
     transparently via codecs.decode, so a translated collection feeds
     build_cube unchanged."""
-    if to_fmt not in ("gtiff", "cog", "png", "lossy"):
+    if to_fmt not in ("gtiff", "cog", "png", "lossy", "jp2", "jp2-lossy"):
         raise ValueError(f"unsupported target format {to_fmt!r}")
     cols = images.columns
     for need in ("bytes", "fmt", "left", "right", "top", "bottom", "w", "h"):
@@ -165,6 +167,19 @@ def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
                     if np.nanmin(img) < 0 or np.nanmax(img) > 255:
                         raise ValueError("png target needs uint8-range values")
                     payload = codecs.encode_png(np.asarray(img, dtype=np.uint8))
+                elif to_fmt in ("jp2", "jp2-lossy"):
+                    from ..sources.jpeg2000 import encode_jp2
+
+                    if np.nanmin(img) < 0 or np.nanmax(img) > 65535:
+                        raise ValueError("jp2 target needs uint16-range values")
+                    a16 = np.asarray(img, dtype=np.uint16)
+                    if a16.shape[-1] == 1:
+                        a16 = a16[:, :, 0]
+                    if to_fmt == "jp2":
+                        payload = encode_jp2(a16, levels=3)
+                    else:
+                        payload = encode_jp2(a16, levels=3, transform="9/7",
+                                             qstep=4.0)
                 else:
                     payload = codecs.encode_lossy(np.asarray(img, dtype=np.uint8))
                 out_bytes.append(payload)

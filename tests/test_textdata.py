@@ -567,3 +567,38 @@ def test_unigram_lm_scores(spark):
     scored = unigram_lm_scores(new, vocab=ref_vocab).collect()[0]
     assert scored["oov_ratio"] == 0.0
     assert scored["lm_logprob"] > rows[3]["lm_logprob"]
+
+
+def test_translate_collection_jp2(spark):
+    """translate to 'jp2' (lossless 5/3): pixel-exact through
+    codecs.decode, identical cube; 'jp2-lossy' (9/7): PSNR-gated."""
+    from gdalcubes_cpp_spark import codecs, synth
+    from gdalcubes_cpp_spark.functions.image import translate_collection
+    from gdalcubes_cpp_spark.operators.build import build_cube
+    from gdalcubes_cpp_spark.view import CubeView
+
+    pdf = synth.images_pdf(40)
+    imgs = spark.createDataFrame(pdf).cache()
+    j2 = translate_collection(imgs, "jp2").cache()
+    rows = {r["image_id"]: r for r in j2.collect()}
+    for _, orig in pdf.iloc[:4].iterrows():
+        r = rows[orig["image_id"]]
+        assert r["fmt"] == "jp2"
+        raw = codecs.decode(orig["bytes"], orig["fmt"])
+        out = codecs.decode(r["bytes"], "jp2")
+        assert (out[:, :, :raw.shape[2]].astype(int) == raw.astype(int)).all()
+    v = CubeView.create(
+        left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=20, ny=20,
+        t0="2020-01-01", t1="2020-12-31", dt="P3M",
+        aggregation="mean", resampling="near", chunk_size=(2, 10, 10),
+    )
+    a = build_cube(imgs, v).collect_dense()
+    b = build_cube(j2, v).collect_dense()
+    m = np.isfinite(a)
+    assert m.any() and (a[m] == b[m]).all()
+    jl = translate_collection(imgs.limit(4), "jp2-lossy")
+    for r in jl.collect():
+        raw = codecs.decode(
+            pdf.set_index("image_id").loc[r["image_id"]]["bytes"], "png")
+        out = codecs.decode(r["bytes"], "jp2")
+        assert codecs.psnr(raw, out[:, :, :raw.shape[2]]) >= 35.0
