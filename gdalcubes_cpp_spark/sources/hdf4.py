@@ -724,6 +724,47 @@ def attr_decode(base=None):
     return fn
 
 
+def read_vdatas(data: bytes, include_internal: bool = False) -> list[dict]:
+    """General Vdata-table view of a granule: [{'name', 'class',
+    'nrec', 'columns': {field: ndarray-or-list}}] for every VH/VS pair.
+    Multi-order fields become (nrec, order) arrays; CHAR8 fields become
+    NUL-stripped strings. The bookkeeping classes the engine itself
+    writes (Attr0.0 attributes, _HDF_CHK_TBL_ chunk tables) are hidden
+    unless ``include_internal`` — this surfaces the real metadata tables
+    MODIS granules carry alongside their SDS."""
+    buf = bytes(data)
+    dds = _walk_dds(buf)
+    out = []
+    for (tag, ref) in sorted(dds):
+        if tag != DFTAG_VH:
+            continue
+        recs, nrec, ivsize, fields, name, klass = _parse_vdata(buf, dds, ref)
+        if not include_internal and klass in (_CLS_ATTR, "_HDF_CHK_TBL_"):
+            continue
+        cols: dict = {}
+        for fname, (off, isize, order, dfnt) in fields.items():
+            if dfnt == DFNT_CHAR8:
+                cols[fname] = [
+                    recs[i * ivsize + off:i * ivsize + off + isize]
+                    .split(b"\x00")[0].decode(errors="replace")
+                    for i in range(nrec)
+                ]
+            elif dfnt in _DFNT:
+                dt = np.dtype(_DFNT[dfnt][0])
+                vals = np.stack([
+                    np.frombuffer(recs, dtype=dt, count=order,
+                                  offset=i * ivsize + off)
+                    for i in range(nrec)
+                ]) if nrec else np.empty((0, order), dtype=dt)
+                vals = vals.astype(dt.newbyteorder("="))
+                cols[fname] = vals[:, 0] if order == 1 else vals
+            else:
+                cols[fname] = None  # unknown field type: named, not parsed
+        out.append({"name": name, "class": klass, "nrec": nrec,
+                    "columns": cols})
+    return out
+
+
 def parse_struct_metadata(text: str) -> list[dict]:
     """Parse HDF-EOS ``StructMetadata.0`` (the ODL text every real MODIS
     granule stores as a global attribute; HDF-EOS Library User's Guide,

@@ -646,3 +646,55 @@ def test_struct_metadata_missing_raises():
     buf = hdf4_sds_bytes(np.zeros((2, 2), dtype=np.uint8))
     with pytest.raises(ValueError, match="StructMetadata"):
         hdfeos_grid_info(buf)
+
+
+def test_read_vdatas_general_tables():
+    """read_vdatas surfaces arbitrary tabular Vdatas (the metadata
+    tables real granules carry) with typed columns, multi-order fields
+    as (nrec, order) arrays and CHAR8 fields as strings; the engine's
+    own bookkeeping Vdatas stay hidden by default."""
+    from gdalcubes_cpp_spark.sources.hdf4 import (
+        DFNT_CHAR8, _vdata_pair, read_vdatas,
+    )
+
+    a = np.arange(6, dtype=np.int16).reshape(2, 3)
+    # granule with: chunked SDS (internal chunk-table Vdata), one attr,
+    # and a custom 2-field metadata table appended by hand
+    buf = bytearray(hdf4_sds_bytes(a, names=["X"], chunks=(2, 2),
+                                   attrs={"scale_factor": 2.0}))
+    # append a custom Vdata pair by rebuilding through the writer's
+    # helpers: 3 records of (f4 value, 8-char tag)
+    elems = []
+    recs = b""
+    for i, (v, t) in enumerate([(1.5, b"alpha"), (-2.0, b"beta"),
+                                (9.25, b"gamma")]):
+        recs += struct.pack(">f", v) + t.ljust(8, b"\x00")
+    _vdata_pair(elems, 200, "calib", "UserMeta",
+                [("value", 5, 4, 1), ("tag", DFNT_CHAR8, 8, 8)], recs, 3)
+    # splice the new elements into the DD chain by rewriting the file
+    from gdalcubes_cpp_spark.sources.hdf4 import MAGIC, _walk_dds
+    dds = _walk_dds(bytes(buf))
+    old = [(t, r, bytes(buf[o:o + ln])) for (t, r), (o, ln) in sorted(dds.items())]
+    allel = old + elems
+    dd_block = struct.pack(">HI", len(allel), 0)
+    off = len(MAGIC) + len(dd_block) + 12 * len(allel)
+    dd = b""
+    payload = b""
+    for t, r, d in allel:
+        dd += struct.pack(">HHII", t, r, off, len(d))
+        payload += d
+        off += len(d)
+    buf2 = MAGIC + dd_block + dd + payload
+
+    tables = read_vdatas(buf2)
+    assert [t["name"] for t in tables] == ["calib"]
+    t = tables[0]
+    assert t["class"] == "UserMeta" and t["nrec"] == 3
+    assert np.allclose(t["columns"]["value"], [1.5, -2.0, 9.25])
+    assert t["columns"]["tag"] == ["alpha", "beta", "gamma"]
+    # internal view still exposes the chunk table + attribute Vdatas
+    full = read_vdatas(buf2, include_internal=True)
+    classes = {t["class"] for t in full}
+    assert "_HDF_CHK_TBL_" in classes and "Attr0.0" in classes
+    # and the SDS itself still decodes
+    assert (read_hdf4_bytes(buf2)[0]["data"] == a).all()
