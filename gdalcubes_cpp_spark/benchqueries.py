@@ -2396,8 +2396,12 @@ def cube_jp2_decode(spark, sf_dir):
         # footprint offset half a source pixel so every cell center falls
         # mid-pixel (fx = 1.5 + 2k): near-gather = pixel (2i+1, 2j+1), no
         # boundary ulp sensitivity
+        # multi-layer + RLCP + SOP/EPH: the external-encoder stream shape
+        # (Kakadu production settings) — still bit-exact lossless
         rows.append((
-            f"jp2_{k}", bytearray(encode_jp2(plane, levels=3)), 40, 40,
+            f"jp2_{k}", bytearray(encode_jp2(plane, levels=3, nlayers=3,
+                                             prog="RLCP", sop=True,
+                                             eph=True)), 40, 40,
             "jp2", ts, -12.05, -8.05, 18.05, 22.05,
         ))
     images = spark.createDataFrame(

@@ -18,13 +18,15 @@ pure-struct discipline as geotiff.py/netcdf3.py/hdf4.py:
   driven by the MQ arithmetic coder (Annex C, the 47-state Qe table);
 - Tier-2 packet headers (Annex B.10): tag-tree inclusion and
   zero-bit-plane coding, coding-pass counts, Lblock length signalling,
-  bit stuffing, LRCP progression (one quality layer).
+  bit stuffing, MULTI-LAYER quality layers (pass-truncation segments,
+  persistent tag trees / Lblock across layers, empty packets), all five
+  §B.12 progression orders (single-precinct), optional SOP/EPH markers.
 
 Scope: MULTI-TILE (regular tile grid per §B.3, Isot-indexed SOT/SOD
 tile-parts, per-tile DWT + packet coding, main-header-global QCD
 exponents covering every tile; tile-parts of one tile concatenate, and a
-last tile-part with Psot=0 runs to EOC per §A.4.2), single quality
-layer, no precinct partition (maximal precincts). The reversible 5/3
+last tile-part with Psot=0 runs to EOC per §A.4.2), multiple quality
+layers, no precinct partition (maximal precincts). The reversible 5/3
 path is the lossless configuration Sentinel-2 L2A uses for its 20/60 m
 bands; PLUS the irreversible 9/7 path (Annex F float lifting normalized to DC
 gain 1 so reduce=k behaves identically across transforms; per-subband
@@ -549,13 +551,23 @@ class _Block:
 
 
 def encode_codeblock(coeffs: np.ndarray, band: str):
-    """-> (mq bytes, n_passes, n_bitplanes). coeffs: signed int array."""
+    """-> (mq bytes, n_passes, n_bitplanes, trunc). coeffs: signed ints.
+
+    ``trunc[k]`` is a byte count sufficient to decode passes 0..k from a
+    PREFIX of the final codeword (B.10.7 truncation points for quality
+    layers): committed MQ bytes at the pass boundary plus a 5-byte
+    look-ahead margin (the decoder's C register prefetch never reaches
+    further), clipped to the codeword length. Because layer segments are
+    cut from the FINAL codeword, a decoder concatenating segments of the
+    first l layers always sees an exact codeword prefix — so decoding
+    the signalled cumulative pass count from it is exact, not merely
+    approximate."""
     h, w = coeffs.shape
     mag = np.abs(coeffs).astype(np.int64)
     mx = int(mag.max()) if mag.size else 0
     nplanes = mx.bit_length()
     if nplanes == 0:
-        return b"", 0, 0
+        return b"", 0, 0, []
     st = _Block(h, w, band)
     st.sgn = coeffs < 0
     enc = MQEncoder()
@@ -627,13 +639,21 @@ def encode_codeblock(coeffs: np.ndarray, band: str):
         st.visited[:] = False
 
     npasses = 1
+    safe = []
     cup(nplanes - 1)
+    safe.append(len(enc.out) + 5)
     for p in range(nplanes - 2, -1, -1):
         spp(p)
+        safe.append(len(enc.out) + 5)
         mrp(p)
+        safe.append(len(enc.out) + 5)
         cup(p)
+        safe.append(len(enc.out) + 5)
         npasses += 3
-    return enc.flush(), npasses, nplanes
+    data = enc.flush()
+    trunc = [min(s, len(data)) for s in safe]
+    trunc[-1] = len(data)
+    return data, npasses, nplanes, trunc
 
 
 def decode_codeblock(data: bytes, h: int, w: int, band: str,
@@ -904,123 +924,233 @@ def _blocks_of(bh: int, bw: int):
     return out
 
 
-def _encode_packet(band_arrays: list, mbs: list) -> tuple:
-    """One packet = one (layer, resolution, component): header + bodies.
+def _encode_packets(band_arrays: list, mbs: list, nlayers: int = 1,
+                    eph: bool = False) -> list:
+    """Packets of one (tile, resolution, component) across ALL quality
+    layers — returns ``[packet_bytes]``, one per layer (B.10).
     band_arrays: [(band_name, coeff_array)] for the resolution's subbands;
     ``mbs``: the per-subband Mb from the QCD exponents (shared across
-    components — computed from the max plane count over ALL components)."""
-    bw = _BitWriter()
-    blocks_all = []
+    components — computed from the max plane count over ALL components).
+
+    Layer split: code-block ``bi`` first-includes at layer ``bi %
+    nlayers`` (staggered, exercising tag-tree first-inclusion at every
+    threshold) and spreads its coding passes evenly over the remaining
+    layers; per-layer byte ranges come from encode_codeblock's truncation
+    points, so each layer's segment is a slice of the final codeword and
+    cross-layer concatenation stays exact. Tag trees, inclusion state and
+    Lblock persist across layers per B.10.4/B.10.7; a layer in which no
+    block contributes becomes an EMPTY packet (leading 0 bit)."""
+    bands = []   # (name, gw, gh, [block dicts], mb)
+    gbi = 0
     for (name, arr), mb in zip(band_arrays, mbs):
         bh, bwid = arr.shape
         if bh == 0 or bwid == 0:
             # zero-size subband (1-px-wide/tall tiles): contributes no
             # code-blocks and no header bits — the decoder mirrors this
-            blocks_all.append((name, 0, 0, [], 0, mb))
+            bands.append((name, 0, 0, [], mb))
             continue
-        blocks = _blocks_of(bh, bwid)
         gw = (bwid + CB - 1) // CB
         gh = (bh + CB - 1) // CB
         coded = []
-        for (y0, y1, x0, x1) in blocks:
-            data, npasses, nplanes = encode_codeblock(arr[y0:y1, x0:x1], name)
+        for (y0, y1, x0, x1) in _blocks_of(bh, bwid):
+            data, npasses, nplanes, trunc = encode_codeblock(
+                arr[y0:y1, x0:x1], name)
             if nplanes > mb:
                 raise AssertionError("Mb underestimates plane count")
-            coded.append((data, npasses, nplanes))
-        blocks_all.append((name, gw, gh, coded, 0, mb))
+            if nplanes == 0:
+                fl = nlayers           # never included
+                cum = [0] * (nlayers + 1)
+            else:
+                fl = gbi % nlayers
+                span = nlayers - fl
+                cum = [0] * (nlayers + 1)
+                for l in range(fl, nlayers):
+                    cum[l + 1] = -(-npasses * (l - fl + 1) // span)
+            off = [trunc[c - 1] if c > 0 else 0 for c in cum]
+            coded.append(dict(data=data, npasses=npasses, nplanes=nplanes,
+                              fl=fl, cum=cum, off=off,
+                              lblock=3, included=False))
+            gbi += 1
+        bands.append((name, gw, gh, coded, mb))
 
-    bw.put(1)  # non-empty packet
-    for name, gw, gh, coded, eps, mb in blocks_all:
+    trees = []
+    for name, gw, gh, coded, mb in bands:
         if gw == 0 or gh == 0:
+            trees.append(None)
             continue
         incl = TagTree(gw, gh)
         zbp = TagTree(gw, gh)
         incl.set_values(np.array(
-            [[0 if coded[y * gw + x][2] > 0 else 1 for x in range(gw)]
+            [[coded[y * gw + x]["fl"] for x in range(gw)]
              for y in range(gh)]))
         zbp.set_values(np.array(
-            [[mb - coded[y * gw + x][2] for x in range(gw)]
+            [[mb - coded[y * gw + x]["nplanes"] for x in range(gw)]
              for y in range(gh)]))
-        for y in range(gh):
-            for x in range(gw):
-                data, npasses, nplanes = coded[y * gw + x]
-                incl.encode(x, y, 1, bw)
-                if nplanes == 0:
-                    continue
-                # zero-bitplane tag tree: raise the threshold until known
-                t = 1
-                while not zbp.known[0][y, x]:
-                    zbp.encode(x, y, t, bw)
-                    t += 1
-                _put_npasses(bw, npasses)
-                # Lblock length signalling (B.10.7): Lblock starts at 3
-                lblock = 3
-                nbits_len = len(data).bit_length()
-                need = nbits_len - (npasses.bit_length() - 1)
-                while lblock < need:
-                    bw.put(1)
-                    lblock += 1
-                bw.put(0)
-                bw.put_bits(len(data), lblock + (npasses.bit_length() - 1))
-    header = bw.flush()
-    body = b"".join(
-        c[0] for _n, _gw, _gh, coded, _e, _m in blocks_all for c in coded
-    )
-    return header + body
+        trees.append((incl, zbp))
 
-
-def _decode_packet(br_data: bytes, pos: int, band_meta: list):
-    """Inverse of _encode_packet. band_meta: [(name, bh, bw, mb)].
-    Returns (arrays, new_pos)."""
-    br = _BitReader(br_data[pos:])
-    out = []
-    pending = []  # (name, y0,y1,x0,x1, nplanes, npasses, length)
-    if br.get() == 0:
-        raise ValueError("empty packets not produced by this encoder")
-    for name, bh, bwid, mb in band_meta:
-        if bh == 0 or bwid == 0:
-            pending.append((name, np.zeros((bh, bwid), dtype=np.int64), [], []))
+    packets = []
+    for l in range(nlayers):
+        any_contrib = any(
+            blk["cum"][l + 1] > blk["cum"][l]
+            for _n, _gw, _gh, coded, _m in bands for blk in coded
+        )
+        bw = _BitWriter()
+        if not any_contrib:
+            bw.put(0)  # empty packet (B.10.2)
+            packets.append(bw.flush() + (b"\xff\x92" if eph else b""))
             continue
-        blocks = _blocks_of(bh, bwid)
-        gw = (bwid + CB - 1) // CB
-        gh = (bh + CB - 1) // CB
-        incl = TagTree(gw, gh)
-        zbp = TagTree(gw, gh)
-        arr = np.zeros((bh, bwid), dtype=np.int64)
-        metas = []
-        for y in range(gh):
-            for x in range(gw):
-                v = incl.decode(x, y, 1, br)
-                if v is None or v >= 1:
-                    metas.append(None)
-                    continue
-                t = 1
-                zp = None
-                while zp is None:
-                    zp = zbp.decode(x, y, t, br)
-                    t += 1
-                nplanes = mb - zp
-                npasses = _get_npasses(br)
-                lblock = 3
-                while br.get():
-                    lblock += 1
-                length = br.get_bits(lblock + (npasses.bit_length() - 1))
-                metas.append((nplanes, npasses, length))
-        pending.append((name, arr, blocks, metas))
-    br.align()
-    dpos = pos + br.pos
-    for name, arr, blocks, metas in pending:
-        for (y0, y1, x0, x1), meta in zip(blocks, metas):
-            if meta is None:
+        bw.put(1)
+        bodies = []
+        for (name, gw, gh, coded, mb), tr in zip(bands, trees):
+            if gw == 0 or gh == 0:
                 continue
-            nplanes, npasses, length = meta
-            seg = br_data[dpos:dpos + length]
-            dpos += length
-            arr[y0:y1, x0:x1] = decode_codeblock(
-                seg, y1 - y0, x1 - x0, name, nplanes, npasses
-            )
-        out.append((name, arr))
-    return out, dpos
+            incl, zbp = tr
+            for y in range(gh):
+                for x in range(gw):
+                    blk = coded[y * gw + x]
+                    contrib = blk["cum"][l + 1] - blk["cum"][l]
+                    if not blk["included"]:
+                        incl.encode(x, y, l + 1, bw)
+                        if contrib == 0:
+                            continue
+                        # first inclusion: zero-bitplane tag tree
+                        t = 1
+                        while not zbp.known[0][y, x]:
+                            zbp.encode(x, y, t, bw)
+                            t += 1
+                        blk["included"] = True
+                    else:
+                        bw.put(1 if contrib else 0)
+                        if contrib == 0:
+                            continue
+                    _put_npasses(bw, contrib)
+                    seg = blk["data"][blk["off"][l]:blk["off"][l + 1]]
+                    # Lblock length signalling (B.10.7): starts at 3,
+                    # grows monotonically across layers
+                    need = len(seg).bit_length() - (contrib.bit_length() - 1)
+                    while blk["lblock"] < need:
+                        bw.put(1)
+                        blk["lblock"] += 1
+                    bw.put(0)
+                    bw.put_bits(len(seg),
+                                blk["lblock"] + (contrib.bit_length() - 1))
+                    bodies.append(seg)
+        packets.append(bw.flush() + (b"\xff\x92" if eph else b"")
+                       + b"".join(bodies))
+    return packets
+
+
+class _PacketState:
+    """Per-(tile, resolution, component) Tier-2 decode state, persistent
+    across quality layers (B.10): inclusion/zero-bitplane tag trees,
+    per-code-block Lblock and accumulated codeword segments. Tier-1 runs
+    once at the end over the concatenated segments — segments of one
+    block across layers are contiguous slices of a single MQ codeword."""
+
+    def __init__(self, band_meta: list):
+        # band_meta: [(name, bh, bw, mb)]
+        self.bands = []
+        for name, bh, bwid, mb in band_meta:
+            bd = dict(name=name, bh=bh, bw=bwid, mb=mb, gw=0, gh=0,
+                      blocks=[], incl=None, zbp=None)
+            if bh > 0 and bwid > 0:
+                bd["gw"] = (bwid + CB - 1) // CB
+                bd["gh"] = (bh + CB - 1) // CB
+                bd["incl"] = TagTree(bd["gw"], bd["gh"])
+                bd["zbp"] = TagTree(bd["gw"], bd["gh"])
+                bd["blocks"] = [
+                    dict(rect=rc, included=False, nplanes=0, lblock=3,
+                         segs=[])  # segs: (layer, bytes, npasses)
+                    for rc in _blocks_of(bh, bwid)
+                ]
+            self.bands.append(bd)
+
+    def read_packet(self, buf: bytes, pos: int, layer: int,
+                    sop: bool = False, eph: bool = False) -> int:
+        """Parse one packet (header + bodies) at ``pos``; returns the new
+        position. ``sop``/``eph`` per the COD Scod flags: an optional
+        6-byte SOP marker before the packet, a mandatory 2-byte EPH after
+        the packet header."""
+        if sop and buf[pos:pos + 2] == b"\xff\x91":
+            pos += 6
+        br = _BitReader(buf[pos:])
+        pending = []
+        if br.get():
+            for bd in self.bands:
+                gw, gh = bd["gw"], bd["gh"]
+                if gw == 0 or gh == 0:
+                    continue
+                for y in range(gh):
+                    for x in range(gw):
+                        blk = bd["blocks"][y * gw + x]
+                        if not blk["included"]:
+                            v = bd["incl"].decode(x, y, layer + 1, br)
+                            if v is None:
+                                continue
+                            t = 1
+                            zp = None
+                            while zp is None:
+                                zp = bd["zbp"].decode(x, y, t, br)
+                                t += 1
+                            blk["nplanes"] = bd["mb"] - zp
+                            blk["included"] = True
+                        elif not br.get():
+                            continue
+                        npasses = _get_npasses(br)
+                        while br.get():
+                            blk["lblock"] += 1
+                        length = br.get_bits(
+                            blk["lblock"] + (npasses.bit_length() - 1))
+                        pending.append((blk, npasses, length))
+        br.align()
+        pos += br.pos
+        if eph:
+            if buf[pos:pos + 2] != b"\xff\x92":
+                raise ValueError("EPH signalled in COD but missing after "
+                                 "a packet header")
+            pos += 2
+        for blk, npasses, length in pending:
+            blk["segs"].append((layer, buf[pos:pos + length], npasses))
+            pos += length
+        return pos
+
+    def arrays(self, max_layers: int | None = None) -> list:
+        """Tier-1 decode -> [(band_name, coeff_array)]. ``max_layers``
+        keeps only segments of layers < max_layers (quality truncation —
+        exact for the passes kept, see encode_codeblock's trunc note)."""
+        out = []
+        for bd in self.bands:
+            arr = np.zeros((bd["bh"], bd["bw"]), dtype=np.int64)
+            for blk in bd["blocks"]:
+                segs = [s for s in blk["segs"]
+                        if max_layers is None or s[0] < max_layers]
+                tot = sum(s[2] for s in segs)
+                if not blk["included"] or tot == 0:
+                    continue
+                data = b"".join(s[1] for s in segs)
+                y0, y1, x0, x1 = blk["rect"]
+                arr[y0:y1, x0:x1] = decode_codeblock(
+                    data, y1 - y0, x1 - x0, bd["name"], blk["nplanes"], tot)
+            out.append((bd["name"], arr))
+        return out
+
+
+def _packet_order(nlayers: int, nres: int, nc: int, prog: int) -> list:
+    """Packet sequence [(layer, res, comp)] for the five §B.12 progression
+    orders with a single precinct per resolution (maximal precincts):
+    position collapses, so PCRL and CPRL both become component-major."""
+    if prog == 0:    # LRCP
+        return [(l, r, c) for l in range(nlayers)
+                for r in range(nres) for c in range(nc)]
+    if prog == 1:    # RLCP
+        return [(l, r, c) for r in range(nres)
+                for l in range(nlayers) for c in range(nc)]
+    if prog == 2:    # RPCL
+        return [(l, r, c) for r in range(nres)
+                for c in range(nc) for l in range(nlayers)]
+    # PCRL (3) / CPRL (4)
+    return [(l, r, c) for c in range(nc)
+            for r in range(nres) for l in range(nlayers)]
 
 
 def _marker(code: int, payload: bytes) -> bytes:
@@ -1048,16 +1178,28 @@ def _quant_params(qstep: float, rb: int):
     return eps, mu, delta
 
 
+_PROG_ID = {"LRCP": 0, "RLCP": 1, "RPCL": 2, "PCRL": 3, "CPRL": 4}
+
+
 def encode_j2k(img: np.ndarray, levels: int = 5,
                tile_size: tuple | None = None,
-               transform: str = "5/3", qstep: float = 1.0) -> bytes:
+               transform: str = "5/3", qstep: float = 1.0,
+               nlayers: int = 1, prog: str = "LRCP",
+               sop: bool = False, eph: bool = False) -> bytes:
     """(h, w) or (h, w, c) unsigned int image -> raw JPEG 2000 codestream
     (SOC..EOC), reversible 5/3, one layer, LRCP.  ``tile_size`` = (th,
     tw) splits the image into the spec's regular tile grid (ISO/IEC
     15444-1 §B.3 — the layout of real Sentinel-2 band files): each tile
     is independently wavelet-transformed and packet-coded into its own
     Isot-indexed SOT/SOD tile-part; edge tiles clip.  Default: single
-    tile (byte-identical to the pre-tiling encoder)."""
+    tile (byte-identical to the pre-tiling encoder).
+
+    ``nlayers`` splits each code-block's coding passes across quality
+    layers (staggered first inclusion, see _encode_packets); ``prog``
+    picks any of the five §B.12 progression orders (single-precinct
+    streams make PCRL/CPRL component-major); ``sop``/``eph`` emit the
+    resilience markers real encoders (Kakadu Sentinel-2 production)
+    commonly switch on."""
     a = np.asarray(img)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -1128,15 +1270,26 @@ def encode_j2k(img: np.ndarray, levels: int = 5,
                             raise ValueError("quantized magnitude exceeds Mb")
                         comp_bands[ci][r][bi] = (name_, q)
 
-    # pass 2: encode packets LRCP (1 layer): res-major, then component
+    # pass 2: per-(res, comp) layer packets, emitted in progression order
+    if prog not in _PROG_ID:
+        raise ValueError(f"unknown progression order {prog!r}")
+    nlayers = max(1, int(nlayers))
     body = b""
     for t, comp_bands in enumerate(tile_bands):
-        packets = []
+        layered = {}  # (r, ci) -> [packet per layer]
         for r in range(levels + 1):
             mbs = [_GUARD + eps_of[(r, bi)] - 1
                    for bi in range(len(comp_bands[0][r]))]
             for ci in range(nc):
-                packets.append(_encode_packet(comp_bands[ci][r], mbs))
+                layered[(r, ci)] = _encode_packets(
+                    comp_bands[ci][r], mbs, nlayers=nlayers, eph=eph)
+        packets = []
+        for ns, (l, r, ci) in enumerate(
+                _packet_order(nlayers, levels + 1, nc, _PROG_ID[prog])):
+            if sop:
+                packets.append(
+                    struct.pack(">HHH", 0xFF91, 4, ns & 0xFFFF))
+            packets.append(layered[(r, ci)][l])
         tile_data = b"".join(packets)
         psot = 12 + 2 + len(tile_data)  # SOT segment + SOD marker + data
         sot = struct.pack(">HIBB", t, psot, 0, 1)
@@ -1145,8 +1298,9 @@ def encode_j2k(img: np.ndarray, levels: int = 5,
     siz = struct.pack(
         ">HIIIIIIIIH", 0, w, h, 0, 0, tw, th, 0, 0, nc
     ) + b"".join(struct.pack(">BBB", depth - 1, 1, 1) for _ in range(nc))
-    cod = struct.pack(">B", 0)                      # Scod: defaults
-    cod += struct.pack(">BHB", 0, 1, 0)             # SGcod: LRCP, 1 layer, no MCT
+    scod = (2 if sop else 0) | (4 if eph else 0)
+    cod = struct.pack(">B", scod)
+    cod += struct.pack(">BHB", _PROG_ID[prog], nlayers, 0)  # SGcod
     cod += struct.pack(">BBBBB", levels, CB.bit_length() - 3, CB.bit_length() - 3,
                        0, 1 if rev else 0)
     # QCD — reversible: style 0 (no quantization), exponents per subband;
@@ -1179,7 +1333,9 @@ _JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
 
 def encode_jp2(img: np.ndarray, levels: int = 5,
                tile_size: tuple | None = None,
-               transform: str = "5/3", qstep: float = 1.0) -> bytes:
+               transform: str = "5/3", qstep: float = 1.0,
+               nlayers: int = 1, prog: str = "LRCP",
+               sop: bool = False, eph: bool = False) -> bytes:
     """Full JP2 container (signature/ftyp/jp2h/jp2c boxes) around
     encode_j2k — the file shape of a Sentinel-2 band payload."""
     a = np.asarray(img)
@@ -1187,7 +1343,8 @@ def encode_jp2(img: np.ndarray, levels: int = 5,
     h, w = a.shape[:2]
     depth = 8 if a.dtype == np.uint8 else 16
     code = encode_j2k(img, levels, tile_size=tile_size, transform=transform,
-                      qstep=qstep)
+                      qstep=qstep, nlayers=nlayers, prog=prog, sop=sop,
+                      eph=eph)
 
     def box(tag: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + tag + payload
@@ -1200,9 +1357,17 @@ def encode_jp2(img: np.ndarray, levels: int = 5,
     return _JP2_SIG + ftyp + jp2h + jp2c
 
 
-def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
+def decode_jp2(data: bytes, reduce: int = 0,
+               layers: int | None = None) -> np.ndarray:
     """JP2 container or raw codestream -> (h, w, c) array (original dtype
     range; uint8/uint16 by signaled depth).
+
+    ``layers`` keeps only the first ``layers`` quality layers (quality
+    truncation — the layer analog of ``reduce``): later layers' packet
+    headers are still parsed to walk the stream, but their codeword
+    segments are dropped before Tier-1, so the entropy-decode cost
+    scales with the kept passes. Exact for the passes kept (layer
+    segments are slices of one codeword, see encode_codeblock).
 
     ``reduce`` drops the ``reduce`` FINEST resolution levels (the
     GDAL/OpenJPEG discard-level convention) — the JP2 analog of COG
@@ -1238,6 +1403,8 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
     exps = None
     mus = None
     qstyle_main = 0
+    prog, nlayers = 0, 1
+    sop_flag = eph_flag = False
     guard = _GUARD
     qcc = {}      # per-component (guard, exps) overrides (QCC markers)
     tiles_data: dict[int, bytes] = {}
@@ -1261,17 +1428,12 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
             transform = seg[9]   # 1 = reversible 5/3, 0 = irreversible 9/7
             if transform not in (0, 1):
                 raise ValueError(f"unknown wavelet transform {transform}")
-            if nlayers != 1 or scod & 1:
-                raise ValueError("multi-layer/precinct codestreams unsupported")
-            if scod & 0x06:
-                raise ValueError("SOP/EPH marker segments unsupported")
-            # with one layer and maximal precincts the packet order of
-            # LRCP/RLCP/RPCL coincides (res-major, then component); the
-            # position- and component-major orders only coincide for a
-            # single component
-            if prog not in (0, 1, 2) and nc != 1:
-                raise ValueError(f"progression order {prog} unsupported "
-                                 "for multi-component streams")
+            if scod & 1:
+                raise ValueError("precinct partition unsupported")
+            sop_flag = bool(scod & 2)
+            eph_flag = bool(scod & 4)
+            if prog > 4:
+                raise ValueError(f"unknown progression order {prog}")
         elif code == 0xFF53:  # COC: per-component coding style override
             ci = seg[0] if nc < 257 else struct.unpack_from(">H", seg, 0)[0]
             o = 1 if nc < 257 else 2
@@ -1367,16 +1529,24 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
         w_t = min(tw, w - tx * tw)
         layout = _subband_layout(h_t, w_t, levels)
         tile = tiles_data[t]
-        dpos = 0
-        per_comp = [dict() for _ in range(nc)]
-        for r in range(keep + 1):     # dropped resolutions: never decoded
+        states = {}
+        for r in range(levels + 1):
             for ci in range(nc):
-                meta = [
+                states[(r, ci)] = _PacketState([
                     (name, bh, bwid, mb_of[(ci, r, bi)])
                     for bi, (name, bh, bwid) in enumerate(layout[r])
-                ]
-                arrays, dpos = _decode_packet(tile, dpos, meta)
-                per_comp[ci][r] = arrays
+                ])
+        # walk every packet (headers of dropped resolutions/layers must
+        # still be parsed to advance the stream); Tier-1 — the actual
+        # entropy-decode cost — runs only for kept resolutions below
+        dpos = 0
+        for l, r, ci in _packet_order(nlayers, levels + 1, nc, prog):
+            dpos = states[(r, ci)].read_packet(
+                tile, dpos, l, sop=sop_flag, eph=eph_flag)
+        per_comp = [dict() for _ in range(nc)]
+        for r in range(keep + 1):
+            for ci in range(nc):
+                per_comp[ci][r] = states[(r, ci)].arrays(max_layers=layers)
         rh, rw = red(h_t), red(w_t)
         for ci in range(nc):
             if rev:
@@ -1402,7 +1572,7 @@ def decode_jp2(data: bytes, reduce: int = 0) -> np.ndarray:
                     bands.append((deq(d["HL"], r, 0), deq(d["LH"], r, 1),
                                   deq(d["HH"], r, 2)))
                 img = np.rint(dwt97_inverse(ll, bands, (rh, rw))) + shift
-            if reduce or not rev:
+            if reduce or not rev or layers is not None:
                 # the LL band is gain-1 under both transforms but can
                 # ring slightly past the original range; lossy values
                 # additionally carry quantization error — clip to depth

@@ -72,7 +72,7 @@ def test_codeblock_fuzz(band):
             c = rng.randint(-3, 4, size=(h, w))
         else:
             c = (rng.randn(h, w) * 500).astype(np.int64)
-        data, npasses, nplanes = encode_codeblock(c.astype(np.int64), band)
+        data, npasses, nplanes, _trunc = encode_codeblock(c.astype(np.int64), band)
         back = decode_codeblock(data, h, w, band, nplanes, npasses)
         assert (back == c).all(), (band, kind, h, w)
 
@@ -371,9 +371,11 @@ def _set_cod_prog(code: bytes, prog: int) -> bytes:
 
 
 def test_progression_order_tolerance():
-    """With one layer + maximal precincts the packet order of LRCP/RLCP/
-    RPCL coincides — all three decode; position/component-major orders
-    raise for multi-component but decode for single-component."""
+    """All five §B.12 progression orders decode for any component count
+    (single-precinct streams). With one layer + maximal precincts the
+    packet order of LRCP/RLCP/RPCL coincides, so re-tagging the COD
+    byte suffices; PCRL/CPRL are comp-major for multi-component, so
+    those are encoded natively."""
     rng = np.random.RandomState(53)
     mono = rng.randint(0, 3000, (32, 32)).astype(np.uint16)
     multi = rng.randint(0, 3000, (32, 32, 2)).astype(np.uint16)
@@ -381,8 +383,9 @@ def test_progression_order_tolerance():
     for prog in (1, 2):
         out = decode_jp2(_set_cod_prog(code_m, prog))
         assert (out == multi).all(), prog
-    with pytest.raises(ValueError, match="progression"):
-        decode_jp2(_set_cod_prog(code_m, 3))
+    for prog in ("PCRL", "CPRL"):
+        out = decode_jp2(encode_j2k(multi, levels=2, prog=prog))
+        assert (out == multi).all(), prog
     code_1 = encode_j2k(mono, levels=2)
     for prog in (1, 2, 3, 4):
         assert (decode_jp2(_set_cod_prog(code_1, prog))[:, :, 0] == mono).all()
@@ -554,17 +557,126 @@ def test_53_stream_bytes_unchanged_by_97_support():
 
 
 def test_semantics_changing_markers_refused():
-    """Markers that silently change packet semantics (SOP/EPH via Scod,
-    POC/PPM/PPT segments) raise cleanly instead of decoding garbage."""
+    """Markers that silently change packet semantics (POC/PPM/PPT
+    segments, precincts) raise cleanly instead of decoding garbage;
+    SOP claimed in Scod but absent from the stream is legal (SOP is
+    optional per packet) and decodes."""
     img = np.zeros((16, 16), dtype=np.uint8)
     code = encode_j2k(img, levels=1)
     i = code.find(b"\xff\x52")
     b = bytearray(code)
     b[i + 4] |= 0x02                     # Scod: SOP markers claimed
-    with pytest.raises(ValueError, match="SOP/EPH"):
+    assert (decode_jp2(bytes(b))[:, :, 0] == img).all()
+    b = bytearray(code)
+    b[i + 4] |= 0x01                     # Scod: precinct partition
+    with pytest.raises(ValueError, match="precinct"):
         decode_jp2(bytes(b))
     # inject a POC segment after COD
     (ln,) = struct.unpack_from(">H", code, i + 2)
     poc = b"\xff\x5f" + struct.pack(">H", 9) + b"\x00" * 7
     with pytest.raises(ValueError, match="POC"):
         decode_jp2(code[:i + 2 + ln] + poc + code[i + 2 + ln:])
+
+
+# ---------------------------------------------------------------------------
+# Quality layers (B.10 multi-layer packets) — late-r4
+# ---------------------------------------------------------------------------
+
+def test_multilayer_roundtrip_bitexact():
+    """5/3 multi-layer streams decode bit-exactly: layer segments are
+    slices of one Tier-1 codeword, concatenated back before decode.
+    Staggered first inclusion exercises tag-tree thresholds > 1."""
+    rng = np.random.RandomState(60)
+    cases = [
+        (rng.randint(0, 256, (40, 33)).astype(np.uint8), None),
+        (rng.randint(0, 4000, (37, 41, 3)).astype(np.uint16), None),
+        (rng.randint(0, 256, (70, 65, 2)).astype(np.uint8), (32, 32)),
+    ]
+    for img, ts in cases:
+        for nl in (2, 3, 7):
+            out = decode_jp2(encode_jp2(img, levels=3, tile_size=ts,
+                                        nlayers=nl))
+            want = img if img.ndim == 3 else img[:, :, None]
+            assert (out == want).all(), (img.shape, ts, nl)
+
+
+def test_multilayer_all_progressions():
+    """nlayers=3 x nc=2 under each of the five progression orders:
+    packet interleaving differs per order, decode walks must match."""
+    rng = np.random.RandomState(61)
+    img = rng.randint(0, 3000, (48, 35, 2)).astype(np.uint16)
+    for prog in ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL"):
+        out = decode_jp2(encode_j2k(img, levels=2, nlayers=3, prog=prog))
+        assert (out == img).all(), prog
+
+
+def test_sop_eph_roundtrip():
+    """SOP/EPH resilience markers (Scod bits 1/2) survive a multi-layer,
+    multi-tile roundtrip; the markers actually appear in the stream."""
+    rng = np.random.RandomState(62)
+    img = rng.randint(0, 256, (40, 40)).astype(np.uint8)
+    code = encode_j2k(img, levels=2, tile_size=(24, 24), nlayers=2,
+                      sop=True, eph=True)
+    assert code.count(b"\xff\x91") >= 4 and code.count(b"\xff\x92") >= 4
+    assert (decode_jp2(code)[:, :, 0] == img).all()
+    # and each flag alone
+    for kw in (dict(sop=True), dict(eph=True)):
+        c = encode_j2k(img, levels=2, nlayers=3, **kw)
+        assert (decode_jp2(c)[:, :, 0] == img).all(), kw
+
+
+def test_layer_truncation_quality_path():
+    """decode_jp2(layers=k): RMSE is non-increasing in k and the full
+    layer count reproduces the exact image (truncation points carry the
+    5-byte MQ look-ahead margin, so kept passes decode exactly)."""
+    rng = np.random.RandomState(63)
+    base = np.add.outer(np.arange(48) * 3, np.arange(48) * 2)
+    img = (base + rng.randint(0, 64, (48, 48))).astype(np.uint16)
+    nl = 5
+    code = encode_jp2(img, levels=3, nlayers=nl)
+    prev = None
+    for k in range(1, nl + 1):
+        out = decode_jp2(code, layers=k)[:, :, 0].astype(np.float64)
+        rmse = float(np.sqrt(np.mean((out - img) ** 2)))
+        if prev is not None:
+            assert rmse <= prev + 1e-9, (k, rmse, prev)
+        prev = rmse
+    assert prev == 0.0
+    assert (decode_jp2(code, layers=nl) == decode_jp2(code)).all()
+
+
+def test_multilayer_empty_packets():
+    """A near-constant image has single-pass code-blocks: with many
+    layers most layers contribute nothing and must round-trip through
+    the empty-packet path (leading 0 bit)."""
+    img = np.full((32, 32), 7, dtype=np.uint8)
+    img[0, 0] = 9
+    out = decode_jp2(encode_jp2(img, levels=2, nlayers=8))
+    assert (out[:, :, 0] == img).all()
+
+
+def test_multilayer_97_matches_single_layer():
+    """The 9/7 path quantizes before Tier-1, so the multi-layer stream
+    carries the same codewords as the single-layer one — full decodes
+    must agree exactly."""
+    rng = np.random.RandomState(64)
+    img = rng.randint(0, 256, (40, 44)).astype(np.uint8)
+    a = decode_jp2(encode_j2k(img, levels=2, transform="9/7", qstep=0.5))
+    b = decode_jp2(encode_j2k(img, levels=2, transform="9/7", qstep=0.5,
+                              nlayers=4))
+    assert (a == b).all()
+
+
+def test_multilayer_reduce_compose():
+    """reduce=k (drop finest resolutions) composes with multi-layer
+    streams: dropped-resolution packet headers are parsed to walk the
+    stream, their codewords never entropy-decode."""
+    rng = np.random.RandomState(65)
+    img = rng.randint(0, 256, (64, 64)).astype(np.uint8)
+    code = encode_jp2(img, levels=3, nlayers=3)
+    full = decode_jp2(code)
+    red = decode_jp2(code, reduce=1)
+    assert red.shape == (32, 32, 1)
+    ref = decode_jp2(encode_jp2(img, levels=3), reduce=1)
+    assert (red == ref).all()
+    assert (full[:, :, 0] == img).all()
