@@ -654,7 +654,44 @@ WITH t AS (
          CAST(s_es_n AS DOUBLE) / greatest(ws_tokens, 1) AS s_es
   FROM t
 )
-SELECT doc_id, ws_tokens, bpe_tokens, punct_ratio, stopword_ratio,
+, r AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+         list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lines,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+  FROM documents
+), r2 AS (
+  SELECT doc_id, n_chars, n_sym, words, len(words) AS nw,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+         len(lines) AS nl, len(list_distinct(lines)) AS nld,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS lc,
+         coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS lcd
+  FROM r
+), bgc AS (
+  SELECT doc_id, bigram, count(*) AS cnt
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(words)),
+                                     i -> words[i] || ' ' || words[i+1])) AS bigram
+        FROM r WHERE len(words) >= 2)
+  GROUP BY doc_id, bigram
+), tops AS (
+  SELECT doc_id, cnt AS tc, bigram AS tb
+  FROM (SELECT doc_id, cnt, bigram,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, bigram DESC) AS rn
+        FROM bgc) WHERE rn = 1
+), rep AS (
+  SELECT r2.doc_id,
+       CASE WHEN nl > 0 THEN CAST(nl - nld AS DOUBLE) / nl ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN lc > 0 THEN CAST(lc - lcd AS DOUBLE) / lc ELSE 0.0 END AS dup_line_char_frac,
+       CASE WHEN n_chars > 0 AND tc IS NOT NULL
+            THEN CAST(tc * length(tb) AS DOUBLE) / n_chars ELSE 0.0 END AS top2_char_frac,
+       CASE WHEN nw > 0 THEN CAST(nalpha AS DOUBLE) / nw ELSE 0.0 END AS alpha_word_frac,
+       CASE WHEN nw > 0 THEN CAST(n_sym AS DOUBLE) / nw ELSE 0.0 END AS symbol_word_ratio
+  FROM r2 LEFT JOIN tops ON r2.doc_id = tops.doc_id
+)
+SELECT m.doc_id, ws_tokens, bpe_tokens, punct_ratio, stopword_ratio,
        least(CAST(n AS DOUBLE) / 500.0, 1.0) * 0.3
          + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
          + least(stopword_ratio * 5.0, 1.0) * 0.25
@@ -665,18 +702,27 @@ SELECT doc_id, ws_tokens, bpe_tokens, punct_ratio, stopword_ratio,
             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
             WHEN s_fr >= s_es THEN 'fr'
             ELSE 'es' END AS lang_pred,
-       md5({_NORM_SQL}) AS fingerprint
-FROM m
+       md5({_NORM_SQL}) AS fingerprint,
+       dup_line_frac, dup_line_char_frac, top2_char_frac,
+       alpha_word_frac, symbol_word_ratio
+FROM m JOIN rep ON m.doc_id = rep.doc_id
 """,
 )
 def doc_stats(spark, sf_dir):
-    """Text analysis: tokens/quality/langid/fingerprint (functions/text.py)."""
-    from .functions.text import analyze
+    """Text analysis: tokens/quality/langid/fingerprint (functions/text.py)
+    PLUS the Gopher repetition filters (repetition_stats — dup-line/char
+    fractions, top-2-gram char fraction, alpha-word fraction,
+    symbol-to-word ratio). The Spark top-bigram mode is max(struct) —
+    partial-aggregatable; the oracle replays it as a row_number window
+    with the identical (cnt DESC, bigram DESC) tie-break."""
+    from .functions.text import analyze, repetition_stats
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return analyze(docs).select(
+    return analyze(docs).join(repetition_stats(docs), "doc_id").select(
         "doc_id", "ws_tokens", "bpe_tokens", "punct_ratio", "stopword_ratio",
         "quality", "lang_pred", "fingerprint",
+        "dup_line_frac", "dup_line_char_frac", "top2_char_frac",
+        "alpha_word_frac", "symbol_word_ratio",
     )
 
 

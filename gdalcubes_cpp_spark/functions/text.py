@@ -186,3 +186,98 @@ def unigram_lm_scores(
         (F.sum("oov") / F.count(F.lit(1))).alias("oov_ratio"),
         F.avg("lp").alias("lm_logprob"),
     ).withColumnRenamed("_id", id_col)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition/quality filters (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1 — the standard heuristics for
+    pruning low-quality/repetitive web text before LLM training):
+
+    - ``dup_line_frac``       — duplicated lines / total non-empty lines
+    - ``dup_line_char_frac``  — characters in repeat occurrences of a
+                                line / characters in all lines
+    - ``top2_char_frac``      — chars covered by the most frequent word
+                                2-gram (count * len(bigram) / len(text));
+                                ties break to the LARGEST bigram string
+    - ``alpha_word_frac``     — words containing an alphabetic char / words
+    - ``symbol_word_ratio``   — '#' or '...' occurrences / words
+
+    Scale shape: the line/word metrics are pure array expressions inside
+    the scan (no shuffle, no UDF). The top-bigram mode is the one metric
+    that needs an aggregation; it runs as explode + groupBy(doc, bigram)
+    + max(struct(cnt, bigram)) — both aggs partial-combine map-side, and
+    the key includes doc_id so the shuffle is skew-free even at 100 TB
+    (no global hot key; a doc's bigrams co-locate). A per-doc quadratic
+    higher-order-function formulation would avoid the shuffle but blows
+    up on long documents; explode stays linear.
+
+    Every formula is exact-integer arithmetic with one final division —
+    reproducible bit-for-bit in DuckDB for the driver oracle
+    (cf. reference src/... : the reference engine has no text pipeline;
+    this family extends it for training-data curation)."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0)
+    words = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(t), r"\s+"))
+    base = docs.select(
+        F.col(id_col),
+        F.length(t).alias("_nchars"),
+        F.array_size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0)).alias("_nsym"),
+        lines.alias("_lines"),
+        words.alias("_words"),
+    ).select(
+        id_col, "_nchars", "_nsym", "_words",
+        F.size("_words").alias("_nw"),
+        F.size(F.filter("_words", lambda w: w.rlike("[A-Za-z]"))).alias("_nalpha"),
+        F.size("_lines").alias("_nl"),
+        F.size(F.array_distinct("_lines")).alias("_nld"),
+        F.aggregate("_lines", F.lit(0), lambda a, x: a + F.length(x)).alias("_lc"),
+        F.aggregate(F.array_distinct("_lines"), F.lit(0),
+                    lambda a, x: a + F.length(x)).alias("_lcd"),
+    )
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("_nw") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_nw") - 2),
+                    lambda i: F.concat(
+                        F.element_at("_words", i + 1), F.lit(" "),
+                        F.element_at("_words", i + 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "bigram").agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct(F.col("cnt"), F.col("bigram"))).alias("_top"))
+        .select(id_col, F.col("_top.cnt").alias("_tc"),
+                F.col("_top.bigram").alias("_tb"))
+    )
+    zero = F.lit(0.0)
+    out = base.join(top, on=id_col, how="left").select(
+        id_col,
+        F.when(F.col("_nl") > 0,
+               (F.col("_nl") - F.col("_nld")).cast("double") / F.col("_nl"))
+         .otherwise(zero).alias("dup_line_frac"),
+        F.when(F.col("_lc") > 0,
+               (F.col("_lc") - F.col("_lcd")).cast("double") / F.col("_lc"))
+         .otherwise(zero).alias("dup_line_char_frac"),
+        F.when((F.col("_nchars") > 0) & F.col("_tc").isNotNull(),
+               (F.col("_tc") * F.length("_tb")).cast("double") / F.col("_nchars"))
+         .otherwise(zero).alias("top2_char_frac"),
+        F.when(F.col("_nw") > 0,
+               F.col("_nalpha").cast("double") / F.col("_nw"))
+         .otherwise(zero).alias("alpha_word_frac"),
+        F.when(F.col("_nw") > 0,
+               F.col("_nsym").cast("double") / F.col("_nw"))
+         .otherwise(zero).alias("symbol_word_ratio"),
+    )
+    return out

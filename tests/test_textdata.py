@@ -602,3 +602,35 @@ def test_translate_collection_jp2(spark):
             pdf.set_index("image_id").loc[r["image_id"]]["bytes"], "png")
         out = codecs.decode(r["bytes"], "jp2")
         assert codecs.psnr(raw, out[:, :, :raw.shape[2]]) >= 35.0
+
+
+def test_repetition_stats_gopher(spark):
+    """Gopher repetition filters vs hand-computed values: duplicate-line
+    fractions, top-2-gram char coverage (incl. the DESC tie-break),
+    alpha-word fraction and symbol-to-word ratio."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d\n\na b"),     # 4 non-empty lines, 2 distinct
+            (2, ""),                          # all-zero path
+            (3, "solo"),                      # no bigram
+            (4, "foo bar foo bar foo bar ### ..."),
+            (5, "x y\nz z z"),               # no dup lines
+            (6, "p q p q r s r s"),          # tie: 'p q' x2 vs 'r s' x2
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           text.repetition_stats(docs).collect()}
+    assert out[1]["dup_line_frac"] == 0.5            # (4-2)/4
+    assert out[1]["dup_line_char_frac"] == 0.5       # (12-6)/12
+    assert out[1]["top2_char_frac"] == 3 * 3 / 16    # 'a b' x3, len 3, text 16
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top2_char_frac"] == 0.0
+    assert out[3]["top2_char_frac"] == 0.0
+    assert out[3]["alpha_word_frac"] == 1.0
+    assert out[4]["alpha_word_frac"] == 0.75         # 6 of 8 words
+    assert out[4]["symbol_word_ratio"] == 0.5        # 3x'#' + 1x'...' / 8
+    assert out[4]["top2_char_frac"] == 3 * 7 / 31    # 'foo bar' x3
+    assert out[5]["dup_line_frac"] == 0.0
+    # tie between 'p q' (x2) and 'r s' (x2): struct-max = larger string
+    assert out[6]["top2_char_frac"] == 2 * 3 / 15
