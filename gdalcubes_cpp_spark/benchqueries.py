@@ -27,6 +27,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from .cube import KEY, Cube
+from .functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
 from .grid import ChunkGrid
 from .view import CubeView
 
@@ -690,6 +691,32 @@ WITH t AS (
        CASE WHEN nw > 0 THEN CAST(nalpha AS DOUBLE) / nw ELSE 0.0 END AS alpha_word_frac,
        CASE WHEN nw > 0 THEN CAST(n_sym AS DOUBLE) / nw ELSE 0.0 END AS symbol_word_ratio
   FROM r2 LEFT JOIN tops ON r2.doc_id = tops.doc_id
+), pin AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 7 = 0 THEN
+           ' mail u' || CAST(doc_id AS VARCHAR) || '@ex'
+           || CAST(doc_id % 13 AS VARCHAR) || '.org ip 10.1.'
+           || CAST(doc_id % 200 AS VARCHAR) || '.77 tel +1 555 0'
+           || CAST(doc_id % 10 AS VARCHAR) || '1 42'
+         ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0 THEN
+           ' ping 192.168.0.' || CAST(doc_id % 250 AS VARCHAR)
+         ELSE '' END AS itext
+  FROM documents
+), pii AS (
+  SELECT doc_id,
+         len(regexp_extract_all(itext, '{PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(itext, '{PII_IPV4}')) AS n_ipv4,
+         len(regexp_extract_all(itext, '{PII_PHONE}')) AS n_phones,
+         len(regexp_extract_all(itext, '{PII_EMAIL}'))
+           + len(regexp_extract_all(itext, '{PII_IPV4}'))
+           + len(regexp_extract_all(itext, '{PII_PHONE}')) AS pii_count,
+         md5(regexp_replace(regexp_replace(regexp_replace(itext,
+             '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
+  FROM pin
 )
 SELECT m.doc_id, ws_tokens, bpe_tokens, punct_ratio, stopword_ratio,
        least(CAST(n AS DOUBLE) / 500.0, 1.0) * 0.3
@@ -704,25 +731,58 @@ SELECT m.doc_id, ws_tokens, bpe_tokens, punct_ratio, stopword_ratio,
             ELSE 'es' END AS lang_pred,
        md5({_NORM_SQL}) AS fingerprint,
        dup_line_frac, dup_line_char_frac, top2_char_frac,
-       alpha_word_frac, symbol_word_ratio
+       alpha_word_frac, symbol_word_ratio,
+       n_emails, n_ipv4, n_phones, pii_count, redacted_hash
 FROM m JOIN rep ON m.doc_id = rep.doc_id
+       JOIN pii ON m.doc_id = pii.doc_id
 """,
 )
 def doc_stats(spark, sf_dir):
     """Text analysis: tokens/quality/langid/fingerprint (functions/text.py)
     PLUS the Gopher repetition filters (repetition_stats — dup-line/char
     fractions, top-2-gram char fraction, alpha-word fraction,
-    symbol-to-word ratio). The Spark top-bigram mode is max(struct) —
+    symbol-to-word ratio) PLUS PII detection/redaction (pii_stats —
+    email/IPv4/phone counts and the md5 of the redacted text, computed
+    over a deterministically PII-injected variant since the synthetic
+    corpus carries none). The Spark top-bigram mode is max(struct) —
     partial-aggregatable; the oracle replays it as a row_number window
-    with the identical (cnt DESC, bigram DESC) tie-break."""
-    from .functions.text import analyze, repetition_stats
+    with the identical (cnt DESC, bigram DESC) tie-break; the redaction
+    regexes are restricted to the Java-regex ∩ RE2 common dialect so the
+    hashes agree cross-engine."""
+    from .functions.text import analyze, pii_stats, repetition_stats
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return analyze(docs).join(repetition_stats(docs), "doc_id").select(
-        "doc_id", "ws_tokens", "bpe_tokens", "punct_ratio", "stopword_ratio",
-        "quality", "lang_pred", "fingerprint",
-        "dup_line_frac", "dup_line_char_frac", "top2_char_frac",
-        "alpha_word_frac", "symbol_word_ratio",
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" mail u"), d.cast("string"), F.lit("@ex"),
+                    (d % 13).cast("string"), F.lit(".org ip 10.1."),
+                    (d % 200).cast("string"), F.lit(".77 tel +1 555 0"),
+                    (d % 10).cast("string"), F.lit("1 42"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" ping 192.168.0."), (d % 250).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        analyze(docs)
+        .join(repetition_stats(docs), "doc_id")
+        .join(pii_stats(injected), "doc_id")
+        .select(
+            "doc_id", "ws_tokens", "bpe_tokens", "punct_ratio", "stopword_ratio",
+            "quality", "lang_pred", "fingerprint",
+            "dup_line_frac", "dup_line_char_frac", "top2_char_frac",
+            "alpha_word_frac", "symbol_word_ratio",
+            "n_emails", "n_ipv4", "n_phones", "pii_count", "redacted_hash",
+        )
     )
 
 
@@ -733,22 +793,67 @@ WITH u AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+g AS (
+  SELECT doc_id // 3 AS pdoc_id,
+         string_agg(text, chr(10) ORDER BY doc_id) AS ptext
+  FROM documents GROUP BY doc_id // 3
+),
+pu AS (
+  SELECT pdoc_id, ptext FROM g
+  UNION ALL
+  SELECT pdoc_id + 1000000 AS pdoc_id, ptext FROM g WHERE pdoc_id % 5 = 0
+),
+paras AS (
+  SELECT pdoc_id, trim(p) AS para
+  FROM pu, unnest(string_split(ptext, chr(10))) AS t(p)
+  WHERE length(trim(p)) > 0
 )
-SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_dups,
-       min(doc_id) AS keep_id
+SELECT 'doc' AS part, md5(text) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keep_id
 FROM u GROUP BY md5(text) HAVING count(*) >= 2
+UNION ALL
+SELECT 'para' AS part, md5(para) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_dups, min(pdoc_id) AS keep_id
+FROM paras GROUP BY md5(para) HAVING count(*) >= 2
 """,
 )
 def doc_exact_dups(spark, sf_dir):
-    """Exact dedup: hash-groupBy, one shuffle (functions/dedup.py). Duplicate
-    rows injected deterministically (doc_id % 10) on both sides."""
-    from .functions.dedup import exact_dups
+    """Exact dedup at BOTH grains in one tagged union (functions/dedup.py):
+    'doc' = whole-document hash groups (duplicate rows injected
+    deterministically, doc_id % 10, on both sides); 'para' =
+    paragraph-level corpus dedup (paragraph_dups — the RefinedWeb/Dolma
+    boilerplate-line scrub) over a synthesized multi-paragraph corpus
+    (3 docs joined by newlines per pdoc, pdoc_id % 5 re-emitted) so the
+    newline-split/trim/hash/group path is exercised end-to-end."""
+    from .functions.dedup import exact_dups, paragraph_dups
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     dup = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    return exact_dups(docs.unionAll(dup))
+    doc_part = exact_dups(docs.unionAll(dup)).select(
+        F.lit("doc").alias("part"), "content_hash", "n_dups", "keep_id"
+    )
+
+    g = docs.groupBy((F.col("doc_id") / 3).cast("long").alias("pdoc_id")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s.text,
+            ),
+            "\n",
+        ).alias("text")
+    )
+    pu = g.unionAll(
+        g.filter(F.col("pdoc_id") % 5 == 0).select(
+            (F.col("pdoc_id") + 1000000).alias("pdoc_id"), "text"
+        )
+    )
+    para_part = paragraph_dups(pu, id_col="pdoc_id").select(
+        F.lit("para").alias("part"), "content_hash", "n_dups", "keep_id"
+    )
+    return doc_part.unionAll(para_part)
 
 
 @q(

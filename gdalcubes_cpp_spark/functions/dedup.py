@@ -61,6 +61,92 @@ def exact_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def paragraph_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup across the CORPUS (the RefinedWeb/Dolma
+    curation step: a boilerplate line — nav bar, cookie banner, license
+    header — repeats across thousands of pages even when no two full
+    documents match). Documents split on ``sep`` into trimmed non-empty
+    paragraphs; each paragraph hashes (md5) and groups corpus-wide.
+    Returns (content_hash, n_dups, keep_id) for paragraphs occurring >= 2
+    times — the same group schema as :func:`exact_dups`, so the two levels
+    union into one driver row.
+
+    Scale shape: explode is linear in corpus size; the single shuffle keys
+    on the paragraph hash, whose fan-in per key equals the paragraph's
+    corpus frequency — a truly viral boilerplate line is ONE hot key, but
+    count/min partial-aggregate map-side, so the reducer sees one partial
+    row per map task, not one row per occurrence. No pairwise work, no
+    text after the hash."""
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), sep), lambda p: F.trim(p)),
+                lambda p: F.length(p) > 0,
+            )
+        ).alias("para"),
+    )
+    return (
+        paras.select("doc_id", F.md5(F.col("para")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def dup_paragraph_frac(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-document fraction of paragraphs that are corpus-duplicated
+    (appear >= 2 times across ALL documents) — the per-doc filter signal
+    derived from :func:`paragraph_dups` (docs above a threshold get
+    dropped or cleaned in a curation pipeline). Returns
+    (doc_id, n_paras, n_dup_paras, dup_para_frac, dup_para_char_frac).
+
+    Two shuffles: the corpus-wide paragraph-hash count, then a broadcast-
+    friendly semi-join back onto each doc's paragraphs (the duplicated-
+    hash table is tiny relative to the corpus — boilerplate is sparse)."""
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), sep), lambda p: F.trim(p)),
+                lambda p: F.length(p) > 0,
+            )
+        ).alias("para"),
+    ).select("doc_id", "para", F.md5(F.col("para")).alias("h"))
+    corpus = paras.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") >= 2)
+    flagged = paras.join(F.broadcast(corpus.select("h")), "h", "left_semi")
+    per_doc = paras.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.length("para")).alias("_chars"),
+    )
+    per_dup = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_paras"),
+        F.sum(F.length("para")).alias("_dchars"),
+    )
+    return (
+        per_doc.join(per_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("n_dup_paras", F.lit(0)).alias("n_dup_paras"),
+            (F.coalesce("n_dup_paras", F.lit(0)).cast("double") / F.col("n_paras"))
+            .alias("dup_para_frac"),
+            (F.coalesce("_dchars", F.lit(0)).cast("double") / F.col("_chars"))
+            .alias("dup_para_char_frac"),
+        )
+    )
+
+
 def _py_normalize(text: str) -> str:
     """Python mirror of normalize_text (ASCII \\s classes match Java/RE2)."""
     import re

@@ -634,3 +634,65 @@ def test_repetition_stats_gopher(spark):
     assert out[5]["dup_line_frac"] == 0.0
     # tie between 'p q' (x2) and 'r s' (x2): struct-max = larger string
     assert out[6]["top2_char_frac"] == 2 * 3 / 15
+
+
+def test_paragraph_dups_and_frac(spark):
+    """Paragraph-level corpus dedup vs hand-computed groups: boilerplate
+    line shared by 3 docs, a doc-internal repeat, whitespace trimming,
+    empty-paragraph removal, and the per-doc duplicated fractions."""
+    from gdalcubes_cpp_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one"),
+            (2, "COOKIE BANNER\nreal content two"),
+            (3, "  COOKIE BANNER  \n\nunique para\nunique para"),
+            (4, "all original here"),
+        ],
+        "doc_id int, text string",
+    )
+    groups = {r["content_hash"]: r for r in dedup.paragraph_dups(docs).collect()}
+    import hashlib
+
+    h_banner = hashlib.md5(b"COOKIE BANNER").hexdigest()
+    h_uniq = hashlib.md5(b"unique para").hexdigest()
+    assert set(groups) == {h_banner, h_uniq}
+    assert groups[h_banner]["n_dups"] == 3 and groups[h_banner]["keep_id"] == 1
+    assert groups[h_uniq]["n_dups"] == 2 and groups[h_uniq]["keep_id"] == 3
+
+    frac = {r["doc_id"]: r for r in dedup.dup_paragraph_frac(docs).collect()}
+    assert frac[1]["n_paras"] == 2 and frac[1]["n_dup_paras"] == 1
+    assert frac[1]["dup_para_frac"] == 0.5
+    # doc 1 chars: 'COOKIE BANNER'=13 dup, 'real content one'=16
+    assert frac[1]["dup_para_char_frac"] == 13 / 29
+    assert frac[3]["n_dup_paras"] == 3 and frac[3]["dup_para_frac"] == 1.0
+    assert frac[4]["n_dup_paras"] == 0 and frac[4]["dup_para_frac"] == 0.0
+
+
+def test_pii_stats_redaction(spark):
+    """PII counts and redaction vs hand-written text: emails, IPv4 with
+    word boundaries, intl phone format, and the redacted output string."""
+    from gdalcubes_cpp_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write a.b+c@mail.example.org or admin@x.io today"),
+            (2, "server 10.0.200.7 and 192.168.0.1, version 1.2.3.4.5 stays"),
+            (3, "call +41 555 0123 99 now"),
+            (4, "clean text no pii"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in T.pii_stats(docs).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["pii_count"] == 2
+    # 1.2.3.4.5: the IPv4 regex matches the leftmost 4 octets (1.2.3.4)
+    assert out[2]["n_ipv4"] == 3
+    assert out[3]["n_phones"] == 1
+    assert out[4]["pii_count"] == 0
+
+    red = {r["doc_id"]: r["red"] for r in docs.select(
+        "doc_id", T.redact_pii(F.col("text")).alias("red")).collect()}
+    assert red[1] == "write <EMAIL> or <EMAIL> today"
+    assert red[2] == "server <IP> and <IP>, version <IP>.5 stays"
+    assert red[3] == "call <PHONE> now"
+    assert red[4] == "clean text no pii"
