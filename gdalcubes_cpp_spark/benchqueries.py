@@ -27,6 +27,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from .cube import KEY, Cube
+from .functions import s2 as _s2mod
 from .functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
 from .grid import ChunkGrid
 from .view import CubeView
@@ -3109,6 +3110,75 @@ def doc_signature_suite(spark, sf_dir):
     return a.unionAll(b)
 
 
+@q(
+    "ann_cosine_suite",
+    f"""
+SELECT 'topk' AS part, CAST(0 AS BIGINT) AS id_a, CAST(vec_id AS BIGINT) AS id_b, cos_r
+FROM ({_DEFS["ann_topk"][1]}
+) t
+UNION ALL
+SELECT 'pairs' AS part, CAST(vec_a AS BIGINT) AS id_a, CAST(vec_b AS BIGINT) AS id_b, cos_r
+FROM ({_DEFS["ann_dup_pairs"][1]}
+) p
+""",
+)
+def ann_cosine_suite(spark, sf_dir):
+    """Folded driver suite: brute-force cosine top-k + exact near-dup
+    threshold pairs in one tagged union (frees a registry-window slot for
+    s2_cells). Schemas are coerced to (part, id_a, id_b, cos_r); the top-k
+    member's query vector is vec 0, carried as id_a = 0."""
+    t = _DEFS["ann_topk"][0](spark, sf_dir).select(
+        F.lit("topk").alias("part"), F.lit(0).cast("long").alias("id_a"),
+        F.col("vec_id").cast("long").alias("id_b"), "cos_r",
+    )
+    p = _DEFS["ann_dup_pairs"][0](spark, sf_dir).select(
+        F.lit("pairs").alias("part"), F.col("vec_a").cast("long").alias("id_a"),
+        F.col("vec_b").cast("long").alias("id_b"), "cos_r",
+    )
+    return t.unionAll(p)
+
+
+# ------------------------------------------------------------- s2 index
+
+_S2_LEVEL = 11
+_S2_COARSE = 5
+_S2_LSB5 = _s2mod.lsb_for_level(_S2_COARSE)
+
+@q(
+    "s2_cells",
+    f"""
+WITH RECURSIVE {_s2mod.duckdb_s2_ctes(
+        f"SELECT image_id, (im.left + im.right) / 2 AS c_lon,"
+        f" (im.bottom + im.top) / 2 AS c_lat FROM ({IMG_META_SQL}) im",
+        "c_lon", "c_lat", _S2_LEVEL, "image_id")}
+SELECT image_id, cell AS cell11,
+       regexp_replace(lpad(lower(hex(cell)), 16, '0'), '0+$', '') AS tok11,
+       (cell & {-(_S2_LSB5 << 1)}) | {_S2_LSB5} AS cell5
+FROM s2out
+""",
+)
+def s2_cells(spark, sf_dir):
+    """S2 cell index over image footprint centers (functions/s2.py): the
+    leaf -> level-11 cell id via the native-column Hilbert fold, canonical
+    hex token, and the level-5 ancestor by bit mask. The DuckDB oracle
+    replays the identical IEEE/int64 op sequence as a recursive CTE, so
+    ids match bit-for-bit (the level-11 mask adds a 2^38 safety margin
+    over any last-ulp trig divergence between engines)."""
+    from .functions import s2 as s2m
+
+    img = images_meta(spark, sf_dir)
+    c_lon = (F.col("left") + F.col("right")) / 2
+    c_lat = (F.col("bottom") + F.col("top")) / 2
+    base = img.select(
+        "image_id", s2m.s2_cell_id(c_lon, c_lat, _S2_LEVEL).alias("cell11")
+    )
+    return base.select(
+        "image_id", "cell11",
+        s2m.s2_token(F.col("cell11")).alias("tok11"),
+        s2m.s2_parent(F.col("cell11"), _S2_COARSE).alias("cell5"),
+    )
+
+
 _fold("cube_srs_suite", "srs",  # every non-separable-SRS warp family
       [("utm", "cube_utm_mean"), ("polar", "cube_polar_mean"),
        ("sinu", "cube_sinu_mean"), ("lcc", "cube_lcc_mean"),
@@ -3321,10 +3391,10 @@ _WINDOW_ORACLED = [
     "doc_decontaminate",
     "doc_dedup_clusters",
     "doc_training_mix",
-    "ann_topk",
+    "ann_cosine_suite",  # folds ann_topk + ann_dup_pairs
     "ann_knn_join",
-    "ann_dup_pairs",
     "ann_knn_join_ivf",
+    "s2_cells",  # r4: real S2 index (functions/s2.py)
     "events_tumbling",
     "events_sessionize",
     "tpch_suite",

@@ -23,7 +23,9 @@ REQUIRED_IN_WINDOW = [
     # r4: the test_sampledata MODIS HDF4 end-to-end scenario
     "hdf4_modis_pixels",
     "doc_stats", "doc_exact_dups", "doc_signature_suite", "doc_lsh_jaccard",
-    "doc_decontaminate", "ann_topk", "ann_knn_join", "ann_dup_pairs",
+    "doc_decontaminate", "ann_cosine_suite", "ann_knn_join",
+    # r4: real S2 cell index (oracled, recursive-CTE mirror)
+    "s2_cells",
     "events_tumbling", "events_sessionize", "tpch_suite",
     "doc_near_dups_suite", "cube_decode_suite",
 ]
@@ -63,7 +65,7 @@ def test_every_def_reachable():
         "tpch_pricing", "tpch_market_revenue", "doc_near_dups_pipeline",
         "doc_simhash_near_dups", "cube_average_decode", "cube_real_decode",
         "simple_cube_decode", "cube_mask_band_decode",
-        "ann_ivf_topk", "ann_rp_lsh_pairs",
+        "ann_ivf_topk", "ann_rp_lsh_pairs", "ann_topk", "ann_dup_pairs",
         "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
         "cube_laea_mean", "cube_aea_mean", "zonal_statistics", "zonal_topk",
             "cube_osgb_mean", "cube_swiss_mean", "cube_jp2_decode", "cube_hom_mean",
