@@ -23,7 +23,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
 
 BENCH_QUERIES = [
-    "stjoin_rows", "cube_mean", "cube_median", "cube_count_images",
+    "stjoin_rows", "stjoin_s2", "cube_mean", "cube_median", "cube_count_images",
     # cube_srs_suite members, ALL EIGHT (r3 VERDICT next #9: folded driver
     # suites get per-member timings here so regressions localize)
     "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",

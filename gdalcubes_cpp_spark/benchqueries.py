@@ -200,6 +200,17 @@ def stjoin_rows(spark, sf_dir):
     return assignment(images_meta(spark, sf_dir), ChunkGrid(V_ENG))
 
 
+@q("stjoin_s2", _DEFS["stjoin_rows"][1])
+def stjoin_s2(spark, sf_dir):
+    """The same join relation via the S2-keyed strategy (cover explode +
+    cell equi-join + bottom-left-corner ownership dedup); the oracle SQL is
+    strategy-independent, so a green suite row proves the S2 path emits
+    the exact find_range_st relation."""
+    from .operators.stjoin import assignment
+
+    return assignment(images_meta(spark, sf_dir), ChunkGrid(V_ENG), method="s2")
+
+
 def _cube_eng(spark, sf_dir, agg: str) -> Cube:
     from .operators.build import build_cube
 
@@ -3073,6 +3084,8 @@ def _fold(name: str, tag_col: str, parts) -> None:
     _DEFS[name] = (fn, _tagged_union_sql(tag_col, parts))
 
 
+_fold("stjoin_suite", "strategy",
+      [("grid", "stjoin_rows"), ("s2", "stjoin_s2")])
 _fold("cube_mean_median", "agg", [("mean", "cube_mean"), ("median", "cube_median")])
 _fold("cube_first_last", "agg", [("first", "cube_first"), ("last", "cube_last")])
 _fold("cube_counts", "agg",
@@ -3347,7 +3360,7 @@ def reduce_time_full(spark, sf_dir):
 
 _WINDOW_ORACLED = [
     # scan / join / cube build
-    "stjoin_rows",
+    "stjoin_suite",  # folds stjoin_rows (broadcast) + stjoin_s2 (S2-keyed)
     "cube_mean_median",
     "cube_first_last",
     "cube_min_max",

@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 MAX_LEVEL = 30
@@ -391,3 +392,229 @@ s2out AS (
                ELSE _face * {_FACE_SHIFT // 4} END * 4 + _pos * 2 + 1 AS _leaf
         FROM _s2h WHERE _k = {MAX_LEVEL}) lf
 )"""
+
+
+# ----------------------------------------------------------------- covering
+
+_POLAR_LAT = math.degrees(math.atan(1.0 / math.sqrt(2.0)))  # 35.2643896...
+
+
+def _tanl(d):
+    return math.tan(math.radians(d))
+
+
+def _cotl(d):
+    t = math.tan(math.radians(d))
+    return math.inf if t == 0.0 else 1.0 / t
+
+
+def _secl(d):
+    return 1.0 / math.cos(math.radians(d))
+
+
+def _cscl(d):
+    return 1.0 / math.sin(math.radians(d))
+
+
+def _neg(fn):
+    return lambda d: -fn(d)
+
+
+def _lon_range(fn, poles, crit, a, b):
+    """Range of ``fn`` over [a, b]: endpoint + interior-critical-point
+    evaluation; (-inf, inf) when a pole lies strictly inside (the caller's
+    clamp to [-1, 1] then covers the whole axis — conservative)."""
+    for p in poles:
+        if a < p < b:
+            return (-math.inf, math.inf)
+    vals = [fn(a), fn(b)] + [fn(c) for c in crit if a < c < b]
+    return (min(vals), max(vals))
+
+
+def _lat_range(fn, a, b):
+    va, vb = fn(a), fn(b)  # every per-face lat factor is monotone
+    return (min(va, vb), max(va, vb))
+
+
+_ONE = lambda _d: 1.0  # noqa: E731
+
+# face -> (lon slabs, lat clip, u = latf*long, v = latf*long) where each
+# axis is a SEPARABLE product latf(lat) * lonf(lon); lonf carries its pole
+# set (range blows up) and interior critical points (extremum inside slab).
+# Derived from the gnomonic axis table in _face_uv; separability is what
+# makes endpoint/critical-point evaluation a RIGOROUS bound.
+_FACE_SPECS = {
+    0: ([(-45.0, 45.0)], None,
+        (_ONE, _tanl, (), ()), (_tanl, _secl, (-90.0, 90.0), (0.0,))),
+    1: ([(45.0, 135.0)], None,
+        (_ONE, _neg(_cotl), (0.0, 180.0), ()), (_tanl, _cscl, (0.0, 180.0), (90.0,))),
+    3: ([(135.0, 180.0), (-180.0, -135.0)], None,
+        (_tanl, _secl, (-90.0, 90.0), (180.0, -180.0)), (_ONE, _tanl, (-90.0, 90.0), ())),
+    4: ([(-135.0, -45.0)], None,
+        (_tanl, _cscl, (0.0, -180.0, 180.0), (-90.0,)), (_ONE, _neg(_cotl), (0.0, -180.0, 180.0), ())),
+    2: ([(-180.0, 180.0)], (_POLAR_LAT, 90.0),
+        (_neg(_cotl), (lambda d: math.cos(math.radians(d))), (), (0.0, 180.0, -180.0)),
+        (_neg(_cotl), (lambda d: math.sin(math.radians(d))), (), (90.0, -90.0))),
+    5: ([(-180.0, 180.0)], (-90.0, -_POLAR_LAT),
+        (_neg(_cotl), (lambda d: math.sin(math.radians(d))), (), (90.0, -90.0)),
+        (_neg(_cotl), (lambda d: math.cos(math.radians(d))), (), (0.0, 180.0, -180.0))),
+}
+
+
+def _prod_range(latr, lonr):
+    combos = [a * b for a in latr for b in lonr if not (a == 0.0 and math.isinf(b))]
+    combos = combos or [0.0]
+    return (min(combos), max(combos))
+
+
+def _uv_to_irange(lo, hi, level):
+    # 1e-9 uv padding: keeps the cover a superset even when another
+    # engine's trig (JVM vs libm) lands a corner a few ulps across a cell
+    # boundary — far below any level<=22 cell size (2/2^22 ~ 5e-7), so at
+    # most one extra cell row, and only for boundary-touching rects
+    shift = MAX_LEVEL - level
+    lo_i = _ij(_st(max(-1.0, min(1.0, lo - 1e-9)))) >> shift
+    hi_i = _ij(_st(max(-1.0, min(1.0, hi + 1e-9)))) >> shift
+    return lo_i, hi_i
+
+
+def cover_bboxes(lon_lo, lon_hi, lat_lo, lat_hi, level):
+    """Per-face (face, i_lo, i_hi, j_lo, j_hi) level-``level`` index ranges
+    whose union is a SUPERSET of every level cell intersecting the lon/lat
+    rect (conservative separable-product bounds per face). No antimeridian
+    wrap: requires lon_lo <= lon_hi."""
+    if lon_lo > lon_hi or lat_lo > lat_hi:
+        raise ValueError("empty or wrapping rect")
+    out = []
+    for face, (slabs, latclip, uspec, vspec) in _FACE_SPECS.items():
+        la, lb = lat_lo, lat_hi
+        if latclip is not None:
+            la, lb = max(la, latclip[0]), min(lb, latclip[1])
+            if la > lb:
+                continue
+        for sa, sb in slabs:
+            a, b = max(lon_lo, sa), min(lon_hi, sb)
+            if a > b:
+                continue
+            ulat, ulon, upoles, ucrit = uspec
+            vlat, vlon, vpoles, vcrit = vspec
+            ur = _prod_range(_lat_range(ulat, la, lb), _lon_range(ulon, upoles, ucrit, a, b))
+            vr = _prod_range(_lat_range(vlat, la, lb), _lon_range(vlon, vpoles, vcrit, a, b))
+            i_lo, i_hi = _uv_to_irange(ur[0], ur[1], level)
+            j_lo, j_hi = _uv_to_irange(vr[0], vr[1], level)
+            out.append((face, i_lo, i_hi, j_lo, j_hi))
+    return out
+
+
+def py_cover_rect(lon_lo, lon_hi, lat_lo, lat_hi, level):
+    """Sorted unique level cell ids (signed-64 bit patterns) conservatively
+    covering the rect — the pure-Python reference for cover_cells_udf."""
+    shift = MAX_LEVEL - level
+    lsb = lsb_for_level(level)
+    ids = set()
+    for face, i_lo, i_hi, j_lo, j_hi in cover_bboxes(lon_lo, lon_hi, lat_lo, lat_hi, level):
+        for iL in range(i_lo, i_hi + 1):
+            for jL in range(j_lo, j_hi + 1):
+                uid = _leaf_uid_py(face, iL << shift, jL << shift)
+                uid = (uid & ~((lsb << 1) - 1)) | lsb
+                ids.add(uid - (1 << 64) if uid >= 1 << 63 else uid)
+    return sorted(ids)
+
+
+def _leaf_uid_py(face, i, j):
+    table = _build_lookup()
+    orient = face & 1
+    pos = 0
+    for k in range(7, -1, -1):
+        r = table[(((i >> (k * 4)) & 15) << 6) | (((j >> (k * 4)) & 15) << 2) | orient]
+        pos = (pos << 8) | (r >> 2)
+        orient = r & 3
+    return (face << 61) | ((pos & ((1 << 60) - 1)) << 1) | 1
+
+
+def level_for_deg(deg: float) -> int:
+    """Coarsest level whose cells are no larger than ~``deg`` degrees on a
+    face side (face ~ 90 deg across): the equi-join key resolution that
+    keeps per-rect covers O(1) cells for rects of that size."""
+    lv = int(math.floor(math.log2(90.0 / max(deg, 1e-12))))
+    return max(0, min(MAX_LEVEL, lv))
+
+
+# ------------------------------------------------- vectorized Arrow encode
+
+_NP_IJ2POS = None
+_NP_POS2OR = None
+
+
+def _np_tables():
+    global _NP_IJ2POS, _NP_POS2OR
+    if _NP_IJ2POS is None:
+        import numpy as np
+
+        _NP_IJ2POS = np.array([v for row in _IJ_TO_POS for v in row], dtype=np.uint64)
+        _NP_POS2OR = np.array(_POS_TO_ORIENT, dtype=np.uint64)
+    return _NP_IJ2POS, _NP_POS2OR
+
+
+def np_leaf(face, i, j):
+    """Vectorized leaf ids for (face, i, j) uint64 arrays — the Arrow-batch
+    kernel behind cover_cells_udf (north_rule: batched cell encoding via
+    vectorized Arrow UDFs). Same per-level Gray-code fold as the Spark
+    expression; returns int64 bit patterns."""
+    import numpy as np
+
+    ij2pos, pos2or = _np_tables()
+    face = face.astype(np.uint64)
+    ii = i.astype(np.uint64)
+    jj = j.astype(np.uint64)
+    o = face & np.uint64(1)
+    pos = np.zeros(len(ii), dtype=np.uint64)
+    lim = np.uint64(_LIMIT - 1)
+    for _ in range(MAX_LEVEL):
+        bi = (ii >> np.uint64(MAX_LEVEL - 1)) & np.uint64(1)
+        bj = (jj >> np.uint64(MAX_LEVEL - 1)) & np.uint64(1)
+        p = ij2pos[(o << np.uint64(2)) | (bi << np.uint64(1)) | bj]
+        o = o ^ pos2or[p]
+        pos = (pos << np.uint64(2)) | p
+        ii = (ii << np.uint64(1)) & lim
+        jj = (jj << np.uint64(1)) & lim
+    uid = (face << np.uint64(61)) | (pos << np.uint64(1)) | np.uint64(1)
+    return uid.view(np.int64)
+
+
+def cover_cells_udf(level: int):
+    """pandas_udf (left, right, bottom, top) -> array<long> of covering
+    cell ids at ``level``. Per-row range math is trivial Python; the
+    Hilbert encode over the batch's concatenated cells runs once through
+    the vectorized numpy fold."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    shift = MAX_LEVEL - level
+    lsb = lsb_for_level(level)
+    mask = ~((lsb << 1) - 1) & ((1 << 64) - 1)
+
+    @pandas_udf("array<bigint>")
+    def cover(left: pd.Series, right: pd.Series, bottom: pd.Series, top: pd.Series) -> pd.Series:
+        faces, iis, jjs, rowid = [], [], [], []
+        for r, (lo, hi, blo, bhi) in enumerate(zip(left, right, bottom, top)):
+            for face, i_lo, i_hi, j_lo, j_hi in cover_bboxes(lo, hi, blo, bhi, level):
+                for iL in range(i_lo, i_hi + 1):
+                    for jL in range(j_lo, j_hi + 1):
+                        faces.append(face)
+                        iis.append(iL << shift)
+                        jjs.append(jL << shift)
+                        rowid.append(r)
+        if faces:
+            leaf = np_leaf(np.asarray(faces, dtype=np.uint64),
+                           np.asarray(iis, dtype=np.uint64),
+                           np.asarray(jjs, dtype=np.uint64))
+            cells = ((leaf.view(np.uint64) & np.uint64(mask)) | np.uint64(lsb)).view(np.int64)
+        else:
+            cells = np.empty(0, dtype=np.int64)
+        out = [[] for _ in range(len(left))]
+        for r, c in zip(rowid, cells.tolist()):
+            out[r].append(c)
+        return pd.Series([sorted(set(v)) for v in out])
+
+    return cover

@@ -163,6 +163,40 @@ def st_join(
     if method == "broadcast":
         return images.join(F.broadcast(chunks), _residual_predicate(images, chunks))
 
+    if method == "s2":
+        # S2-keyed variant: conservative multi-cell cover of every
+        # footprint at a level matched to the chunk size (functions/s2.py
+        # cover_cells_udf — the vectorized-Arrow batch encode), equi-join
+        # on shared cells, exact bbox+time residual, and ownership dedup
+        # on the NATIVE-expression cell of the intersection's bottom-left
+        # corner (that cell is in both covers by the superset property, so
+        # exactly one joined row survives — no distinct() shuffle). Output
+        # is row-identical to the broadcast and flat-grid strategies; the
+        # Hilbert-ordered key makes the shuffle a range-partitionable
+        # spatial partition (s2.range_partition_by_cell).
+        from ..functions import s2 as s2m
+
+        deg = cell_deg or max(
+            grid.view.dx * grid.view.chunk_nx, grid.view.dy * grid.view.chunk_ny
+        )
+        level = s2m.level_for_deg(deg)
+        cov = s2m.cover_cells_udf(level)
+        img_c = images.withColumn(
+            "cell", F.explode(cov(F.col("left"), F.col("right"), F.col("bottom"), F.col("top")))
+        )
+        ch_c = chunks.withColumn(
+            "cell",
+            F.explode(cov(F.col("ch_left"), F.col("ch_right"), F.col("ch_bottom"), F.col("ch_top"))),
+        )
+        joined = img_c.join(ch_c, "cell")
+        owner = s2m.s2_cell_id(
+            F.greatest(F.col("left"), F.col("ch_left")),
+            F.greatest(F.col("bottom"), F.col("ch_bottom")),
+            level,
+        )
+        out = joined.filter(_residual_predicate(joined, joined) & (F.col("cell") == owner))
+        return out.drop("cell")
+
     if method != "cells":
         raise ValueError(f"unknown method {method!r}")
     cell_deg = cell_deg or max(grid.view.dx * grid.view.chunk_nx, grid.view.dy * grid.view.chunk_ny)

@@ -13,7 +13,7 @@ REQUIRED_IN_WINDOW = [
     # r3 additions: dedup clustering + training-mix assembly
     "doc_dedup_clusters", "doc_training_mix",
     # folded suites covering the rest of SURVEY §2
-    "stjoin_rows", "cube_mean_median", "cube_first_last", "cube_min_max",
+    "stjoin_suite", "cube_mean_median", "cube_first_last", "cube_min_max",
     "cube_counts", "cube_mask_value_range", "cube_srs_suite",
     "reduce_time_full", "reduce_space", "aggregate_time_space",
     "window_time_suite", "fill_time_suite", "apply_filter_pixel",
@@ -66,6 +66,7 @@ def test_every_def_reachable():
         "doc_simhash_near_dups", "cube_average_decode", "cube_real_decode",
         "simple_cube_decode", "cube_mask_band_decode",
         "ann_ivf_topk", "ann_rp_lsh_pairs", "ann_topk", "ann_dup_pairs",
+        "stjoin_rows", "stjoin_s2",
         "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
         "cube_laea_mean", "cube_aea_mean", "zonal_statistics", "zonal_topk",
             "cube_osgb_mean", "cube_swiss_mean", "cube_jp2_decode", "cube_hom_mean",

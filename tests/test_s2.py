@@ -175,3 +175,60 @@ def test_spark_parent_matches_python(spark):
     ).collect()
     for (lon, lat), r in zip(rows, got):
         assert r.p == s2.py_cell_id(lon, lat, 7)
+
+
+def test_cover_superset_property():
+    """Every point inside a rect has its level cell in the rect's cover
+    (no false negatives — the property the S2 join's correctness rests on)."""
+    rng = random.Random(31)
+    for _ in range(120):
+        cx, cy = rng.uniform(-179, 179), rng.uniform(-88, 88)
+        w, h = 10 ** rng.uniform(-2, 1.2), 10 ** rng.uniform(-2, 1.2)
+        lon_lo, lon_hi = max(-180.0, cx - w / 2), min(180.0, cx + w / 2)
+        lat_lo, lat_hi = max(-90.0, cy - h / 2), min(90.0, cy + h / 2)
+        level = rng.randint(3, 12)
+        cover = set(s2.py_cover_rect(lon_lo, lon_hi, lat_lo, lat_hi, level))
+        for _p in range(20):
+            lon = rng.uniform(lon_lo, lon_hi)
+            lat = rng.uniform(lat_lo, lat_hi)
+            assert s2.py_cell_id(lon, lat, level) in cover
+
+
+def test_cover_polar_and_corners():
+    # a rect touching the north pole must be covered on face 2
+    cover = s2.py_cover_rect(10.0, 20.0, 80.0, 90.0, 6)
+    faces = {(c & ((1 << 64) - 1)) >> 61 for c in cover}
+    assert 2 in faces
+    for lon, lat in [(10.0, 80.0), (20.0, 90.0), (15.0, 89.999)]:
+        assert s2.py_cell_id(lon, lat, 6) in cover
+    # degenerate (point) rect
+    pt = s2.py_cover_rect(5.0, 5.0, 5.0, 5.0, 10)
+    assert s2.py_cell_id(5.0, 5.0, 10) in pt
+
+
+def test_cover_udf_matches_python(spark):
+    rng = random.Random(13)
+    rows = []
+    for _ in range(40):
+        lo = rng.uniform(-170, 160)
+        blo = rng.uniform(-80, 70)
+        rows.append((lo, lo + rng.uniform(0.01, 8.0), blo, blo + rng.uniform(0.01, 8.0)))
+    df = spark.createDataFrame(rows, "left double, right double, bottom double, top double")
+    got = df.select(
+        "left", "right", "bottom", "top",
+        s2.cover_cells_udf(9)(F.col("left"), F.col("right"), F.col("bottom"), F.col("top")).alias("c"),
+    ).collect()
+    for r in got:
+        assert r.c == s2.py_cover_rect(r.left, r.right, r.bottom, r.top, 9)
+
+
+def test_stjoin_s2_matches_broadcast(spark):
+    from gdalcubes_cpp_spark.benchqueries import V_ENG, images_meta
+    from gdalcubes_cpp_spark.grid import ChunkGrid
+    from gdalcubes_cpp_spark.operators.stjoin import assignment
+
+    img = images_meta(spark, "/root/testdata/sf0.001")
+    grid = ChunkGrid(V_ENG)
+    a = {(r.image_id, r.chunk_id) for r in assignment(img, grid, method="broadcast").collect()}
+    b = {(r.image_id, r.chunk_id) for r in assignment(img, grid, method="s2").collect()}
+    assert a == b and len(a) > 0
