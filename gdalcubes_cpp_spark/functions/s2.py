@@ -31,9 +31,11 @@ space-filling curve, so a RANGE partition by cell id IS a spatial
 partition (near things share id prefixes — the north_rule's
 "range-partitioned shuffles by H3 cell"), and every ancestor is a bit
 prefix, so coarsening a partition key is a mask, not a recompute. The
-flat grid (functions/cells.py) remains the bbox COVER for the st-join —
-exact covers of a rectangle are closed-form there, while an S2 covering
-is an adaptive cap algorithm that has no value for an equi-join key.
+covering section below also makes S2 cells an EQUI-JOIN key for the
+st-join (st_join(method='s2')): cover_bboxes computes a provably
+conservative per-face cell superset for any lon/lat rect from separable
+product bounds, so the flat grid (functions/cells.py) and S2 are now
+interchangeable join strategies with identical output rows.
 
 Scale shape: the whole id computation is native column expressions —
 trig, a 6-way face CASE, and a 30-step F.aggregate fold over a constant
