@@ -181,6 +181,12 @@ def st_join(
         )
         level = s2m.level_for_deg(deg)
         cov = s2m.cover_cells_udf(level)
+        # narrow metadata rows: make sure the Arrow encode stage sees every
+        # core (a small parquet scan may yield fewer splits than cores; the
+        # repartition is a cheap exchange of footprint tuples, never bytes)
+        par = spark.sparkContext.defaultParallelism
+        if images.rdd.getNumPartitions() < par:
+            images = images.repartition(par)
         img_c = images.withColumn(
             "cell", F.explode(cov(F.col("left"), F.col("right"), F.col("bottom"), F.col("top")))
         )
