@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "doc_simhash", "doc_decontaminate", "doc_dedup_clusters", "doc_training_mix",
     "ann_topk", "ann_knn_join", "ann_knn_join_ivf", "ann_dup_pairs",
     "s2_cells",
-    "events_tumbling", "events_sessionize", "tpch_pricing", "tpch_market_revenue",
+    "events_tumbling", "events_tumbling_ice", "events_sessionize", "tpch_pricing", "tpch_market_revenue",
 ]
 
 

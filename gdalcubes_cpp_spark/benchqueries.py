@@ -1259,6 +1259,32 @@ def events_tumbling(spark, sf_dir):
     )
 
 
+@q("events_tumbling_ice", _DEFS["events_tumbling"][1])
+def events_tumbling_ice(spark, sf_dir):
+    """The same tumbling aggregation read THROUGH the snapshot/manifest
+    table layer (sources/icetable.py): events land in an IceTable
+    (ts-clustered write -> disjoint file stats), the scan path re-reads the
+    committed snapshot, and the identical relation must come back — the
+    driver row hard-verifies commit + manifest + scan end to end. The
+    oracle SQL is the storage-independent events_tumbling query."""
+    import tempfile
+
+    from .sources.icetable import IceTable
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = IceTable.create(spark, tempfile.mktemp(prefix="gcs_ice_"), ev,
+                        order_by="ts", n_files=8)
+    back = t.read(spark)
+    return (
+        back.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"), F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"), F.round(F.sum("value"), 3).alias("vsum"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "vmin", "vmax", "vsum")
+    )
+
+
 @q(
     "events_sessionize",
     """
@@ -3086,6 +3112,8 @@ def _fold(name: str, tag_col: str, parts) -> None:
 
 _fold("stjoin_suite", "strategy",
       [("grid", "stjoin_rows"), ("s2", "stjoin_s2")])
+_fold("events_tumbling_suite", "src",
+      [("direct", "events_tumbling"), ("ice", "events_tumbling_ice")])
 _fold("cube_mean_median", "agg", [("mean", "cube_mean"), ("median", "cube_median")])
 _fold("cube_first_last", "agg", [("first", "cube_first"), ("last", "cube_last")])
 _fold("cube_counts", "agg",
@@ -3408,7 +3436,7 @@ _WINDOW_ORACLED = [
     "ann_knn_join",
     "ann_knn_join_ivf",
     "s2_cells",  # r4: real S2 index (functions/s2.py)
-    "events_tumbling",
+    "events_tumbling_suite",  # folds direct + IceTable-scan paths
     "events_sessionize",
     "tpch_suite",
 ]

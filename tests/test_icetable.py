@@ -1,0 +1,103 @@
+"""IceTable: snapshot isolation, manifest stats pruning, idempotent
+commits, time travel, optimistic-commit retry."""
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdalcubes_cpp_spark.sources.icetable import IceTable
+
+
+@pytest.fixture()
+def tdir():
+    with tempfile.TemporaryDirectory(prefix="ice_") as d:
+        yield os.path.join(d, "tbl")
+
+
+def _mkdf(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("img"), F.col("id")).alias("name"),
+    )
+
+
+def test_create_read_roundtrip(spark, tdir):
+    df = _mkdf(spark, 0, 1000)
+    t = IceTable.create(spark, tdir, df, order_by="k", n_files=8)
+    back = t.read(spark)
+    assert back.count() == 1000
+    assert {r.k for r in back.collect()} == set(range(1000))
+    assert t.current_version() == 1
+    snap = t.snapshot()
+    assert snap["summary"]["added_rows"] == 1000
+    assert snap["summary"]["added_files"] == len(t.files())
+
+
+def test_append_and_time_travel(spark, tdir):
+    t = IceTable.create(spark, tdir, _mkdf(spark, 0, 100), n_files=2)
+    s2 = t.append(_mkdf(spark, 100, 250), n_files=2)
+    assert s2 == 2
+    assert t.read(spark).count() == 250
+    # time travel: snapshot 1 still sees only the first commit
+    assert t.read(spark, snapshot=1).count() == 100
+    assert t.snapshot(2)["parent_id"] == 1
+
+
+def test_idempotent_commit_key(spark, tdir):
+    t = IceTable.create(spark, tdir, _mkdf(spark, 0, 100), n_files=2)
+    a = t.append(_mkdf(spark, 100, 200), commit_key="batch-7", n_files=1)
+    b = t.append(_mkdf(spark, 100, 200), commit_key="batch-7", n_files=1)
+    assert a == b  # replayed batch lands on the SAME snapshot, no dupes
+    assert t.read(spark).count() == 200
+
+
+def test_manifest_pruning_skips_files(spark, tdir):
+    # range-clustered by k -> disjoint per-file stats -> provable pruning
+    t = IceTable.create(spark, tdir, _mkdf(spark, 0, 10_000), order_by="k", n_files=10)
+    kept, total = t.scan_files_kept("k", 2_000, 2_999)
+    assert total >= 8
+    assert kept <= max(2, total // 3)  # a 10% range touches ~1-2 files
+    got = t.scan(spark, "k", 2_000, 2_999)
+    assert got.count() == 1000
+    assert {r.k for r in got.collect()} == set(range(2000, 3000))
+    # pruning never loses rows vs a full-scan filter
+    full = t.read(spark).filter((F.col("k") >= 2000) & (F.col("k") <= 2999))
+    assert full.count() == 1000
+
+
+def test_string_stats_pruning(spark, tdir):
+    df = spark.createDataFrame(
+        [(f"{c}{i}", i) for c in "abcd" for i in range(50)], "name string, v int"
+    )
+    t = IceTable.create(spark, tdir, df, order_by="name", n_files=4)
+    kept, total = t.scan_files_kept("name", "b", "bzzz")
+    assert kept < total
+    assert t.scan(spark, "name", "b", "bzzz").count() == 50
+
+
+def test_optimistic_commit_retry(spark, tdir):
+    t = IceTable.create(spark, tdir, _mkdf(spark, 0, 10), n_files=1)
+    # simulate a concurrent winner: occupy v2 before our append commits
+    with open(os.path.join(t.meta, "snap-2.json"), "w") as fh:
+        json.dump({"snapshot_id": 2, "parent_id": 1,
+                   "manifests": t.snapshot(1)["manifests"],
+                   "summary": {"added_files": 0, "added_rows": 0,
+                               "commit_key": None}}, fh)
+    with open(os.path.join(t.meta, "v2.json"), "x") as fh:
+        json.dump({"snapshot_id": 2}, fh)
+    s = t.append(_mkdf(spark, 10, 20), n_files=1)
+    assert s == 3  # lost the race at v2, retried onto v3
+    assert t.read(spark).count() == 20
+    # the racing snapshot's manifest list is the parent chain; no data lost
+    assert t.snapshot(3)["parent_id"] == 2
+
+
+def test_empty_scan_keeps_schema(spark, tdir):
+    t = IceTable.create(spark, tdir, _mkdf(spark, 0, 100), order_by="k", n_files=4)
+    got = t.scan(spark, "k", 10_000, 20_000)
+    assert got.count() == 0
+    assert got.columns == ["k", "v", "name"]

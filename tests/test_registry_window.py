@@ -26,7 +26,7 @@ REQUIRED_IN_WINDOW = [
     "doc_decontaminate", "ann_cosine_suite", "ann_knn_join",
     # r4: real S2 cell index (oracled, recursive-CTE mirror)
     "s2_cells",
-    "events_tumbling", "events_sessionize", "tpch_suite",
+    "events_tumbling_suite", "events_sessionize", "tpch_suite",
     "doc_near_dups_suite", "cube_decode_suite",
 ]
 
@@ -66,7 +66,7 @@ def test_every_def_reachable():
         "doc_simhash_near_dups", "cube_average_decode", "cube_real_decode",
         "simple_cube_decode", "cube_mask_band_decode",
         "ann_ivf_topk", "ann_rp_lsh_pairs", "ann_topk", "ann_dup_pairs",
-        "stjoin_rows", "stjoin_s2",
+        "stjoin_rows", "stjoin_s2", "events_tumbling", "events_tumbling_ice",
         "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
         "cube_laea_mean", "cube_aea_mean", "zonal_statistics", "zonal_topk",
             "cube_osgb_mean", "cube_swiss_mean", "cube_jp2_decode", "cube_hom_mean",
