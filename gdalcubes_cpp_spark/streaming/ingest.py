@@ -198,3 +198,34 @@ def finalize_state(spark: SparkSession, sink: str, view: CubeView, bands=("B1", 
             "it", "iy", "ix", *[F.col(f"{b}_state").alias(b) for b in bands]
         )
     return Cube(out, view, tuple(bands))
+
+
+def stream_to_icetable(stream: DataFrame, table_path: str,
+                       checkpoint_dir: str, order_by: str | None = None):
+    """Exactly-once streaming sink into an IceTable (sources/icetable.py):
+    each microbatch appends one snapshot with ``commit_key=batch-<id>``.
+    foreachBatch is at-least-once — after a crash between the table commit
+    and the checkpoint commit the SAME batch replays — but the commit-key
+    dedup makes the replay land on the already-committed snapshot instead
+    of appending twice, so the table is exactly-once without any sink-side
+    manifest of our own (the snapshot chain IS the manifest).
+
+    Returns the StreamingQuery; the caller awaits/stops it."""
+    from ..sources.icetable import IceTable
+
+    def commit(batch_df: DataFrame, batch_id: int):
+        import os
+
+        if not os.path.isdir(os.path.join(table_path, "metadata")):
+            os.makedirs(os.path.join(table_path, "metadata"), exist_ok=True)
+            os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+        IceTable(table_path).append(
+            batch_df, commit_key=f"batch-{batch_id}", order_by=order_by
+        )
+
+    return (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -101,3 +101,50 @@ def test_empty_scan_keeps_schema(spark, tdir):
     got = t.scan(spark, "k", 10_000, 20_000)
     assert got.count() == 0
     assert got.columns == ["k", "v", "name"]
+
+
+def test_streaming_sink_exactly_once(spark, tdir):
+    """File stream -> IceTable sink: snapshots accumulate per batch; a
+    REPLAYED batch (checkpoint loss after commit) dedups on commit_key."""
+    import tempfile
+
+    from gdalcubes_cpp_spark.sources.icetable import IceTable
+    from gdalcubes_cpp_spark.streaming.ingest import stream_to_icetable
+
+    src = tempfile.mkdtemp(prefix="ice_src_")
+    ckpt = tempfile.mkdtemp(prefix="ice_ck_") + "/cp"
+    _mkdf(spark, 0, 50).coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+
+    stream = (
+        spark.readStream.schema("k long, v long, name string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = stream_to_icetable(stream, tdir, ckpt, order_by="k")
+    q.awaitTermination(120)
+    t = IceTable(tdir)
+    assert t.read(spark).count() == 50
+
+    # second source file, NEW checkpoint dir (simulates checkpoint loss ->
+    # batch ids restart at 0 and batch-0 replays the already-committed data
+    # PLUS the new file in one availableNow pass... so feed only the
+    # replayed file first: same content, same commit key -> no duplicates)
+    q2 = stream_to_icetable(
+        spark.readStream.schema("k long, v long, name string").parquet(src + "/*"),
+        tdir, tempfile.mkdtemp(prefix="ice_ck2_") + "/cp", order_by="k",
+    )
+    q2.awaitTermination(120)
+    # replayed batch-0 carried identical content; commit_key dedup kept one
+    assert t.read(spark).count() == 50
+
+    # genuinely new data with the original checkpoint continues the chain
+    _mkdf(spark, 50, 80).coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    q3 = stream_to_icetable(
+        spark.readStream.schema("k long, v long, name string")
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*"),
+        tdir, ckpt, order_by="k",
+    )
+    q3.awaitTermination(120)
+    assert t.read(spark).count() == 80
+    keys = [s["summary"]["commit_key"] for s in t.snapshots()]
+    assert len(keys) == len(set(keys))  # every snapshot is a distinct batch
