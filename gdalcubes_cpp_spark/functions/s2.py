@@ -620,3 +620,135 @@ def cover_cells_udf(level: int):
         return pd.Series([sorted(set(v)) for v in out])
 
     return cover
+
+
+# ------------------------------------------------------------ geo kNN join
+
+def haversine_deg(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle central angle in DEGREES (haversine form). The exact
+    op sequence is mirrored by knn_oracle_sql for cross-engine equality."""
+    dla = F.radians(lat2 - lat1) / 2.0
+    dlo = F.radians(lon2 - lon1) / 2.0
+    h = F.sin(dla) * F.sin(dla) + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlo) * F.sin(dlo)
+    return F.degrees(2.0 * F.asin(F.sqrt(h)))
+
+
+def _disc_bbox_cols(lon: Column, lat: Column, r_deg: float):
+    """Bounding box of the great-circle disc of radius ``r_deg`` around a
+    point (the standard bounding-coordinates construction: lat +- r, lon +-
+    asin(sin r / cos lat)), plus a flag for whether the box provably covers
+    the whole disc (false near the poles / antimeridian -> the caller must
+    not mark such points resolved from box candidates alone)."""
+    r = float(r_deg) * (1.0 + 1e-12) + 1e-12
+    rr = math.radians(r)
+    sin_r = math.sin(min(rr, math.pi / 2))
+    dlon = F.when(
+        F.abs(lat) + F.lit(r) < 89.9,
+        F.degrees(F.asin(F.least(F.lit(1.0), F.lit(sin_r) / F.cos(F.radians(lat))))),
+    ).otherwise(F.lit(360.0))
+    left = lon - dlon
+    right = lon + dlon
+    bottom = lat - F.lit(r)
+    top = lat + F.lit(r)
+    full = (left >= -180.0) & (right <= 180.0) & (F.abs(lat) + F.lit(r) < 89.9)
+    return (
+        F.greatest(F.lit(-180.0), left),
+        F.least(F.lit(180.0), right),
+        F.greatest(F.lit(-89.999999), bottom),
+        F.least(F.lit(89.999999), top),
+        full,
+    )
+
+
+def s2_knn_join(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    init_radius_deg: float = 1.0,
+    max_rounds: int = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """EXACT k-nearest-neighbor join between two point sets on the sphere
+    (the north_rule's "kNN neighbor lookup for gap-filling"), S2-bucketed:
+
+    per round, every unresolved query point covers the bounding box of its
+    radius-r disc with S2 cells (cover_cells_udf) and equi-joins candidates
+    whose cell matches (b side: one native-fold cell per point); candidates
+    rank by (haversine, b_id). A point is RESOLVED once its k-th candidate
+    distance is <= r with the disc provably inside the covered box — then
+    no non-candidate can outrank it. Unresolved points double r (sparse
+    neighborhoods escalate geometrically); anything left after
+    ``max_rounds`` falls back to brute force, so the result is exact for
+    every input. Output: (a_id, b_id, rank, dist_deg), independent of the
+    rounds taken — strategy-free semantics a SQL window replays.
+
+    Scale shape: each round is one cover explode + one cell equi-join +
+    one per-a window over <= covered candidates; b never broadcasts, the
+    frontier shrinks geometrically, and the join key is the Hilbert cell
+    (range-partitionable, AQE-skew-splittable). The brute-force tail only
+    ever sees the pathological residue (empty regions, poles)."""
+    from pyspark.sql.window import Window
+
+    aa = a.select(F.col(a_id).alias("_aid"), F.col(lon).alias("_alon"), F.col(lat).alias("_alat"))
+    bb = b.select(F.col(b_id).alias("_bid"), F.col(lon).alias("_blon"), F.col(lat).alias("_blat"))
+
+    dist = haversine_deg(F.col("_alon"), F.col("_alat"), F.col("_blon"), F.col("_blat"))
+    rank_w = Window.partitionBy("_aid").orderBy(F.col("_dist").asc(), F.col("_bid").asc())
+    out_cols = ["_aid", "_bid", "_rank", "_dist"]
+
+    def topk(cand: DataFrame) -> DataFrame:
+        if exclude_self:
+            cand = cand.filter(F.col("_aid") != F.col("_bid"))
+        ranked = cand.withColumn("_dist", dist).withColumn(
+            "_rank", F.row_number().over(rank_w)
+        )
+        return ranked.filter(F.col("_rank") <= k)
+
+    frontier = aa
+    pieces = []
+    r = float(init_radius_deg)
+    for _ in range(max_rounds):
+        level = level_for_deg(2.0 * r)
+        cov = cover_cells_udf(level)
+        left_c, right_c, bot_c, top_c, full_c = _disc_bbox_cols(
+            F.col("_alon"), F.col("_alat"), r
+        )
+        a_cells = frontier.withColumn("_full", full_c).withColumn(
+            "cell", F.explode(cov(left_c, right_c, bot_c, top_c))
+        )
+        b_cells = bb.withColumn("cell", s2_cell_id(F.col("_blon"), F.col("_blat"), level))
+        got = topk(a_cells.join(b_cells, "cell").drop("cell").dropDuplicates(["_aid", "_bid"]))
+        kth = got.groupBy("_aid").agg(
+            F.max("_dist").alias("_kd"), F.count("*").alias("_n"), F.first("_full").alias("_f")
+        )
+        done_ids = kth.filter((F.col("_n") >= k) & (F.col("_kd") <= r) & F.col("_f")).select("_aid")
+        pieces.append(got.join(done_ids, "_aid", "leftsemi").select(out_cols))
+        frontier = frontier.join(done_ids, "_aid", "leftanti")
+        frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        r *= 2.0
+    else:
+        pieces.append(topk(frontier.crossJoin(bb)).select(out_cols))
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        F.col("_aid").alias(a_id), F.col("_bid").alias(b_id),
+        F.col("_rank").alias("rank"), F.col("_dist").alias("dist_deg"),
+    )
+
+
+def knn_dist_sql(alon: str, alat: str, blon: str, blat: str) -> str:
+    """DuckDB mirror of haversine_deg — identical IEEE op order."""
+    return (
+        f"degrees(2.0 * asin(sqrt("
+        f"sin(radians({blat} - {alat}) / 2.0) * sin(radians({blat} - {alat}) / 2.0)"
+        f" + cos(radians({alat})) * cos(radians({blat}))"
+        f" * sin(radians({blon} - {alon}) / 2.0) * sin(radians({blon} - {alon}) / 2.0))))"
+    )
