@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "doc_stats", "doc_exact_dups", "doc_minhash", "doc_lsh_jaccard",
     "doc_simhash", "doc_decontaminate", "doc_dedup_clusters", "doc_training_mix",
     "ann_topk", "ann_knn_join", "ann_knn_join_ivf", "ann_dup_pairs",
-    "s2_cells",
+    "s2_cells", "s2_knn",
     "events_tumbling", "events_tumbling_ice", "events_sessionize", "tpch_pricing", "tpch_market_revenue",
 ]
 

@@ -3220,6 +3220,116 @@ def s2_cells(spark, sf_dir):
     )
 
 
+# kNN over md5-jittered points (NOT footprint centers: those sit on a
+# 0.01-deg grid full of symmetric near-ties that could flip cross-engine
+# rank order; md5 jitter gives gap margins pytest asserts at both SFs).
+_KNN_K = 4
+_KNN_TWO60 = float(1 << 60)
+
+
+def _knn_points(spark, sf_dir):
+    img = images_meta(spark, sf_dir)
+
+    def u(tag):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), F.col("image_id"))), 1, 15), 16, 10
+        ).cast("long").cast("double")
+        return h / F.lit(_KNN_TWO60)
+
+    pts = img.select(
+        "image_id",
+        (F.lit(-20.0) + u("knnx") * F.lit(40.0)).alias("lon"),
+        (F.lit(30.0) + u("knny") * F.lit(20.0)).alias("lat"),
+    )
+    asel = F.conv(
+        F.substring(F.md5(F.concat(F.lit("knna"), F.col("image_id"))), 1, 4), 16, 10
+    ).cast("long") % 100 == 0
+    return pts.filter(asel), pts
+
+
+_KNN_PTS_SQL = f"""
+  SELECT image_id,
+         -2.0E1 + CAST(CAST('0x' || substr(md5('knnx' || image_id), 1, 15) AS BIGINT) AS DOUBLE)
+           / 1.152921504606846976E18 * 4.0E1 AS lon,
+         3.0E1 + CAST(CAST('0x' || substr(md5('knny' || image_id), 1, 15) AS BIGINT) AS DOUBLE)
+           / 1.152921504606846976E18 * 2.0E1 AS lat
+  FROM ({IMG_META_SQL}) imgk
+"""
+
+_KNN_SQL = f"""
+WITH pts AS ({_KNN_PTS_SQL}),
+qa AS (SELECT * FROM pts
+       WHERE CAST('0x' || substr(md5('knna' || image_id), 1, 4) AS BIGINT) % 100 = 0),
+cand AS (SELECT qa.image_id AS a_id, p.image_id AS b_id,
+                {_s2mod.knn_dist_sql("qa.lon", "qa.lat", "p.lon", "p.lat")} AS dist
+         FROM qa CROSS JOIN pts p WHERE p.image_id <> qa.image_id),
+rk AS (SELECT a_id, b_id, dist,
+              CAST(row_number() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS INT) AS rank
+       FROM cand)
+SELECT a_id, b_id, rank, round(dist, 6) AS dist_r FROM rk WHERE rank <= {_KNN_K}
+"""
+
+
+@q("s2_knn", _KNN_SQL)
+def s2_knn(spark, sf_dir):
+    """EXACT geo kNN join (functions/s2.s2_knn_join — the north_rule's "kNN
+    neighbor lookup for gap-filling") over md5-jittered points derived from
+    the image table: S2-cell-bucketed candidate rounds with radius doubling
+    and a per-point completeness proof. The DuckDB oracle replays it as the
+    definitionally-exact cross-join window (identical haversine op order,
+    rank by (dist, b_id)); the result is strategy-free, so the bucketed
+    plan must reproduce the brute-force relation row-for-row. Point-set
+    margins (candidate-gap >> libm ulp, round(,6) boundary clearance) are
+    pytest-asserted at sf0.01 AND sf0.1 (tests/test_s2_knn.py)."""
+    a, b = _knn_points(spark, sf_dir)
+    res = _s2mod.s2_knn_join(
+        a.withColumnRenamed("image_id", "a_id"),
+        b.withColumnRenamed("image_id", "b_id"),
+        _KNN_K, init_radius_deg=0.3, max_rounds=5, exclude_self=True,
+    )
+    return res.select(
+        "a_id", "b_id", F.col("rank").cast("int").alias("rank"),
+        F.round("dist_deg", 6).alias("dist_r"),
+    )
+
+
+@q(
+    "s2_suite",
+    f"""
+WITH RECURSIVE {_s2mod.duckdb_s2_ctes(
+        f"SELECT image_id, (im.left + im.right) / 2 AS c_lon,"
+        f" (im.bottom + im.top) / 2 AS c_lat FROM ({IMG_META_SQL}) im",
+        "c_lon", "c_lat", _S2_LEVEL, "image_id")}
+SELECT 'cells' AS member, image_id AS ida,
+       regexp_replace(lpad(lower(hex(cell)), 16, '0'), '0+$', '') AS idb,
+       cell AS v1, (cell & {-(_S2_LSB5 << 1)}) | {_S2_LSB5} AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM s2out
+UNION ALL
+SELECT 'knn', a_id, b_id, CAST(rank AS BIGINT), CAST(NULL AS BIGINT), dist_r
+FROM ({_KNN_SQL}) knn
+""",
+)
+def s2_suite(spark, sf_dir):
+    """Folded driver suite for the S2 index family: the cell-id encode
+    (s2_cells) and the exact bucketed kNN join (s2_knn), normalized to
+    (member, ida, idb, v1, v2, v3). One green row hard-verifies both."""
+    cells = _DEFS["s2_cells"][0](spark, sf_dir).select(
+        F.lit("cells").alias("member"),
+        F.col("image_id").alias("ida"), F.col("tok11").alias("idb"),
+        F.col("cell11").alias("v1"), F.col("cell5").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    knn = _DEFS["s2_knn"][0](spark, sf_dir).select(
+        F.lit("knn").alias("member"),
+        F.col("a_id").alias("ida"), F.col("b_id").alias("idb"),
+        F.col("rank").cast("bigint").alias("v1"),
+        F.lit(None).cast("bigint").alias("v2"),
+        F.col("dist_r").alias("v3"),
+    )
+    return cells.unionAll(knn)
+
+
 _fold("cube_srs_suite", "srs",  # every non-separable-SRS warp family
       [("utm", "cube_utm_mean"), ("polar", "cube_polar_mean"),
        ("sinu", "cube_sinu_mean"), ("lcc", "cube_lcc_mean"),
@@ -3435,7 +3545,7 @@ _WINDOW_ORACLED = [
     "ann_cosine_suite",  # folds ann_topk + ann_dup_pairs
     "ann_knn_join",
     "ann_knn_join_ivf",
-    "s2_cells",  # r4: real S2 index (functions/s2.py)
+    "s2_suite",  # r4: real S2 index + exact bucketed kNN (functions/s2.py)
     "events_tumbling_suite",  # folds direct + IceTable-scan paths
     "events_sessionize",
     "tpch_suite",

@@ -24,8 +24,8 @@ REQUIRED_IN_WINDOW = [
     "hdf4_modis_pixels",
     "doc_stats", "doc_exact_dups", "doc_signature_suite", "doc_lsh_jaccard",
     "doc_decontaminate", "ann_cosine_suite", "ann_knn_join",
-    # r4: real S2 cell index (oracled, recursive-CTE mirror)
-    "s2_cells",
+    # r4: real S2 cell index + exact bucketed kNN (oracled suite)
+    "s2_suite",
     "events_tumbling_suite", "events_sessionize", "tpch_suite",
     "doc_near_dups_suite", "cube_decode_suite",
 ]
@@ -72,6 +72,7 @@ def test_every_def_reachable():
             "cube_osgb_mean", "cube_swiss_mean", "cube_jp2_decode", "cube_hom_mean",
             "doc_minhash", "doc_simhash",
             "cube_cea_mean", "cube_aeqd_mean", "cube_eqc_mean",
+            "s2_cells", "s2_knn",
         "reduce_time_exact", "reduce_time_stats", "reduce_time_which",
     }
     window = set(REGISTRY)

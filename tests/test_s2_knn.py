@@ -127,3 +127,55 @@ def test_knn_single_round_dense(spark):
     a = [("a%02d" % i, rng.uniform(0.5, 1.5), rng.uniform(0.5, 1.5)) for i in range(20)]
     got = _run(spark, a, b, 4, init_radius_deg=0.4, max_rounds=2)
     _check(got, _brute(a, b, 4))
+
+
+# ---------------------------------------------------------------- driver set
+# Margin guards for the REGISTERED s2_knn/s2_suite query: the oracle is a
+# DuckDB cross-join window over the same md5-jittered points, so rank order
+# and round(,6) values must be immune to ~1e-14 libm divergence. Both are
+# properties of the deterministic point set — assert them here at both SFs.
+
+import hashlib
+
+import pyarrow.parquet as pq
+
+
+def _driver_points(sf_dir):
+    ok = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    ids = ["%010d" % k for k in ok.column(0).to_pylist()]
+
+    def u(tag, i):
+        return int(hashlib.md5((tag + i).encode()).hexdigest()[:15], 16) / float(1 << 60)
+
+    lon = np.array([-20.0 + u("knnx", i) * 40.0 for i in ids])
+    lat = np.array([30.0 + u("knny", i) * 20.0 for i in ids])
+    amask = np.array(
+        [int(hashlib.md5(("knna" + i).encode()).hexdigest()[:4], 16) % 100 == 0 for i in ids]
+    )
+    return np.array(ids), lon, lat, amask
+
+
+def _margins(sf_dir, k=4):
+    ids, lon, lat, amask = _driver_points(sf_dir)
+    ai = np.where(amask)[0]
+    min_gap, min_bound = np.inf, np.inf
+    for s in range(0, len(ai), 200):
+        chunk = ai[s:s + 200]
+        d = _np_hav(lon[chunk][:, None], lat[chunk][:, None], lon[None, :], lat[None, :])
+        d[np.arange(len(chunk)), chunk] = np.inf  # exclude self
+        part = np.partition(d, k + 2, axis=1)[:, : k + 2]
+        part.sort(axis=1)
+        gaps = np.diff(part, axis=1)
+        min_gap = min(min_gap, gaps[gaps > 0].min())
+        frac = np.abs((part[:, :k] * 1e6) % 1.0 - 0.5)
+        min_bound = min(min_bound, frac.min())
+    return min_gap, min_bound
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_driver_point_set_margins(sf_dir):
+    min_gap, min_bound = _margins(sf_dir)
+    # libm cross-engine divergence is ~1e-14 deg absolute; require 5+ orders
+    # of headroom on rank decisions and on the round(,6) half boundary
+    assert min_gap > 1e-8, min_gap
+    assert min_bound > 1e-6, min_bound
