@@ -26,9 +26,16 @@ def get_spark(
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
                 "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
         os.environ.setdefault(var, "1")
+    from pyspark import SparkConf
+
+    b = SparkSession.builder
+    # under spark-submit the CLI --master lands in the JVM system properties
+    # (SparkConf picks it up); forcing local[] here would silently override
+    # a real cluster deploy, so only default it for bare-python launches
+    if not SparkConf().contains("spark.master"):
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app)
+        b.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
