@@ -2606,6 +2606,45 @@ def cube_jp2_decode(spark, sf_dir):
     return build_cube(images, v, bands=("B1",)).df
 
 
+@q("cube_jpegbase_decode", None)  # rows-only member: real baseline-JPEG path
+def cube_jpegbase_decode(spark, sf_dir):
+    """Cube built from REAL baseline JPEG payloads (sources/jpegbase.py —
+    ITU-T T.81/JFIF from spec: DCT + Annex-K Huffman, with 4:2:0 and
+    restart-marker variants in the same table): the input_hint's
+    fmt='jpeg' rows decoded INSIDE the scan via codecs.decode's SOI
+    dispatch. Pixel exactness is pytest-gated against the numpy oracle
+    decoding the same bytes (tests/test_jpegbase.py); lossy values are
+    codec-defined, so no SQL engine can replay them."""
+    import numpy as np
+
+    from .codecs import encode_jpeg
+    from .operators.build import build_cube
+    from .synth import make_pixels
+
+    rows = []
+    for k, (ts, kw) in enumerate((
+        ("2020-02-10", {}),
+        ("2020-05-20", {"restart_interval": 3}),
+        ("2020-08-15", {"quality": 85}),
+    )):
+        img = make_pixels(7000 + k, 48, 48)
+        rows.append((
+            f"jpg_{k}", bytearray(encode_jpeg(img, **kw)), 48, 48,
+            "jpeg", ts, -12.05, -8.05, 18.05, 22.05,
+        ))
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "ts string, left double, right double, bottom double, top double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    v = CubeView.create(
+        left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=20, ny=20,
+        t0="2020-01-01", t1="2020-12-31", dt="P3M",
+        aggregation="mean", resampling="near", chunk_size=(2, 10, 10),
+    )
+    return build_cube(images, v, bands=("B1", "B2")).df
+
+
 # ------------------------------------------------- stream_* UDF surface
 
 @q(
@@ -3350,6 +3389,7 @@ def cube_decode_suite(spark, sf_dir):
         ("simple", "simple_cube_decode", "B1"),
         ("mask_band", "cube_mask_band_decode", "B1_mean"),
         ("jp2", "cube_jp2_decode", "B1"),
+        ("jpegbase", "cube_jpegbase_decode", "B1"),
     ]
     out = None
     for tag, member, valcol in parts:

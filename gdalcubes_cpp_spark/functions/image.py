@@ -133,12 +133,14 @@ def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
     interop with any TIFF reader); 'cog' = the Cloud-Optimized flavor
     (deflate tiles + internal overviews — the translate_cog analog);
     'png' = lossless uint8 (values must fit uint8 — raises otherwise);
-    'lossy' = the quantizing stub codec; 'jp2' = lossless reversible-5/3
+    'lossy' = the quantizing stub codec; 'jpeg' = REAL baseline JPEG
+    (ITU-T T.81/JFIF, sources/jpegbase.py, uint8 range, default quality
+    keeps PSNR >= 40 dB); 'jp2' = lossless reversible-5/3
     JPEG 2000 (uint16 range — the Sentinel-2 band-file shape);
     'jp2-lossy' = irreversible 9/7 at qstep 4. Translated payloads decode
     transparently via codecs.decode, so a translated collection feeds
     build_cube unchanged."""
-    if to_fmt not in ("gtiff", "cog", "png", "lossy", "jp2", "jp2-lossy"):
+    if to_fmt not in ("gtiff", "cog", "png", "lossy", "jpeg", "jp2", "jp2-lossy"):
         raise ValueError(f"unsupported target format {to_fmt!r}")
     cols = images.columns
     for need in ("bytes", "fmt", "left", "right", "top", "bottom", "w", "h"):
@@ -180,6 +182,10 @@ def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
                     else:
                         payload = encode_jp2(a16, levels=3, transform="9/7",
                                              qstep=4.0)
+                elif to_fmt == "jpeg":
+                    if np.nanmin(img) < 0 or np.nanmax(img) > 255:
+                        raise ValueError("jpeg target needs uint8-range values")
+                    payload = codecs.encode_jpeg(np.asarray(img, dtype=np.uint8))
                 else:
                     payload = codecs.encode_lossy(np.asarray(img, dtype=np.uint8))
                 out_bytes.append(payload)

@@ -1,0 +1,814 @@
+"""Baseline JPEG (ITU-T T.81, JFIF 1.02) encoder + decoder — pure numpy,
+from the public spec, no libjpeg.
+
+This closes the LAST image-codec stub in the repo: ``codecs.encode_lossy``
+was an honestly-labeled deterministic quantizer in a PNG container, kept
+only because libjpeg is absent from this container.  Real .jpg payloads —
+the dominant format in any web-scale image+caption table (BASELINE.json
+input_hint: ``fmt`` ∈ {png, jpeg}) — now decode for real:
+
+* **Encoder**: level shift, 8×8 forward DCT (exact matrix form of the
+  T.81 A.3.3 FDCT), Annex-K quantization tables scaled by the public
+  IJG quality formula, zigzag, DC prediction, canonical Huffman coding
+  with the Annex-K K.3.3 typical tables, byte stuffing, optional 4:2:0
+  chroma subsampling and restart intervals.  Components: 1 (grayscale
+  JFIF), 3 (JFIF YCbCr, BT.601 full-range), or 2/4 (valid T.81
+  multi-component, no color transform — used for the synthetic B1/B2
+  two-band scenes).
+* **Decoder**: full marker parse (DQT 8/16-bit, multi-table DHT, SOF0/1,
+  DRI, APPn/COM skip), interleaved AND non-interleaved scans, restart
+  markers with predictor reset + byte realignment, arbitrary sampling
+  factors 1..2 with box-replicate upsampling, batched vectorized IDCT.
+  Progressive (SOF2), hierarchical, and arithmetic-coded frames are
+  REFUSED with NotImplementedError rather than mis-decoded — the same
+  refuse-don't-corrupt policy as the JP2 reader (sources/jpeg2000.py).
+
+Dual-implementation discipline (tests/test_jpegbase.py): the matrix FDCT
+is checked coefficient-exact against a direct O(64²) evaluation of the
+T.81 A.3.3 double sum; the canonical Huffman assignment is checked
+prefix-free against the spec's BITS counts; encoder output is checked
+for structural validity (stuffing, marker framing) independently of the
+decoder; round-trips are PSNR-gated (≥40 dB at the default quality, the
+input_hint's lossy-format invariant).
+
+Reference parity: gdalcubes itself reads imagery through GDAL, which
+delegates JPEG to libjpeg (reference: src/image_collection.cpp GDALOpen
+path).  Here the codec is in-repo so the Spark scan's decode_fn
+(operators/build.py) and the multimodal pipeline (functions/image.py)
+can decode real-world bytes with zero native dependencies.
+
+Scale shape: pure-numpy per-payload work inside mapInPandas at chunk
+grain — embarrassingly parallel, no shuffle, no driver involvement; at
+100 TB it rides the existing scan exactly like the PNG/JP2/TIFF codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constant tables (ITU-T T.81 Annex K — published spec data)
+# ---------------------------------------------------------------------------
+
+# zigzag: index k (scan order) -> natural order position (row*8 + col)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)  # natural position -> scan index
+
+# Annex K.1 / K.2 quantization tables (natural order)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+DC_LUMA_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+DC_LUMA_VALS = tuple(range(12))
+DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+DC_CHROMA_VALS = tuple(range(12))
+AC_LUMA_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+AC_LUMA_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA)
+AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+AC_CHROMA_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA)
+
+# 8-point DCT-II matrix: M[u, x] = 0.5 * a(u) * cos((2x+1) u pi / 16);
+# per block F = M B Mᵀ is exactly the T.81 A.3.3 FDCT, B = Mᵀ F M the IDCT.
+_DCT_M = np.empty((8, 8))
+for _u in range(8):
+    _a = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCT_M[_u, _x] = 0.5 * _a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+del _u, _a, _x
+
+
+def fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial (level-shifted) -> (n, 8, 8) DCT coefficients."""
+    return np.einsum("ux,nxy,vy->nuv", _DCT_M, blocks, _DCT_M, optimize=True)
+
+
+def idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) DCT coefficients -> (n, 8, 8) spatial samples."""
+    return np.einsum("xu,nuv,yv->nxy", _DCT_M.T, coefs, _DCT_M.T, optimize=True)
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex-K tables scaled by the public IJG quality formula (1..100),
+    force-baseline clamped to 1..255."""
+    q = int(min(max(quality, 1), 100))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (QT_LUMA, QT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+# ---------------------------------------------------------------------------
+# Canonical Huffman (T.81 Annex C)
+# ---------------------------------------------------------------------------
+
+
+def build_codes(bits, vals):
+    """BITS/HUFFVAL -> {symbol: (code, length)} via the canonical
+    assignment of Annex C.2 (Generate_size_table / Generate_code_table)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    """mincode/maxcode/valptr decode tables (T.81 F.2.2.3) plus a 16-bit
+    peek LUT: lut[next 16 bits] = (symbol, code length) — one dict-free
+    list index per symbol instead of a bit-by-bit tree walk (~15x faster
+    in this pure-Python setting; same decoded stream, checked against the
+    canonical tables in tests)."""
+
+    def __init__(self, bits, vals):
+        self.vals = list(vals)
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            self.maxcode[length] = self.maxcode[length] if bits[length - 1] else -1
+            code <<= 1
+        # 16-bit prefix LUT (numpy fill, then one .tolist() for fast access)
+        lut_sym = np.full(1 << 16, -1, dtype=np.int32)
+        lut_len = np.zeros(1 << 16, dtype=np.int32)
+        codes = build_codes(bits, vals)
+        for sym, (c, ln) in codes.items():
+            lo = c << (16 - ln)
+            hi = lo + (1 << (16 - ln))
+            lut_sym[lo:hi] = sym
+            lut_len[lo:hi] = ln
+        self.lut = list(zip(lut_sym.tolist(), lut_len.tolist()))
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O with 0xFF byte stuffing
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, bits: int, n: int):
+        if n <= 0:
+            return
+        self.acc = (self.acc << n) | (bits & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # stuffing (B.1.1.5)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self):
+        """Pad to a byte boundary with 1-bits (F.1.2.3)."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """MSB-first reader over stuffed entropy bytes.  Decoding works on
+    16-bit PEEKS against the Huffman LUT (skip the matched length after),
+    not bit-by-bit walks — the difference between ~100 ms and ~7 ms per
+    small image in pure Python."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.end = False  # hit a non-stuffing marker
+
+    def _fill_byte(self) -> bool:
+        if self.end:
+            return False
+        d = self.data
+        p = self.pos
+        b = d[p]
+        if b == 0xFF:
+            if d[p + 1] == 0x00:
+                self.pos = p + 2  # stuffed data byte 0xFF
+            else:
+                self.end = True  # marker: leave pos at the 0xFF
+                return False
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def peek16(self) -> int:
+        while self.n < 16 and self._fill_byte():
+            pass
+        n = self.n
+        if n >= 16:
+            return (self.acc >> (n - 16)) & 0xFFFF
+        pad = 16 - n  # near end of scan: pad with 1-bits (fill-bit value)
+        return ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+
+    def skip(self, k: int):
+        if k > self.n:
+            raise ValueError("entropy read past marker")
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+
+    def bits(self, k: int) -> int:
+        while self.n < k and self._fill_byte():
+            pass
+        n = self.n
+        if k > n:
+            raise ValueError("entropy read past marker")
+        self.n = n = n - k
+        v = (self.acc >> n) & ((1 << k) - 1)
+        self.acc &= (1 << n) - 1
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+    def restart(self):
+        """Byte-align and consume an RSTn marker (E.2.4 / F.2.1.3.1)."""
+        self.acc = 0
+        self.n = 0
+        self.end = False
+        d = self.data
+        p = self.pos
+        # fill bytes 0xFF may precede the marker code
+        while d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
+        if not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError("expected RST marker at byte %d" % p)
+        self.pos = p + 2
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(a: np.ndarray) -> np.ndarray:
+    """JFIF (BT.601 full-range) forward transform; float64 planes."""
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(a: np.ndarray) -> np.ndarray:
+    y, cb, cr = a[..., 0], a[..., 1] - 128.0, a[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad to (ph, pw) — minimizes block-boundary ringing."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+    p = _pad_to(plane, ph, pw)
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def _mag_cat(v: int) -> int:
+    """SSSS magnitude category (F.1.2.1.1)."""
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 95,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w[, c]) with c in 1..4 -> baseline JFIF/T.81 bytes.
+
+    ``subsample=True`` uses 4:2:0 chroma (3-component images only);
+    ``restart_interval`` emits DRI + RSTn markers every that many MCUs
+    (resync points — at scale they bound error blast radius per payload).
+    """
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if not (1 <= nc <= 4):
+        raise ValueError("baseline JPEG supports 1..4 components, got %d" % nc)
+    af = a.astype(np.float64)
+    if nc == 3:
+        af = _rgb_to_ycbcr(af)
+
+    qt0, qt1 = quality_tables(quality)
+    # per-component (H, V, quant-table id, huffman-table id)
+    if nc == 3 and subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * nc
+    qids = [0] + [1] * (nc - 1)
+    hids = qids
+    qtabs = [qt0, qt1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component quantized coefficient grids, block raster order
+    comp_q = []
+    for ci in range(nc):
+        hi, vi = samp[ci]
+        plane = af[:, :, ci]
+        if (hi, vi) != (hmax, vmax):
+            plane = _box_downsample(plane, vmax // vi, hmax // hi)
+        bw_, bh_ = mcux * hi, mcuy * vi  # blocks across / down
+        p = _pad_to(plane, bh_ * 8, bw_ * 8) - 128.0
+        blocks = p.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coefs = fdct_blocks(blocks)
+        q = qtabs[qids[ci]].reshape(8, 8).astype(np.float64)
+        qz = np.round(coefs / q).astype(np.int64)
+        # zigzag now: (nblocks, 64) in scan order
+        comp_q.append((qz.reshape(-1, 64)[:, ZIGZAG], bw_, bh_))
+
+    # Huffman code tables
+    enc_dc = [build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+              build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    enc_ac = [build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+              build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    # ---- headers -----------------------------------------------------
+    out = bytearray(b"\xff\xd8")
+    if nc in (1, 3):  # JFIF APP0
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + \
+            bytes((1, 2, 0)) + struct.pack(">HH", 1, 1) + bytes((0, 0))
+    used_q = sorted({qids[c] for c in range(nc)})
+    for tq in used_q:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes((tq,)) + \
+            bytes(int(x) for x in qtabs[tq][ZIGZAG])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes((ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]))
+    for th in sorted({hids[c] for c in range(nc)}):
+        for tc, (bits, vals) in ((0, (DC_LUMA_BITS, DC_LUMA_VALS) if th == 0
+                                  else (DC_CHROMA_BITS, DC_CHROMA_VALS)),
+                                 (1, (AC_LUMA_BITS, AC_LUMA_VALS) if th == 0
+                                  else (AC_CHROMA_BITS, AC_CHROMA_VALS))):
+            out += b"\xff\xc4" + struct.pack(">H", 19 + sum(bits)) + \
+                bytes(((tc << 4) | th,)) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes((ci + 1, (hids[ci] << 4) | hids[ci]))
+    out += bytes((0, 63, 0))
+
+    # ---- entropy-coded scan (single interleaved scan) ----------------
+    bw = _BitWriter()
+    preds = [0] * nc
+    mcu_i = 0
+    rst = 0
+    coef_lists = [qz.tolist() for qz, _, _ in comp_q]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.align()
+                bw.buf += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) & 7
+                preds = [0] * nc
+            for ci in range(nc):
+                hi, vi = samp[ci]
+                bwidth = comp_q[ci][1]
+                dct_, act_ = enc_dc[hids[ci]], enc_ac[hids[ci]]
+                for v in range(vi):
+                    for u in range(hi):
+                        blk = coef_lists[ci][(my * vi + v) * bwidth + (mx * hi + u)]
+                        # DC
+                        diff = blk[0] - preds[ci]
+                        preds[ci] = blk[0]
+                        s = _mag_cat(diff)
+                        code, ln = dct_[s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        # AC
+                        run = 0
+                        for k in range(1, 64):
+                            cv = blk[k]
+                            if cv == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = act_[0xF0]  # ZRL
+                                bw.put(code, ln)
+                                run -= 16
+                            s = _mag_cat(cv)
+                            code, ln = act_[(run << 4) | s]
+                            bw.put(code, ln)
+                            bw.put(cv if cv >= 0 else cv + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            code, ln = act_[0x00]  # EOB
+                            bw.put(code, ln)
+            mcu_i += 1
+    bw.align()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def _extend(v: int, s: int) -> int:
+    """EXTEND (F.2.2.1): map s received bits to the signed value."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline T.81 bytes -> (h, w, c) uint8.  3-component frames are
+    assumed JFIF YCbCr (the encoder's convention and the JFIF default)."""
+    data = bytes(data)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs = {}
+    dc_tabs = {}
+    ac_tabs = {}
+    ri = 0
+    frame = None
+    decoded = {}  # comp index -> (nblocks, 64) int coefs in block raster
+    while True:
+        while data[pos] != 0xFF:
+            pos += 1
+        while data[pos] == 0xFF:
+            pos += 1
+        m = data[pos]
+        pos += 1
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue  # standalone markers
+        if m in _SOF_UNSUPPORTED:
+            raise NotImplementedError("unsupported JPEG frame: " + _SOF_UNSUPPORTED[m])
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2:pos + seg_len]
+        nxt = pos + seg_len
+        if m == 0xDB:  # DQT — possibly several tables per segment
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                o += 1
+                if pq:
+                    tbl = np.frombuffer(seg[o:o + 128], dtype=">u2").astype(np.int64)
+                    o += 128
+                else:
+                    tbl = np.frombuffer(seg[o:o + 64], dtype=np.uint8).astype(np.int64)
+                    o += 64
+                nat = np.empty(64, dtype=np.int64)
+                nat[ZIGZAG] = tbl
+                qtabs[tq] = nat
+        elif m == 0xC4:  # DHT — possibly several tables
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 15
+                bits = tuple(seg[o + 1:o + 17])
+                nv = sum(bits)
+                vals = tuple(seg[o + 17:o + 17 + nv])
+                (ac_tabs if tc else dc_tabs)[th] = _huff_decoder(bits, vals)
+                o += 17 + nv
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential Huffman
+            prec, fh, fw, nf = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif m == 0xDD:
+            (ri,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                ci = next(k for k, c in enumerate(frame["comps"]) if c["id"] == cs)
+                scan.append((ci, tdta >> 4, tdta & 15))
+            pos = _decode_scan(data, nxt, frame, scan, dc_tabs, ac_tabs, ri, decoded)
+            continue
+        pos = nxt
+    if frame is None or len(decoded) < len(frame["comps"]):
+        raise ValueError("incomplete JPEG: missing scan data")
+    return _assemble(frame, decoded, qtabs)
+
+
+def _decode_scan(data, pos, frame, scan, dc_tabs, ac_tabs, ri, decoded):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = [(ci, comps[ci]["h"], comps[ci]["v"], mcux * comps[ci]["h"])
+                 for ci, _, _ in scan]
+        n_mcux, n_mcuy = mcux, mcuy
+    else:
+        ci = scan[0][0]
+        c = comps[ci]
+        # non-interleaved: MCU = one block over the component's own grid
+        cw = -(-frame["w"] * c["h"] // hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        n_mcux, n_mcuy = -(-cw // 8), -(-ch // 8)
+        units = [(ci, 1, 1, n_mcux)]
+    for ci, _, _ in scan:
+        c = comps[ci]
+        bw_ = (mcux * c["h"]) if interleaved else n_mcux
+        bh_ = (mcuy * c["v"]) if interleaved else n_mcuy
+        # plain Python lists: scalar stores in the entropy loop are ~2x
+        # faster than numpy item assignment; _assemble converts once
+        decoded[ci] = ([[0] * 64 for _ in range(bh_ * bw_)], bw_, bh_)
+    tsel = {ci: (dc_tabs[td].lut, ac_tabs[ta].lut) for ci, td, ta in scan}
+    preds = {ci: 0 for ci, _, _ in scan}
+    # ---- inlined bit reader state (the per-call overhead of a reader
+    # object triples the wall time of this pure-Python hot loop) --------
+    acc = 0
+    nb = 0
+    end = False
+    mcu_i = 0
+    blkbuf = {ci: decoded[ci][0] for ci, _, _ in scan}
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if ri and mcu_i and mcu_i % ri == 0:
+                # byte-align + consume RSTn (E.2.4), reset predictors
+                acc = 0
+                nb = 0
+                end = False
+                while data[pos] == 0xFF and data[pos + 1] == 0xFF:
+                    pos += 1
+                if not (data[pos] == 0xFF and 0xD0 <= data[pos + 1] <= 0xD7):
+                    raise ValueError("expected RST marker at byte %d" % pos)
+                pos += 2
+                preds = {k: 0 for k in preds}
+            for ci, hi, vi, bwidth in units:
+                dc_lut, ac_lut = tsel[ci]
+                pred = preds[ci]
+                rows = blkbuf[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        blk = rows[(my * vi + v) * bwidth + (mx * hi + u)]
+                        # ---- DC ----
+                        while nb < 16 and not end:
+                            b = data[pos]
+                            if b == 0xFF:
+                                if data[pos + 1] == 0x00:
+                                    pos += 2
+                                else:
+                                    end = True
+                                    break
+                            else:
+                                pos += 1
+                            acc = (acc << 8) | b
+                            nb += 8
+                        peek = ((acc >> (nb - 16)) & 0xFFFF) if nb >= 16 else (
+                            ((acc << (16 - nb)) | ((1 << (16 - nb)) - 1)) & 0xFFFF)
+                        s, ln = dc_lut[peek]
+                        if s < 0 or ln > nb:
+                            raise ValueError("invalid DC Huffman code")
+                        nb -= ln
+                        acc &= (1 << nb) - 1
+                        if s:
+                            while nb < s and not end:
+                                b = data[pos]
+                                if b == 0xFF:
+                                    if data[pos + 1] == 0x00:
+                                        pos += 2
+                                    else:
+                                        end = True
+                                        break
+                                else:
+                                    pos += 1
+                                acc = (acc << 8) | b
+                                nb += 8
+                            if s > nb:
+                                raise ValueError("entropy read past marker")
+                            nb -= s
+                            dv = (acc >> nb) & ((1 << s) - 1)
+                            acc &= (1 << nb) - 1
+                            pred += dv - (1 << s) + 1 if dv < (1 << (s - 1)) else dv
+                        blk[0] = pred
+                        # ---- AC ----
+                        k = 1
+                        while k < 64:
+                            while nb < 16 and not end:
+                                b = data[pos]
+                                if b == 0xFF:
+                                    if data[pos + 1] == 0x00:
+                                        pos += 2
+                                    else:
+                                        end = True
+                                        break
+                                else:
+                                    pos += 1
+                                acc = (acc << 8) | b
+                                nb += 8
+                            peek = ((acc >> (nb - 16)) & 0xFFFF) if nb >= 16 else (
+                                ((acc << (16 - nb)) | ((1 << (16 - nb)) - 1)) & 0xFFFF)
+                            rs, ln = ac_lut[peek]
+                            if rs < 0 or ln > nb:
+                                raise ValueError("invalid AC Huffman code")
+                            nb -= ln
+                            acc &= (1 << nb) - 1
+                            s = rs & 15
+                            if s == 0:
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            while nb < s and not end:
+                                b = data[pos]
+                                if b == 0xFF:
+                                    if data[pos + 1] == 0x00:
+                                        pos += 2
+                                    else:
+                                        end = True
+                                        break
+                                else:
+                                    pos += 1
+                                acc = (acc << 8) | b
+                                nb += 8
+                            if s > nb:
+                                raise ValueError("entropy read past marker")
+                            nb -= s
+                            av = (acc >> nb) & ((1 << s) - 1)
+                            acc &= (1 << nb) - 1
+                            blk[k] = av - (1 << s) + 1 if av < (1 << (s - 1)) else av
+                            k += 1
+                preds[ci] = pred
+            mcu_i += 1
+    # skip pad bits; return position of the next marker
+    p = pos
+    while data[p] != 0xFF or data[p + 1] == 0x00:
+        p += 1
+    return p
+
+
+_HUFF_CACHE: dict = {}
+
+
+def _huff_decoder(bits, vals) -> _HuffDecoder:
+    """LUT construction is ~ms-scale; cache by table spec so the standard
+    Annex-K tables are built once per process, not once per image."""
+    key = (tuple(bits), tuple(vals))
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        t = _HUFF_CACHE[key] = _HuffDecoder(bits, vals)
+    return t
+
+
+def _huff_val(br: _BitReader, tbl: _HuffDecoder) -> int:
+    sym, ln = tbl.lut[br.peek16()]
+    if sym < 0:
+        raise ValueError("invalid Huffman code")
+    br.skip(ln)
+    return sym
+
+
+def _assemble(frame, decoded, qtabs):
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        qz, bw_, bh_ = decoded[ci]
+        qz = np.asarray(qz, dtype=np.int64)
+        q = qtabs[c["tq"]]
+        nat = np.zeros_like(qz)
+        nat[:, ZIGZAG] = qz  # inverse zigzag
+        coefs = (nat * q).reshape(-1, 8, 8).astype(np.float64)
+        spatial = idct_blocks(coefs) + 128.0
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        plane = spatial.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(
+            bh_ * 8, bw_ * 8)[:chh, :cw]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
+    img = np.stack(planes, axis=-1)
+    if len(comps) == 3:
+        img = _ycbcr_to_rgb(img)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)

@@ -604,6 +604,27 @@ def test_translate_collection_jp2(spark):
         assert codecs.psnr(raw, out[:, :, :raw.shape[2]]) >= 35.0
 
 
+def test_translate_collection_jpeg(spark):
+    """translate to 'jpeg' (REAL baseline T.81): payloads re-dispatch via
+    the SOI magic in codecs.decode and clear the 40 dB lossy invariant."""
+    from gdalcubes_cpp_spark import codecs, synth
+    from gdalcubes_cpp_spark.functions.image import translate_collection
+
+    pdf = synth.images_pdf(12)
+    imgs = spark.createDataFrame(pdf)
+    out = translate_collection(imgs, "jpeg").collect()
+    orig = pdf.set_index("image_id")
+    assert len(out) == len(pdf)
+    for r in out:
+        assert r["fmt"] == "jpeg"
+        assert bytes(r["bytes"][:2]) == b"\xff\xd8"
+        raw = codecs.decode(orig.loc[r["image_id"]]["bytes"],
+                            orig.loc[r["image_id"]]["fmt"])
+        dec = codecs.decode(r["bytes"], "jpeg")
+        assert dec.shape == raw.shape
+        assert codecs.psnr(raw, dec) >= 40.0
+
+
 def test_repetition_stats_gopher(spark):
     """Gopher repetition filters vs hand-computed values: duplicate-line
     fractions, top-2-gram char coverage (incl. the DESC tie-break),
