@@ -2608,13 +2608,14 @@ def cube_jp2_decode(spark, sf_dir):
 
 @q("cube_jpegbase_decode", None)  # rows-only member: real baseline-JPEG path
 def cube_jpegbase_decode(spark, sf_dir):
-    """Cube built from REAL baseline JPEG payloads (sources/jpegbase.py —
-    ITU-T T.81/JFIF from spec: DCT + Annex-K Huffman, with 4:2:0 and
-    restart-marker variants in the same table): the input_hint's
-    fmt='jpeg' rows decoded INSIDE the scan via codecs.decode's SOI
-    dispatch. Pixel exactness is pytest-gated against the numpy oracle
-    decoding the same bytes (tests/test_jpegbase.py); lossy values are
-    codec-defined, so no SQL engine can replay them."""
+    """Cube built from REAL baseline+progressive JPEG payloads
+    (sources/jpegbase.py — ITU-T T.81/JFIF from spec: DCT + Annex-K
+    Huffman, with restart-marker, lower-quality, and Annex-G PROGRESSIVE
+    variants in the same table): the input_hint's fmt='jpeg' rows decoded
+    INSIDE the scan via codecs.decode's SOI dispatch. Pixel exactness is
+    pytest-gated against the numpy oracle decoding the same bytes
+    (tests/test_jpegbase.py); lossy values are codec-defined, so no SQL
+    engine can replay them."""
     import numpy as np
 
     from .codecs import encode_jpeg
@@ -2626,6 +2627,7 @@ def cube_jpegbase_decode(spark, sf_dir):
         ("2020-02-10", {}),
         ("2020-05-20", {"restart_interval": 3}),
         ("2020-08-15", {"quality": 85}),
+        ("2020-11-10", {"progressive": True}),
     )):
         img = make_pixels(7000 + k, 48, 48)
         rows.append((

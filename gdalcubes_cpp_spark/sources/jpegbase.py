@@ -374,13 +374,20 @@ def encode_jpeg(
     quality: int = 95,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """uint8 (h, w[, c]) with c in 1..4 -> baseline JFIF/T.81 bytes.
 
     ``subsample=True`` uses 4:2:0 chroma (3-component images only);
     ``restart_interval`` emits DRI + RSTn markers every that many MCUs
-    (resync points — at scale they bound error blast radius per payload).
+    (resync points — at scale they bound error blast radius per payload);
+    ``progressive=True`` emits an SOF2 frame with a spectral-selection +
+    successive-approximation scan script (T.81 Annex G — the shape most
+    web .jpg files actually use).  Progressive and sequential carry the
+    SAME quantized coefficients, so their decodes are bit-identical.
     """
+    if progressive and restart_interval:
+        raise ValueError("restart intervals not supported with progressive")
     a = np.asarray(img, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -421,11 +428,17 @@ def encode_jpeg(
         # zigzag now: (nblocks, 64) in scan order
         comp_q.append((qz.reshape(-1, 64)[:, ZIGZAG], bw_, bh_))
 
-    # Huffman code tables
-    enc_dc = [build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
-              build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
-    enc_ac = [build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
-              build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    # Huffman code tables.  The Annex-K typical AC tables carry only EOB0
+    # and ZRL among the size-0 symbols; progressive EOB RUNS need EOBn
+    # (n<<4, n=1..14), so the progressive script extends both AC tables
+    # with those 14 symbols at code length 16 (canonical assignment keeps
+    # them prefix-free; asserted in tests).
+    dc_specs = [(DC_LUMA_BITS, DC_LUMA_VALS), (DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_specs = [(AC_LUMA_BITS, AC_LUMA_VALS), (AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    if progressive:
+        ac_specs = [_prog_ac_spec(*s) for s in ac_specs]
+    enc_dc = [build_codes(*s) for s in dc_specs]
+    enc_ac = [build_codes(*s) for s in ac_specs]
 
     # ---- headers -----------------------------------------------------
     out = bytearray(b"\xff\xd8")
@@ -436,18 +449,21 @@ def encode_jpeg(
     for tq in used_q:
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes((tq,)) + \
             bytes(int(x) for x in qtabs[tq][ZIGZAG])
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
         out += bytes((ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]))
     for th in sorted({hids[c] for c in range(nc)}):
-        for tc, (bits, vals) in ((0, (DC_LUMA_BITS, DC_LUMA_VALS) if th == 0
-                                  else (DC_CHROMA_BITS, DC_CHROMA_VALS)),
-                                 (1, (AC_LUMA_BITS, AC_LUMA_VALS) if th == 0
-                                  else (AC_CHROMA_BITS, AC_CHROMA_VALS))):
+        for tc, (bits, vals) in ((0, dc_specs[th]), (1, ac_specs[th])):
             out += b"\xff\xc4" + struct.pack(">H", 19 + sum(bits)) + \
                 bytes(((tc << 4) | th,)) + bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if progressive:
+        out += _emit_prog_scans(comp_q, samp, hids, nc, mcux, mcuy,
+                                w, h, hmax, vmax, enc_dc, enc_ac)
+        out += b"\xff\xd9"
+        return bytes(out)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for ci in range(nc):
         out += bytes((ci + 1, (hids[ci] << 4) | hids[ci]))
@@ -507,12 +523,249 @@ def encode_jpeg(
     return bytes(out)
 
 
+# Progressive AC scans need the EOBn symbols (0x10..0xE0), which the
+# Annex-K sequential tables cannot be extended with: their canonical code
+# space is 65535/65536 full (one free 16-bit slot, 14 symbols needed).
+# Real progressive encoders ship custom tables in DHT, so we do too: a
+# static canonical design with the high-frequency symbols short and the
+# long tail flat at 12 bits (Kraft sum 0.764 — valid, verified in tests).
+_PROG_AC_SHORT = (
+    (0x00, 2), (0x01, 3), (0x11, 4), (0x02, 4), (0x21, 5), (0x31, 5),
+    (0x12, 5), (0x41, 6), (0x51, 6), (0x03, 6), (0x22, 6), (0x61, 7),
+    (0x71, 7), (0x13, 7), (0x81, 7), (0x10, 7), (0x91, 8), (0xA1, 8),
+    (0xB1, 8), (0x32, 8), (0x04, 8), (0x23, 8), (0x20, 8), (0xF0, 8),
+)
+
+
+def _prog_ac_spec(bits=None, vals=None):
+    """(BITS, HUFFVAL) of the static progressive AC table covering all
+    (run 0..15, size 1..10) + ZRL + EOB0..EOB14.  Args ignored (the
+    sequential base table cannot host EOBn — see above)."""
+    short = dict(_PROG_AC_SHORT)
+    syms = [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    syms += [0xF0] + [n << 4 for n in range(15)]
+    by_len: dict = {}
+    for sym in sorted(set(syms)):
+        by_len.setdefault(short.get(sym, 12), []).append(sym)
+    for sym, ln in _PROG_AC_SHORT:  # keep the curated short-code order
+        by_len[ln].remove(sym)
+    b = [0] * 16
+    v: list = []
+    for ln in range(1, 17):
+        listed = [s for s, l2 in _PROG_AC_SHORT if l2 == ln]
+        rest = by_len.get(ln, [])
+        b[ln - 1] = len(listed) + len(rest)
+        v += listed + rest
+    return tuple(b), tuple(v)
+
+
+def _sos_header(comps_sel, hids, ss, se, ah, al) -> bytes:
+    hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps_sel), len(comps_sel))
+    for ci in comps_sel:
+        hdr += bytes((ci + 1, (hids[ci] << 4) | hids[ci]))
+    return hdr + bytes((ss, se, (ah << 4) | al))
+
+
+def _emit_prog_scans(comp_q, samp, hids, nc, mcux, mcuy, w, h, hmax, vmax,
+                     enc_dc, enc_ac) -> bytes:
+    """Progressive scan script (T.81 Annex G; libjpeg-like default):
+    DC first (interleaved, Al=1) -> per-component AC bands 1..5 and 6..63
+    at Al=2 -> per-component AC refine to Al=1 -> DC refine to Al=0 ->
+    per-component AC refine to Al=0.  Exercises spectral selection,
+    successive approximation, EOB runs, and ZRL in both scan kinds."""
+    coef_lists = [qz.tolist() for qz, _, _ in comp_q]
+    # per-component non-interleaved block grids (dummy blocks NOT coded)
+    grids = []
+    for ci in range(nc):
+        hi, vi = samp[ci]
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        grids.append((-(-cw // 8), -(-ch // 8)))
+    out = bytearray()
+
+    def dc_scan(ah, al):
+        o = bytearray(_sos_header(list(range(nc)), hids, 0, 0, ah, al))
+        bw = _BitWriter()
+        preds = [0] * nc
+        if nc == 1:  # single-component frame: non-interleaved block grid
+            for my in range(grids[0][1]):
+                for mx in range(grids[0][0]):
+                    blk0 = coef_lists[0][my * comp_q[0][1] + mx][0]
+                    _dc_emit(bw, enc_dc[hids[0]], preds, 0, blk0, ah, al)
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(nc):
+                        hi, vi = samp[ci]
+                        bwidth = comp_q[ci][1]
+                        for v in range(vi):
+                            for u in range(hi):
+                                blk0 = coef_lists[ci][
+                                    (my * vi + v) * bwidth + (mx * hi + u)][0]
+                                _dc_emit(bw, enc_dc[hids[ci]], preds, ci,
+                                         blk0, ah, al)
+        bw.align()
+        return bytes(o + bw.buf)
+
+    def ac_first(ci, ss, se, al):
+        o = bytearray(_sos_header([ci], hids, ss, se, 0, al))
+        bw = _BitWriter()
+        act = enc_ac[hids[ci]]
+        nx, ny = grids[ci]
+        bwidth = comp_q[ci][1]
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, ln = act[nbits << 4]
+                bw.put(code, ln)
+                if nbits:
+                    bw.put(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        for my in range(ny):
+            for mx in range(nx):
+                blk = coef_lists[ci][my * bwidth + mx]
+                # point transform: magnitude shift (truncate toward zero)
+                vals = [0] * (se + 1)
+                last = 0
+                for k in range(ss, se + 1):
+                    c = blk[k]
+                    a = (c if c >= 0 else -c) >> al
+                    if a:
+                        vals[k] = a if c >= 0 else -a
+                        last = k
+                if last == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+                    continue
+                flush()
+                r = 0
+                for k in range(ss, last + 1):
+                    v = vals[k]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = act[0xF0]
+                        bw.put(code, ln)
+                        r -= 16
+                    s = (v if v >= 0 else -v).bit_length()
+                    code, ln = act[(r << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if last < se:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+        flush()
+        bw.align()
+        return bytes(o + bw.buf)
+
+    def ac_refine(ci, ss, se, ah, al):
+        o = bytearray(_sos_header([ci], hids, ss, se, ah, al))
+        bw = _BitWriter()
+        act = enc_ac[hids[ci]]
+        nx, ny = grids[ci]
+        bwidth = comp_q[ci][1]
+        eobrun = 0
+        pend: list = []  # correction bits buffered across the EOB run
+
+        def flush():
+            nonlocal eobrun, pend
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, ln = act[nbits << 4]
+                bw.put(code, ln)
+                if nbits:
+                    bw.put(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+            for b in pend:
+                bw.put(b, 1)
+            pend = []
+
+        for my in range(ny):
+            for mx in range(nx):
+                blk = coef_lists[ci][my * bwidth + mx]
+                absv = [0] * (se + 1)
+                eobidx = ss - 1  # last newly-significant position
+                for k in range(ss, se + 1):
+                    c = blk[k]
+                    a = (c if c >= 0 else -c) >> al
+                    absv[k] = a
+                    if a == 1:
+                        eobidx = k
+                r = 0
+                br: list = []  # correction bits pending within this block
+                for k in range(ss, se + 1):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eobidx:
+                        flush()
+                        code, ln = act[0xF0]
+                        bw.put(code, ln)
+                        r -= 16
+                        for b in br:
+                            bw.put(b, 1)
+                        br = []
+                    if t > 1:  # history coefficient: correction bit
+                        br.append(t & 1)
+                        continue
+                    flush()
+                    code, ln = act[(r << 4) | 1]
+                    bw.put(code, ln)
+                    bw.put(1 if blk[k] >= 0 else 0, 1)
+                    for b in br:
+                        bw.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pend.extend(br)
+                    if eobrun == 0x7FFF or len(pend) > 900:
+                        flush()
+        flush()
+        bw.align()
+        return bytes(o + bw.buf)
+
+    out += dc_scan(0, 1)
+    for ci in range(nc):
+        out += ac_first(ci, 1, 5, 2)
+    for ci in range(nc):
+        out += ac_first(ci, 6, 63, 2)
+    for ci in range(nc):
+        out += ac_refine(ci, 1, 63, 2, 1)
+    out += dc_scan(1, 0)
+    for ci in range(nc):
+        out += ac_refine(ci, 1, 63, 1, 0)
+    return bytes(out)
+
+
+def _dc_emit(bw, dct, preds, ci, dc, ah, al):
+    if ah == 0:  # first scan: Huffman-coded diffs of (DC >> Al)
+        v = dc >> al  # arithmetic shift, matches the decoder's << + OR
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = _mag_cat(diff)
+        code, ln = dct[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    else:  # refinement: one raw bit
+        bw.put((dc >> al) & 1, 1)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -583,7 +836,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = tuple(seg[o + 17:o + 17 + nv])
                 (ac_tabs if tc else dc_tabs)[th] = _huff_decoder(bits, vals)
                 o += 17 + nv
-        elif m in (0xC0, 0xC1):  # baseline / extended sequential Huffman
+        elif m in (0xC0, 0xC1, 0xC2):  # sequential Huffman / progressive
             prec, fh, fw, nf = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -591,7 +844,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nf):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
+            frame = {"h": fh, "w": fw, "comps": comps, "prog": m == 0xC2}
         elif m == 0xDD:
             (ri,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:  # SOS
@@ -603,12 +856,37 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 ci = next(k for k, c in enumerate(frame["comps"]) if c["id"] == cs)
                 scan.append((ci, tdta >> 4, tdta & 15))
-            pos = _decode_scan(data, nxt, frame, scan, dc_tabs, ac_tabs, ri, decoded)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if frame["prog"]:
+                pos = _decode_scan_prog(data, nxt, frame, scan, dc_tabs,
+                                        ac_tabs, ri, decoded, ss, se,
+                                        ahal >> 4, ahal & 15)
+            else:
+                pos = _decode_scan(data, nxt, frame, scan, dc_tabs, ac_tabs,
+                                   ri, decoded)
             continue
         pos = nxt
     if frame is None or len(decoded) < len(frame["comps"]):
         raise ValueError("incomplete JPEG: missing scan data")
     return _assemble(frame, decoded, qtabs)
+
+
+def _comp_store(decoded, frame, ci):
+    """Allocate (once) the component's coefficient store over the FULL
+    interleaved MCU grid — progressive scans of different shapes all
+    accumulate into the same array.  Plain Python lists: scalar stores in
+    the entropy loop are ~2x faster than numpy item assignment;
+    _assemble converts once."""
+    got = decoded.get(ci)
+    if got is None:
+        comps = frame["comps"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        bw_ = -(-frame["w"] // (8 * hmax)) * comps[ci]["h"]
+        bh_ = -(-frame["h"] // (8 * vmax)) * comps[ci]["v"]
+        got = decoded[ci] = ([[0] * 64 for _ in range(bh_ * bw_)], bw_, bh_)
+    return got
 
 
 def _decode_scan(data, pos, frame, scan, dc_tabs, ac_tabs, ri, decoded):
@@ -619,24 +897,19 @@ def _decode_scan(data, pos, frame, scan, dc_tabs, ac_tabs, ri, decoded):
     mcuy = -(-frame["h"] // (8 * vmax))
     interleaved = len(scan) > 1
     if interleaved:
-        units = [(ci, comps[ci]["h"], comps[ci]["v"], mcux * comps[ci]["h"])
-                 for ci, _, _ in scan]
+        units = [(ci, comps[ci]["h"], comps[ci]["v"],
+                  _comp_store(decoded, frame, ci)[1]) for ci, _, _ in scan]
         n_mcux, n_mcuy = mcux, mcuy
     else:
         ci = scan[0][0]
         c = comps[ci]
-        # non-interleaved: MCU = one block over the component's own grid
+        # non-interleaved: MCU = one block over the component's own
+        # block grid (dummy blocks of the padded MCU grid are not coded);
+        # indexing still uses the STORAGE stride of the full grid
         cw = -(-frame["w"] * c["h"] // hmax)
         ch = -(-frame["h"] * c["v"] // vmax)
         n_mcux, n_mcuy = -(-cw // 8), -(-ch // 8)
-        units = [(ci, 1, 1, n_mcux)]
-    for ci, _, _ in scan:
-        c = comps[ci]
-        bw_ = (mcux * c["h"]) if interleaved else n_mcux
-        bh_ = (mcuy * c["v"]) if interleaved else n_mcuy
-        # plain Python lists: scalar stores in the entropy loop are ~2x
-        # faster than numpy item assignment; _assemble converts once
-        decoded[ci] = ([[0] * 64 for _ in range(bh_ * bw_)], bw_, bh_)
+        units = [(ci, 1, 1, _comp_store(decoded, frame, ci)[1])]
     tsel = {ci: (dc_tabs[td].lut, ac_tabs[ta].lut) for ci, td, ta in scan}
     preds = {ci: 0 for ci, _, _ in scan}
     # ---- inlined bit reader state (the per-call overhead of a reader
@@ -760,6 +1033,143 @@ def _decode_scan(data, pos, frame, scan, dc_tabs, ac_tabs, ri, decoded):
             mcu_i += 1
     # skip pad bits; return position of the next marker
     p = pos
+    while data[p] != 0xFF or data[p + 1] == 0x00:
+        p += 1
+    return p
+
+
+def _decode_scan_prog(data, pos, frame, scan, dc_tabs, ac_tabs, ri, decoded,
+                      ss, se, ah, al):
+    """One progressive scan (T.81 Annex G / G.2): DC first/refine
+    (optionally interleaved), AC first/refine (single component, spectral
+    band Ss..Se, successive approximation Ah->Al) with EOB runs.
+    Coefficients accumulate into the shared per-component stores; the
+    final _assemble is the plain sequential one."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("progressive AC scans are single-component")
+    br = _BitReader(data, pos)
+    if is_dc:
+        units = [(ci, comps[ci]["h"], comps[ci]["v"],
+                  _comp_store(decoded, frame, ci)) for ci, _, _ in scan]
+        n_mcux, n_mcuy = mcux, mcuy
+        if len(scan) == 1:  # non-interleaved DC scan: component block grid
+            c = comps[scan[0][0]]
+            cw = -(-frame["w"] * c["h"] // hmax)
+            ch = -(-frame["h"] * c["v"] // vmax)
+            n_mcux, n_mcuy = -(-cw // 8), -(-ch // 8)
+            units = [(scan[0][0], 1, 1, _comp_store(decoded, frame, scan[0][0]))]
+        dctab = {ci: dc_tabs[td] for ci, td, _ in scan} if ah == 0 else {}
+        preds = {ci: 0 for ci, _, _ in scan}
+        mcu_i = 0
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
+                if ri and mcu_i and mcu_i % ri == 0:
+                    br.restart()
+                    preds = {k: 0 for k in preds}
+                for ci, hi, vi, (rows, bwidth, _) in units:
+                    for v in range(vi):
+                        for u in range(hi):
+                            blk = rows[(my * vi + v) * bwidth + (mx * hi + u)]
+                            if ah == 0:  # first DC scan
+                                s = _huff_val(br, dctab[ci])
+                                d = _extend(br.bits(s), s) if s else 0
+                                preds[ci] += d
+                                blk[0] = preds[ci] << al
+                            else:  # refinement: one bit per block
+                                if br.bit():
+                                    blk[0] |= 1 << al
+                mcu_i += 1
+    else:
+        ci = scan[0][0]
+        c = comps[ci]
+        rows, bwidth, _ = _comp_store(decoded, frame, ci)
+        cw = -(-frame["w"] * c["h"] // hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        n_mcux, n_mcuy = -(-cw // 8), -(-ch // 8)
+        actab = ac_tabs[scan[0][2]]
+        eobrun = 0
+        p1 = 1 << al
+        m1 = -p1
+        mcu_i = 0
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
+                if ri and mcu_i and mcu_i % ri == 0:
+                    br.restart()
+                    eobrun = 0
+                blk = rows[my * bwidth + mx]
+                if ah == 0:  # ---- AC first scan (G.2 / F.2.2.2 + EOBRUN)
+                    if eobrun:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = _huff_val(br, actab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += br.bits(r)
+                                    break
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            blk[k] = _extend(br.bits(s), s) << al
+                            k += 1
+                else:  # ---- AC refinement scan (G.2, correction bits)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _huff_val(br, actab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.bits(r)
+                                    break
+                                # r == 15: ZRL — skip 16 zero-history coefs
+                                newval = 0
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "AC refinement size must be 1")
+                                newval = p1 if br.bit() else m1
+                            while k <= se:
+                                coef = blk[k]
+                                if coef != 0:
+                                    if br.bit() and (coef & p1) == 0:
+                                        blk[k] = coef + (p1 if coef >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                blk[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        # blocks inside the EOB run still receive correction
+                        # bits for their already-nonzero band coefficients
+                        while k <= se:
+                            coef = blk[k]
+                            if coef != 0:
+                                if br.bit() and (coef & p1) == 0:
+                                    blk[k] = coef + (p1 if coef >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+                mcu_i += 1
+    p = br.pos
     while data[p] != 0xFF or data[p + 1] == 0x00:
         p += 1
     return p

@@ -199,15 +199,91 @@ def test_gray_constant_is_lossless():
 # ---------------------------------------------------------------------------
 
 
-def test_progressive_refused_not_misdecoded():
+def test_unsupported_frames_refused_not_misdecoded():
     data = bytearray(jb.encode_jpeg(_scene(5, 32, 32)))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    data[i + 1] = 0xC3  # lossless
+    with pytest.raises(NotImplementedError, match="lossless"):
         jb.decode_jpeg(bytes(data))
     data[i + 1] = 0xC9  # arithmetic coding
     with pytest.raises(NotImplementedError, match="arithmetic"):
         jb.decode_jpeg(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+
+def test_prog_ac_table_canonical_and_complete():
+    bits, vals = jb._prog_ac_spec()
+    assert sum(bits) == len(vals) == len(set(vals))
+    codes = jb.build_codes(bits, vals)
+    assert all(c < (1 << ln) for c, ln in codes.values())  # canonical fits
+    kraft = sum(2.0 ** -ln for _, ln in codes.values())
+    assert kraft <= 1.0
+    have = set(vals)
+    for n in range(15):  # EOB0..EOB14 — the symbols Annex-K tables lack
+        assert (n << 4) in have
+    assert 0xF0 in have
+    for run in range(16):
+        for size in range(1, 11):
+            assert (run << 4) | size in have
+    # prefix-free (brute force)
+    strs = [format(c, "0%db" % ln) for c, ln in codes.values()]
+    for i, a in enumerate(strs):
+        for j, b in enumerate(strs):
+            if i != j:
+                assert not b.startswith(a)
+
+
+@pytest.mark.parametrize("case", ["scene", "gray", "rgb", "rgb420", "band4",
+                                  "noise_q40", "flat"])
+def test_progressive_decode_equals_sequential(case):
+    """Progressive and sequential streams carry the SAME quantized
+    coefficients, so their decodes must be bit-identical — the strongest
+    possible gate on the Annex-G scan plumbing (DC first/refine, AC
+    spectral bands, successive approximation, EOB runs, ZRL)."""
+    rng = np.random.default_rng(11)
+    kw = {}
+    if case == "scene":
+        img = _scene()
+    elif case == "gray":
+        img = ((np.arange(33)[:, None] * 7 + np.arange(47) * 3) % 256).astype(np.uint8)
+    elif case == "rgb":
+        img = _rgb()
+    elif case == "rgb420":
+        img = _rgb()
+        kw = {"subsample": True}
+    elif case == "band4":
+        base = _scene(77, 40, 24)
+        img = np.concatenate([base, base], axis=-1)
+    elif case == "noise_q40":
+        img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8).astype(np.uint8)
+        kw = {"quality": 40}
+    else:
+        img = np.full((16, 16), 128, dtype=np.uint8)
+    seq = jb.decode_jpeg(jb.encode_jpeg(img, **kw))
+    pb = jb.encode_jpeg(img, progressive=True, **kw)
+    assert pb[2:4] != b"\xff\xc0" and b"\xff\xc2" in pb  # SOF2 frame
+    assert pb.count(b"\xff\xda") >= 3  # genuinely multi-scan
+    np.testing.assert_array_equal(jb.decode_jpeg(pb), seq)
+
+
+def test_progressive_population_sweep():
+    for i in range(20):
+        m = synth.meta_arrays(np.array([i]))
+        img = synth.make_pixels(int(m["seed"][0]), int(m["w"][0]), int(m["h"][0]))
+        seq = jb.decode_jpeg(jb.encode_jpeg(img))
+        np.testing.assert_array_equal(
+            jb.decode_jpeg(jb.encode_jpeg(img, progressive=True)), seq)
+
+
+def test_progressive_dispatches_via_codecs():
+    img = _scene(3, 64, 32)
+    dec = codecs.decode(jb.encode_jpeg(img, progressive=True))
+    assert dec.shape == img.shape
+    assert codecs.psnr(img, dec) >= 40.0
 
 
 def test_codecs_dispatch_on_soi():
@@ -327,6 +403,7 @@ def test_cube_from_real_jpeg_payloads(spark):
         ("2020-02-10", {}),
         ("2020-05-20", {"restart_interval": 3}),
         ("2020-08-15", {"quality": 85}),
+        ("2020-11-10", {"progressive": True}),
     )):
         img = synth.make_pixels(7000 + k, 48, 48)
         rows.append({
