@@ -27,6 +27,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from .cube import KEY, Cube
+from .functions import hexgrid as _hexmod
 from .functions import s2 as _s2mod
 from .functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
 from .grid import ChunkGrid
@@ -3334,6 +3335,35 @@ def s2_knn(spark, sf_dir):
     )
 
 
+_HEX_RES = 6  # ~2.9 km hexes; decision margins over the driver point sets
+#               measured >= 2.4e-6 at sf0.001/0.01/0.1 (tests/test_hexgrid.py)
+#               vs ~1e-13 cross-engine libm noise in the forward stage
+
+_HEX_SQL = _hexmod.hex_duckdb_sql(
+    f"SELECT image_id, (im.left + im.right) / 2 AS c_lon,"
+    f" (im.bottom + im.top) / 2 AS c_lat FROM ({IMG_META_SQL}) im",
+    "image_id", "c_lon", "c_lat", _HEX_RES,
+)
+
+
+@q("hex_cells_img", _HEX_SQL)
+def hex_cells_img(spark, sf_dir):
+    """Aperture-7 hexagonal cell index (functions/hexgrid.py — the H3
+    scheme on the EASE-Grid 2.0 equal-area plane) over image footprint
+    centers: packed cell id at res 6 plus the aperture-7 parent. The
+    DuckDB oracle evaluates the IDENTICAL step expressions as chained
+    CTEs; the parent stage is bit-exact integer arithmetic, the forward
+    stage margins are pytest-asserted at all three scale factors."""
+    img = images_meta(spark, sf_dir)
+    pts = img.select(
+        "image_id",
+        ((F.col("left") + F.col("right")) / 2).alias("hx_lon_c"),
+        ((F.col("bottom") + F.col("top")) / 2).alias("hx_lat_c"),
+    )
+    out = _hexmod.hex_cells(pts, "hx_lon_c", "hx_lat_c", res=_HEX_RES)
+    return out.select("image_id", "hex_cell", "hex_parent")
+
+
 @q(
     "s2_suite",
     f"""
@@ -3349,12 +3379,17 @@ FROM s2out
 UNION ALL
 SELECT 'knn', a_id, b_id, CAST(rank AS BIGINT), CAST(NULL AS BIGINT), dist_r
 FROM ({_KNN_SQL}) knn
+UNION ALL
+SELECT 'hex', image_id, CAST(NULL AS VARCHAR), hex_cell, hex_parent,
+       CAST(NULL AS DOUBLE)
+FROM ({_HEX_SQL}) hx
 """,
 )
 def s2_suite(spark, sf_dir):
-    """Folded driver suite for the S2 index family: the cell-id encode
-    (s2_cells) and the exact bucketed kNN join (s2_knn), normalized to
-    (member, ida, idb, v1, v2, v3). One green row hard-verifies both."""
+    """Folded driver suite for the cell-index families: the S2 cell-id
+    encode (s2_cells), the exact bucketed kNN join (s2_knn), and the
+    aperture-7 hex index encode+parent (hex_cells_img), normalized to
+    (member, ida, idb, v1, v2, v3). One green row hard-verifies all."""
     cells = _DEFS["s2_cells"][0](spark, sf_dir).select(
         F.lit("cells").alias("member"),
         F.col("image_id").alias("ida"), F.col("tok11").alias("idb"),
@@ -3368,7 +3403,14 @@ def s2_suite(spark, sf_dir):
         F.lit(None).cast("bigint").alias("v2"),
         F.col("dist_r").alias("v3"),
     )
-    return cells.unionAll(knn)
+    hexm = _DEFS["hex_cells_img"][0](spark, sf_dir).select(
+        F.lit("hex").alias("member"),
+        F.col("image_id").alias("ida"),
+        F.lit(None).cast("string").alias("idb"),
+        F.col("hex_cell").alias("v1"), F.col("hex_parent").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    return cells.unionAll(knn).unionAll(hexm)
 
 
 _fold("cube_srs_suite", "srs",  # every non-separable-SRS warp family

@@ -72,7 +72,7 @@ def test_every_def_reachable():
             "cube_osgb_mean", "cube_swiss_mean", "cube_jp2_decode", "cube_hom_mean",
             "doc_minhash", "doc_simhash",
             "cube_cea_mean", "cube_aeqd_mean", "cube_eqc_mean",
-            "s2_cells", "s2_knn",
+            "s2_cells", "s2_knn", "hex_cells_img", "cube_jpegbase_decode",
         "reduce_time_exact", "reduce_time_stats", "reduce_time_which",
     }
     window = set(REGISTRY)
