@@ -194,6 +194,64 @@ def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
     return images.mapInPandas(run, images.schema)
 
 
+def exif_metadata(images: DataFrame) -> DataFrame:
+    """Extract EXIF tags from .jpg payloads — the metadata-normalization
+    step of a web-scale image ETL (camera orientation decides whether a
+    decode needs rotating; capture time beats crawl time for dedup).
+    One mapInPandas pass, bytes-local, no shuffle; rows without EXIF (or
+    non-JPEG payloads) yield NULLs. See sources/jpegbase.exif_dict (a
+    both-endian TIFF-IFD parse per the Exif 2.x spec)."""
+    from ..sources.jpegbase import exif_dict
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                d = exif_dict(bytes(r["bytes"])) or {}
+                rows.append({
+                    "image_id": r["image_id"],
+                    "orientation": d.get("orientation"),
+                    "make": d.get("make"),
+                    "model": d.get("model"),
+                    "datetime": d.get("datetime") or d.get("datetime_original"),
+                })
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run,
+        "image_id string, orientation int, make string, model string, "
+        "datetime string",
+    )
+
+
+def normalize_orientation(images: DataFrame) -> DataFrame:
+    """Re-encode any EXIF-rotated .jpg payload upright (orientation 1) —
+    decode, apply the orientation transform, re-encode, swap w/h when the
+    transform transposes. Non-JPEG and orientation-1 rows pass through
+    untouched bytes."""
+    from ..sources import jpegbase as jb
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_bytes, out_w, out_h = [], [], []
+            for _, r in b.iterrows():
+                data = bytes(r["bytes"])
+                d = jb.exif_dict(data) or {}
+                o = int(d.get("orientation") or 1)
+                if o <= 1:
+                    out_bytes.append(data)
+                    out_w.append(r["w"])
+                    out_h.append(r["h"])
+                    continue
+                img = jb.apply_orientation(jb.decode_jpeg(data), o)
+                out_bytes.append(jb.encode_jpeg(img, exif={"orientation": 1}))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+            yield b.assign(bytes=out_bytes, w=out_w, h=out_h)
+
+    return images.mapInPandas(run, images.schema)
+
+
 def create_overviews(images: DataFrame, levels=(2, 4, 8), mode: str = "decimate") -> DataFrame:
     """image_collection_ops::create_overviews analog (src/image_collection_ops.h:
     30-34): batch maintenance job producing a resolution pyramid per image —

@@ -49,6 +49,151 @@ import struct
 import numpy as np
 
 # ---------------------------------------------------------------------------
+# EXIF (APP1) — a TIFF IFD embedded in the JPEG, per the Exif 2.x spec
+# ---------------------------------------------------------------------------
+
+EXIF_MAKE = 0x010F
+EXIF_MODEL = 0x0110
+EXIF_ORIENTATION = 0x0112
+EXIF_DATETIME = 0x0132
+EXIF_SUBIFD = 0x8769
+EXIF_DT_ORIGINAL = 0x9003
+EXIF_PIXEL_X = 0xA002
+EXIF_PIXEL_Y = 0xA003
+
+_EXIF_NAMES = {
+    EXIF_MAKE: "make", EXIF_MODEL: "model", EXIF_ORIENTATION: "orientation",
+    EXIF_DATETIME: "datetime", EXIF_DT_ORIGINAL: "datetime_original",
+    EXIF_PIXEL_X: "pixel_x", EXIF_PIXEL_Y: "pixel_y",
+}
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+_EXIF_TYPE_FMT = {1: "B", 3: "H", 4: "I", 9: "i"}
+
+
+def _parse_exif_ifd(buf: bytes, off: int, bo: str, out: dict):
+    """One TIFF IFD (either endian) -> named values into ``out``; follows
+    the Exif sub-IFD pointer.  Unknown field types are skipped (the same
+    refuse-to-crash rule as geotiff._parse_ifd)."""
+    if off + 2 > len(buf):
+        return
+    (n,) = struct.unpack_from(bo + "H", buf, off)
+    for i in range(n):
+        base = off + 2 + 12 * i
+        if base + 12 > len(buf):
+            return
+        tag, ftype, count = struct.unpack_from(bo + "HHI", buf, base)
+        if ftype not in _EXIF_TYPE_SIZE:
+            continue
+        size = _EXIF_TYPE_SIZE[ftype] * count
+        vo = base + 8
+        if size > 4:
+            (vo,) = struct.unpack_from(bo + "I", buf, vo)
+        if vo + size > len(buf):
+            continue
+        if tag == EXIF_SUBIFD:
+            (p,) = struct.unpack_from(bo + "I", buf, base + 8)
+            _parse_exif_ifd(buf, p, bo, out)
+            continue
+        if tag not in _EXIF_NAMES:
+            continue
+        if ftype == 2:  # ASCII
+            out[_EXIF_NAMES[tag]] = buf[vo:vo + count].split(b"\x00")[0].decode(
+                "ascii", "replace")
+        elif ftype in (5, 10):  # (S)RATIONAL
+            a, b = struct.unpack_from(bo + ("ii" if ftype == 10 else "II"), buf, vo)
+            out[_EXIF_NAMES[tag]] = a / b if b else 0.0
+        elif ftype in _EXIF_TYPE_FMT:
+            vals = struct.unpack_from(bo + _EXIF_TYPE_FMT[ftype] * count, buf, vo)
+            out[_EXIF_NAMES[tag]] = int(vals[0]) if count == 1 else list(vals)
+
+
+def exif_dict(data: bytes) -> dict | None:
+    """Extract the EXIF IFD from a JPEG's APP1 segment (both byte orders);
+    None when no EXIF is present."""
+    data = bytes(data)
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        m = data[pos + 1]
+        if m in (0xD8, 0xD9, 0xDA) or 0xD0 <= m <= 0xD7:
+            return None  # reached the scan without an APP1
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4:pos + 2 + ln]
+        if m == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            tiff = seg[6:]
+            if tiff[:4] == b"II*\x00":
+                bo = "<"
+            elif tiff[:4] == b"MM\x00*":
+                bo = ">"
+            else:
+                return None
+            (ifd0,) = struct.unpack_from(bo + "I", tiff, 4)
+            out: dict = {}
+            _parse_exif_ifd(tiff, ifd0, bo, out)
+            return out
+        pos += 2 + ln
+    return None
+
+
+def exif_app1(fields: dict) -> bytes:
+    """Minimal little-endian EXIF APP1 segment from
+    {orientation/make/model/datetime: value} — enough for round-trip
+    tests and payload tagging; value layout per TIFF 6.0 §2."""
+    entries = []
+    datas = []
+    items = []
+    if "orientation" in fields:
+        items.append((EXIF_ORIENTATION, 3, 1,
+                      struct.pack("<HH", int(fields["orientation"]), 0)))
+    for key, tag in (("make", EXIF_MAKE), ("model", EXIF_MODEL),
+                     ("datetime", EXIF_DATETIME)):
+        if key in fields:
+            sv = str(fields[key]).encode("ascii") + b"\x00"
+            items.append((tag, 2, len(sv), sv))
+    items.sort()
+    n = len(items)
+    data_off = 8 + 2 + 12 * n + 4  # header + count + entries + next-IFD
+    for tag, ftype, count, raw in items:
+        if len(raw) <= 4:
+            entries.append(struct.pack("<HHI", tag, ftype, count)
+                           + raw.ljust(4, b"\x00"))
+        else:
+            entries.append(struct.pack("<HHII", tag, ftype, count,
+                                       data_off + sum(map(len, datas))))
+            datas.append(raw)
+    tiff = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n)
+            + b"".join(entries) + struct.pack("<I", 0) + b"".join(datas))
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply an EXIF orientation (1..8) to a decoded (h, w, c) array —
+    the standard camera-rotation normalization step of an image ETL."""
+    o = int(orientation)
+    if o in (0, 1):
+        return img
+    if o == 2:
+        return img[:, ::-1]
+    if o == 3:
+        return img[::-1, ::-1]
+    if o == 4:
+        return img[::-1, :]
+    if o == 5:
+        return np.swapaxes(img, 0, 1)
+    if o == 6:
+        return np.swapaxes(img, 0, 1)[:, ::-1]
+    if o == 7:
+        return np.swapaxes(img, 0, 1)[::-1, ::-1]
+    if o == 8:
+        return np.swapaxes(img, 0, 1)[::-1, :]
+    raise ValueError(f"EXIF orientation must be 1..8, got {o}")
+
+
+# ---------------------------------------------------------------------------
 # Constant tables (ITU-T T.81 Annex K — published spec data)
 # ---------------------------------------------------------------------------
 
@@ -375,6 +520,7 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    exif: dict | None = None,
 ) -> bytes:
     """uint8 (h, w[, c]) with c in 1..4 -> baseline JFIF/T.81 bytes.
 
@@ -445,6 +591,8 @@ def encode_jpeg(
     if nc in (1, 3):  # JFIF APP0
         out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + \
             bytes((1, 2, 0)) + struct.pack(">HH", 1, 1) + bytes((0, 0))
+    if exif:
+        out += exif_app1(exif)
     used_q = sorted({qids[c] for c in range(nc)})
     for tq in used_q:
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes((tq,)) + \

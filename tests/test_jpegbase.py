@@ -367,6 +367,91 @@ def test_non_interleaved_scans_decode():
 
 
 # ---------------------------------------------------------------------------
+# EXIF (APP1)
+# ---------------------------------------------------------------------------
+
+
+def test_exif_roundtrip_and_foreign_endian():
+    img = _scene(1, 32, 32)
+    data = jb.encode_jpeg(img, exif={
+        "orientation": 6, "make": "synthcam", "model": "sc-1000",
+        "datetime": "2020:05:20 10:30:00"})
+    d = jb.exif_dict(data)
+    assert d == {"orientation": 6, "make": "synthcam", "model": "sc-1000",
+                 "datetime": "2020:05:20 10:30:00"}
+    # EXIF does not disturb decode
+    np.testing.assert_array_equal(jb.decode_jpeg(data),
+                                  jb.decode_jpeg(jb.encode_jpeg(img)))
+    # big-endian (MM) TIFF payload: hand-build one IFD with orientation=8
+    tiff = (b"MM\x00*" + (8).to_bytes(4, "big") + (1).to_bytes(2, "big")
+            + (0x0112).to_bytes(2, "big") + (3).to_bytes(2, "big")
+            + (1).to_bytes(4, "big") + (8).to_bytes(2, "big") + b"\x00\x00"
+            + (0).to_bytes(4, "big"))
+    app1 = b"\xff\xe1" + (len(tiff) + 8).to_bytes(2, "big") + b"Exif\x00\x00" + tiff
+    spliced = data[:2] + app1 + data[2:]
+    assert jb.exif_dict(spliced)["orientation"] == 8  # first APP1 wins
+    # absent EXIF -> None
+    assert jb.exif_dict(jb.encode_jpeg(img)) is None
+
+
+def test_apply_orientation_all_eight():
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6, 1)
+    # invariants: 1 = identity; o in 5..8 transpose the shape; applying
+    # the transform twice for the involutive ones restores the original
+    assert jb.apply_orientation(img, 1) is img
+    for o in (2, 3, 4):
+        out = jb.apply_orientation(img, o)
+        assert out.shape == img.shape
+        np.testing.assert_array_equal(jb.apply_orientation(out, o), img)
+    for o in (5, 6, 7, 8):
+        out = jb.apply_orientation(img, o)
+        assert out.shape == (6, 4, 1)
+    # exact semantics pins: 6 = 90° clockwise, 8 = 90° counter-clockwise
+    np.testing.assert_array_equal(jb.apply_orientation(img, 6),
+                                  np.rot90(img, -1))
+    np.testing.assert_array_equal(jb.apply_orientation(img, 8),
+                                  np.rot90(img, 1))
+    np.testing.assert_array_equal(jb.apply_orientation(img, 3),
+                                  np.rot90(img, 2))
+    np.testing.assert_array_equal(jb.apply_orientation(img, 5),
+                                  np.swapaxes(img, 0, 1))
+    with pytest.raises(ValueError):
+        jb.apply_orientation(img, 9)
+
+
+def test_exif_metadata_and_normalize_orientation(spark):
+    import pandas as pd
+
+    from gdalcubes_cpp_spark.functions.image import (exif_metadata,
+                                                     normalize_orientation)
+
+    img = _scene(4, 40, 24)  # landscape
+    rows = [
+        {"image_id": "a", "w": 40, "h": 24,
+         "bytes": codecs.encode_jpeg(img, exif={"orientation": 6,
+                                                "make": "synthcam"})},
+        {"image_id": "b", "w": 40, "h": 24, "bytes": codecs.encode_jpeg(img)},
+        {"image_id": "c", "w": 40, "h": 24, "bytes": codecs.encode_png(img)},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    meta = {r["image_id"]: r for r in exif_metadata(df).collect()}
+    assert meta["a"]["orientation"] == 6 and meta["a"]["make"] == "synthcam"
+    assert meta["b"]["orientation"] is None
+    assert meta["c"]["orientation"] is None
+    fixed = {r["image_id"]: r for r in normalize_orientation(df).collect()}
+    # rotated payload comes back upright: transposed dims, orientation 1
+    assert (fixed["a"]["w"], fixed["a"]["h"]) == (24, 40)
+    d = jb.exif_dict(bytes(fixed["a"]["bytes"]))
+    assert d["orientation"] == 1
+    got = jb.decode_jpeg(bytes(fixed["a"]["bytes"]))
+    want = jb.apply_orientation(jb.decode_jpeg(bytes(rows[0]["bytes"])), 6)
+    assert codecs.psnr(want, got) >= 40.0
+    # untouched rows pass through byte-identical
+    assert bytes(fixed["b"]["bytes"]) == bytes(rows[1]["bytes"])
+    assert bytes(fixed["c"]["bytes"]) == bytes(rows[2]["bytes"])
+
+
+# ---------------------------------------------------------------------------
 # Synth-population gate + Spark plumbing
 # ---------------------------------------------------------------------------
 
