@@ -521,6 +521,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     progressive: bool = False,
     exif: dict | None = None,
+    optimize: bool = False,
 ) -> bytes:
     """uint8 (h, w[, c]) with c in 1..4 -> baseline JFIF/T.81 bytes.
 
@@ -534,6 +535,9 @@ def encode_jpeg(
     """
     if progressive and restart_interval:
         raise ValueError("restart intervals not supported with progressive")
+    if progressive and optimize:
+        raise ValueError("optimize applies to sequential scans (progressive"
+                         " already ships its custom tables)")
     a = np.asarray(img, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -583,6 +587,14 @@ def encode_jpeg(
     ac_specs = [(AC_LUMA_BITS, AC_LUMA_VALS), (AC_CHROMA_BITS, AC_CHROMA_VALS)]
     if progressive:
         ac_specs = [_prog_ac_spec(*s) for s in ac_specs]
+    if optimize:  # two-pass: measured per-image tables (Annex K.2)
+        dc_freq, ac_freq = _count_symbols(comp_q, samp, hids, nc, mcux, mcuy,
+                                          restart_interval)
+        dc_specs = list(dc_specs)
+        ac_specs = list(ac_specs)
+        for th in sorted(set(hids)):
+            dc_specs[th] = optimal_table(dc_freq[th])
+            ac_specs[th] = optimal_table(ac_freq[th])
     enc_dc = [build_codes(*s) for s in dc_specs]
     enc_ac = [build_codes(*s) for s in ac_specs]
 
@@ -705,6 +717,117 @@ def _prog_ac_spec(bits=None, vals=None):
         b[ln - 1] = len(listed) + len(rest)
         v += listed + rest
     return tuple(b), tuple(v)
+
+
+# ---------------------------------------------------------------------------
+# Optimized (two-pass) Huffman tables — T.81 Annex K.2
+# ---------------------------------------------------------------------------
+
+
+def optimal_table(freq256):
+    """Symbol frequencies -> (BITS, HUFFVAL) via the Annex-K.2 procedure:
+    pairwise least-frequency merges with the 'others' chain, a reserved
+    pseudo-symbol that guarantees no all-ones code, BITS counting, and
+    the limit-to-16 adjustment.  This is what 'optimized coding' means in
+    every production JPEG encoder."""
+    freq = list(freq256) + [1]  # index 256: reserved pseudo-symbol
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = -1
+        v = None
+        for i in range(257):
+            if freq[i] > 0 and (v is None or freq[i] <= v):
+                v = freq[i]
+                c1 = i  # ties -> largest index
+        c2 = -1
+        v = None
+        for i in range(257):
+            if freq[i] > 0 and i != c1 and (v is None or freq[i] <= v):
+                v = freq[i]
+                c2 = i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for s in codesize:
+        if s:
+            if s > 32:
+                raise ValueError("code length overflow")
+            bits[s] += 1
+    i = 32
+    while i > 16:  # Adjust_BITS: fold overlong codes into shorter prefixes
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's slot (the all-ones code)
+    vals = []
+    for size in range(1, 33):
+        for sym in range(256):
+            if codesize[sym] == size:
+                vals.append(sym)
+    return tuple(bits[1:17]), tuple(vals)
+
+
+def _count_symbols(comp_q, samp, hids, nc, mcux, mcuy, restart_interval=0):
+    """Dry pass: DC-category and AC run/size symbol frequencies per
+    Huffman table id (the first pass of two-pass optimized coding).
+    Mirrors the emission loop exactly — including restart-interval
+    predictor resets, which change DC categories (a symbol emitted but
+    not counted would be missing from the optimized table)."""
+    dc_freq = {th: [0] * 256 for th in set(hids)}
+    ac_freq = {th: [0] * 256 for th in set(hids)}
+    coef_lists = [qz.tolist() for qz, _, _ in comp_q]
+    preds = [0] * nc
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                preds = [0] * nc
+            mcu_i += 1
+            for ci in range(nc):
+                hi, vi = samp[ci]
+                bwidth = comp_q[ci][1]
+                df_, af_ = dc_freq[hids[ci]], ac_freq[hids[ci]]
+                for v in range(vi):
+                    for u in range(hi):
+                        blk = coef_lists[ci][(my * vi + v) * bwidth + (mx * hi + u)]
+                        diff = blk[0] - preds[ci]
+                        preds[ci] = blk[0]
+                        df_[_mag_cat(diff)] += 1
+                        run = 0
+                        for k in range(1, 64):
+                            cv = blk[k]
+                            if cv == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                af_[0xF0] += 1
+                                run -= 16
+                            af_[(run << 4) | _mag_cat(cv)] += 1
+                            run = 0
+                        if run:
+                            af_[0x00] += 1
+    return dc_freq, ac_freq
 
 
 def _sos_header(comps_sel, hids, ss, se, ah, al) -> bytes:

@@ -367,6 +367,65 @@ def test_non_interleaved_scans_decode():
 
 
 # ---------------------------------------------------------------------------
+# Optimized (two-pass) Huffman tables — T.81 Annex K.2
+# ---------------------------------------------------------------------------
+
+
+def test_optimal_table_canonical_and_huffman_optimality():
+    """The K.2 construction yields a valid canonical table; on a known
+    frequency set its weighted length matches the unconstrained Huffman
+    optimum (depths < 16, so the limiter must not distort anything)."""
+    freq = [0] * 256
+    weights = {10: 40, 11: 20, 12: 20, 13: 10, 14: 7, 15: 3}
+    for sym, w in weights.items():
+        freq[sym] = w
+    bits, vals = jb.optimal_table(freq)
+    codes = jb.build_codes(bits, vals)
+    assert set(vals) == set(weights)
+    assert all(c < (1 << ln) for c, ln in codes.values())
+    got = sum(weights[s] * codes[s][1] for s in weights)
+
+    # unconstrained Huffman optimum via heapq (sum of internal-node weights)
+    import heapq
+
+    def huffman_total(ws):
+        heap = list(ws)
+        heapq.heapify(heap)
+        total = 0
+        while len(heap) > 1:
+            w1 = heapq.heappop(heap)
+            w2 = heapq.heappop(heap)
+            total += w1 + w2
+            heapq.heappush(heap, w1 + w2)
+        return total
+
+    lower = huffman_total(list(weights.values()))
+    # K.2 runs Huffman over the alphabet EXTENDED by a weight-1 reserved
+    # pseudo-symbol (it eats the all-ones code), so the real symbols' cost
+    # is bounded by the extended optimum; depths here are < 16, so the
+    # 16-bit limiter must not add anything beyond that.
+    upper = huffman_total(list(weights.values()) + [1])
+    assert lower <= got <= upper, (lower, got, upper)
+
+
+def test_optimize_shrinks_and_decodes_identically():
+    img = _scene(21, 96, 64)
+    std = jb.encode_jpeg(img)
+    opt = jb.encode_jpeg(img, optimize=True)
+    assert len(opt) < len(std)
+    np.testing.assert_array_equal(jb.decode_jpeg(opt), jb.decode_jpeg(std))
+    # with restart intervals (counting pass must mirror predictor resets)
+    rst = jb.encode_jpeg(img, optimize=True, restart_interval=2)
+    np.testing.assert_array_equal(jb.decode_jpeg(rst), jb.decode_jpeg(std))
+    # degenerate tiny-alphabet input
+    flat = np.full((16, 16), 7, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        jb.decode_jpeg(jb.encode_jpeg(flat, optimize=True))[:, :, 0], flat)
+    with pytest.raises(ValueError):
+        jb.encode_jpeg(img, optimize=True, progressive=True)
+
+
+# ---------------------------------------------------------------------------
 # EXIF (APP1)
 # ---------------------------------------------------------------------------
 
