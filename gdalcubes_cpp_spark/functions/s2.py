@@ -695,6 +695,12 @@ def s2_knn_join(
 
     aa = a.select(F.col(a_id).alias("_aid"), F.col(lon).alias("_alon"), F.col(lat).alias("_alat"))
     bb = b.select(F.col(b_id).alias("_bid"), F.col(lon).alias("_blon"), F.col(lat).alias("_blat"))
+    # one leaf encode of the b side, materialized once: every round's
+    # bucket key is then a bit MASK of the leaf (s2_parent), not a re-run
+    # of the 30-step Hilbert fold over all of b
+    bb = bb.withColumn(
+        "_bleaf", s2_cell_id(F.col("_blon"), F.col("_blat"), MAX_LEVEL)
+    ).localCheckpoint(eager=True)
 
     dist = haversine_deg(F.col("_alon"), F.col("_alat"), F.col("_blon"), F.col("_blat"))
     rank_w = Window.partitionBy("_aid").orderBy(F.col("_dist").asc(), F.col("_bid").asc())
@@ -720,8 +726,16 @@ def s2_knn_join(
         a_cells = frontier.withColumn("_full", full_c).withColumn(
             "cell", F.explode(cov(left_c, right_c, bot_c, top_c))
         )
-        b_cells = bb.withColumn("cell", s2_cell_id(F.col("_blon"), F.col("_blat"), level))
-        got = topk(a_cells.join(b_cells, "cell").drop("cell").dropDuplicates(["_aid", "_bid"]))
+        b_cells = bb.withColumn("cell", s2_parent(F.col("_bleaf"), level)).drop("_bleaf")
+        # no dedup shuffle needed: a's cover is a DISTINCT cell set and b
+        # carries exactly one cell, so each (a, b) pair joins on at most
+        # one shared cell value
+        got = topk(a_cells.join(b_cells, "cell").drop("cell"))
+        # materialize the round's ranked candidates ONCE: done_ids, the
+        # surviving piece, and the final union all read this same result
+        # (without this the whole cover+join+window chain re-executes at
+        # collection time — measured 35 s -> single-digit s at sf0.1)
+        got = got.localCheckpoint(eager=True)
         kth = got.groupBy("_aid").agg(
             F.max("_dist").alias("_kd"), F.count("*").alias("_n"), F.first("_full").alias("_f")
         )
