@@ -212,6 +212,17 @@ def stjoin_s2(spark, sf_dir):
     return assignment(images_meta(spark, sf_dir), ChunkGrid(V_ENG), method="s2")
 
 
+@q("stjoin_hex", _DEFS["stjoin_rows"][1])
+def stjoin_hex(spark, sf_dir):
+    """The same join relation via the HEX-keyed strategy (functions/
+    hexgrid.py cover explode on the equal-area plane + cell equi-join +
+    hex ownership dedup); same strategy-independent oracle — a green
+    suite row proves the third strategy emits the exact relation too."""
+    from .operators.stjoin import assignment
+
+    return assignment(images_meta(spark, sf_dir), ChunkGrid(V_ENG), method="hex")
+
+
 def _cube_eng(spark, sf_dir, agg: str) -> Cube:
     from .operators.build import build_cube
 
@@ -3153,7 +3164,7 @@ def _fold(name: str, tag_col: str, parts) -> None:
 
 
 _fold("stjoin_suite", "strategy",
-      [("grid", "stjoin_rows"), ("s2", "stjoin_s2")])
+      [("grid", "stjoin_rows"), ("s2", "stjoin_s2"), ("hex", "stjoin_hex")])
 _fold("events_tumbling_suite", "src",
       [("direct", "events_tumbling"), ("ice", "events_tumbling_ice")])
 _fold("cube_mean_median", "agg", [("mean", "cube_mean"), ("median", "cube_median")])

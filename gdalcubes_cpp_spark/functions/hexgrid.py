@@ -56,6 +56,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..srs import _CEA, _cea_consts, _flit
@@ -325,6 +326,102 @@ def margins_np(lon, lat, res: int):
     m_tie = min(float(np.abs(dq - dr).min()), float(np.abs(dq - ds).min()),
                 float(np.abs(dr - ds).min()))
     return m_round, m_tie
+
+
+# ---------------------------------------------------------------------------
+# Conservative rect covers — the hex equi-join key for st_join('hex')
+# ---------------------------------------------------------------------------
+
+
+def res_for_deg(deg: float) -> int:
+    """Coarsest resolution whose hex width (sqrt(3)·s) is no larger than
+    ``deg`` degrees of equatorial EASE x — the join-key resolution that
+    keeps per-rect covers O(1) cells (mirrors s2.level_for_deg)."""
+    p = _P6933
+    e, k0, _qp, _ = _cea_consts(p)
+    m = max(deg, 1e-12) * _RAD * p.a * k0
+    for res in range(MAX_RES + 1):
+        s, _, _ = res_params(res)
+        if SQRT3 * s <= m:
+            return res
+    return MAX_RES
+
+
+def cover_cells_np(left, right, bottom, top, res: int):
+    """Per-row conservative hex covers of lon/lat rects.
+
+    Superset proof: every point p of the rect has its cell's CENTER within
+    the circumradius s of p in the plane; the rect's plane bbox is EXACT
+    because EPSG:6933 is separable and monotone per axis; so every such
+    center lies in the bbox expanded by s.  The plane->axial map is
+    linear, so the expanded bbox's axial extremes occur at its 4 corners;
+    enumerating the integer axial bbox of those corners (then keeping
+    centers inside the expanded plane bbox) yields a superset of
+    {cell(p) : p in rect}.  The expansion carries a 1e-9 relative slack
+    so a last-ulp owner-cell flip on a hex vertex cannot fall outside.
+
+    Returns a list of int lists (packed ids), one per input row."""
+    left = np.asarray(left, dtype=np.float64)
+    right = np.asarray(right, dtype=np.float64)
+    bottom = np.asarray(bottom, dtype=np.float64)
+    top = np.asarray(top, dtype=np.float64)
+    if (right < left).any():
+        raise ValueError("antimeridian-wrapping rects are not supported; "
+                         "split at ±180 first (flat-grid convention)")
+    s, c, n = res_params(res)
+    x0, y0 = _forward_np(left, bottom)
+    x1, y1 = _forward_np(right, top)
+    grow = s * (1.0 + 1e-9)
+    xa, xb = x0 - grow, x1 + grow
+    ya, yb = y0 - grow, y1 + grow
+
+    def axial(x, y):
+        xr = x * c + y * n
+        yr = y * c - x * n
+        return (((SQRT3 / 3.0) * xr - (1.0 / 3.0) * yr) / s,
+                ((2.0 / 3.0) * yr) / s)
+
+    qs_ = []
+    rs_ = []
+    for cx, cy in ((xa, ya), (xa, yb), (xb, ya), (xb, yb)):
+        qf, rf = axial(cx, cy)
+        qs_.append(qf)
+        rs_.append(rf)
+    qlo = np.floor(np.minimum.reduce(qs_)).astype(np.int64)
+    qhi = np.ceil(np.maximum.reduce(qs_)).astype(np.int64)
+    rlo = np.floor(np.minimum.reduce(rs_)).astype(np.int64)
+    rhi = np.ceil(np.maximum.reduce(rs_)).astype(np.int64)
+    out = []
+    for i in range(len(left)):
+        q0 = np.arange(qlo[i], qhi[i] + 1, dtype=np.int64)
+        r0 = np.arange(rlo[i], rhi[i] + 1, dtype=np.int64)
+        qg = np.repeat(q0, len(r0))
+        rg = np.tile(r0, len(q0))
+        # keep only centers actually inside the expanded plane bbox
+        qd = qg.astype(np.float64)
+        rd = rg.astype(np.float64)
+        xc = s * (SQRT3 * (qd + rd * 0.5))
+        yc = s * (1.5 * rd)
+        px = xc * c - yc * n
+        py = xc * n + yc * c
+        m = (px >= xa[i]) & (px <= xb[i]) & (py >= ya[i]) & (py <= yb[i])
+        out.append(pack(res, qg[m], rg[m]).tolist())
+    return out
+
+
+def cover_cells_udf(res: int):
+    """pandas_udf (left, right, bottom, top) -> array<bigint> covering hex
+    cells — the vectorized Arrow batch encode for st_join(method='hex')."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def cover(left: pd.Series, right: pd.Series, bottom: pd.Series,
+              top: pd.Series) -> pd.Series:
+        return pd.Series(cover_cells_np(left.to_numpy(), right.to_numpy(),
+                                        bottom.to_numpy(), top.to_numpy(),
+                                        res))
+
+    return cover
 
 
 # ---------------------------------------------------------------------------

@@ -203,6 +203,43 @@ def st_join(
         out = joined.filter(_residual_predicate(joined, joined) & (F.col("cell") == owner))
         return out.drop("cell")
 
+    if method == "hex":
+        # Hex-keyed variant (functions/hexgrid.py): conservative hex cover
+        # of every footprint (centers within the rect's EXACT separable
+        # plane bbox expanded by the circumradius — superset by
+        # construction), cell equi-join, exact residual, ownership dedup
+        # on the hex cell of the intersection's bottom-left corner (in
+        # both covers by the superset property). Row-identical to the
+        # broadcast / flat-grid / S2 strategies; uniform-area buckets mean
+        # footprint-uniform data gives uniform join-key populations.
+        from ..functions import hexgrid as hgm
+
+        deg = cell_deg or max(
+            grid.view.dx * grid.view.chunk_nx, grid.view.dy * grid.view.chunk_ny
+        )
+        res = hgm.res_for_deg(deg)
+        cov = hgm.cover_cells_udf(res)
+        par = spark.sparkContext.defaultParallelism
+        if images.rdd.getNumPartitions() < par:
+            images = images.repartition(par)
+        img_c = images.withColumn(
+            "cell", F.explode(cov(F.col("left"), F.col("right"), F.col("bottom"), F.col("top")))
+        )
+        ch_c = chunks.withColumn(
+            "cell",
+            F.explode(cov(F.col("ch_left"), F.col("ch_right"), F.col("ch_bottom"), F.col("ch_top"))),
+        )
+        joined = img_c.join(ch_c, "cell")
+        owned = hgm.hex_cells(
+            joined.withColumn("_own_x", F.greatest(F.col("left"), F.col("ch_left")))
+            .withColumn("_own_y", F.greatest(F.col("bottom"), F.col("ch_bottom"))),
+            "_own_x", "_own_y", res, cell_col="_own_cell", parent_col=None,
+        )
+        out = owned.filter(
+            _residual_predicate(owned, owned) & (F.col("cell") == F.col("_own_cell"))
+        )
+        return out.drop("cell", "_own_x", "_own_y", "_own_cell")
+
     if method != "cells":
         raise ValueError(f"unknown method {method!r}")
     cell_deg = cell_deg or max(grid.view.dx * grid.view.chunk_nx, grid.view.dy * grid.view.chunk_ny)

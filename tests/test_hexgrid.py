@@ -171,6 +171,55 @@ def test_driver_point_margins(sf):
     assert m_round > 1e-7 and m_tie > 1e-7, (sf, m_round, m_tie)
 
 
+def test_cover_cells_superset_and_tight():
+    """Conservative rect covers: every sampled point of each rect encodes
+    to a cell IN the cover (the superset property the join dedup relies
+    on), and the cover stays O(1) for rects ~ one cell wide."""
+    rng = np.random.default_rng(12)
+    res = 5
+    rows = []
+    for _ in range(40):
+        lo = rng.uniform(-170, 160)
+        blo = rng.uniform(-80, 70)
+        rows.append((lo, lo + rng.uniform(0.01, 4.0),
+                     blo, blo + rng.uniform(0.01, 4.0)))
+    left, right, bottom, top = (np.array(c) for c in zip(*rows))
+    covers = hg.cover_cells_np(left, right, bottom, top, res)
+    for i, (lo, hi, blo, bhi) in enumerate(rows):
+        cset = set(covers[i])
+        assert len(cset) == len(covers[i])  # distinct (dedup-free join)
+        u = rng.uniform(0, 1, (50, 2))
+        lon = lo + u[:, 0] * (hi - lo)
+        lat = blo + u[:, 1] * (bhi - blo)
+        cells = hg.hex_encode_np(lon, lat, res)
+        # corners too (the ownership points of the join dedup)
+        corners = hg.hex_encode_np(np.array([lo, lo, hi, hi]),
+                                   np.array([blo, bhi, blo, bhi]), res)
+        assert set(cells.tolist()) <= cset
+        assert set(corners.tolist()) <= cset
+    # tightness: a tiny rect covers only a handful of cells
+    tiny = hg.cover_cells_np(np.array([1.0]), np.array([1.01]),
+                             np.array([1.0]), np.array([1.01]), res)[0]
+    assert 1 <= len(tiny) <= 12
+    with pytest.raises(ValueError):
+        hg.cover_cells_np(np.array([170.0]), np.array([-170.0]),
+                          np.array([0.0]), np.array([1.0]), res)
+
+
+def test_stjoin_hex_matches_broadcast(spark):
+    from gdalcubes_cpp_spark.benchqueries import V_ENG, images_meta
+    from gdalcubes_cpp_spark.grid import ChunkGrid
+    from gdalcubes_cpp_spark.operators.stjoin import assignment
+
+    img = images_meta(spark, "/root/testdata/sf0.001")
+    grid = ChunkGrid(V_ENG)
+    a = {(r.image_id, r.chunk_id)
+         for r in assignment(img, grid, method="broadcast").collect()}
+    b = {(r.image_id, r.chunk_id)
+         for r in assignment(img, grid, method="hex").collect()}
+    assert a == b and len(a) > 0
+
+
 def test_invalid_res_rejected():
     with pytest.raises(ValueError):
         hg.res_params(hg.MAX_RES + 1)

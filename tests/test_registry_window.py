@@ -73,6 +73,7 @@ def test_every_def_reachable():
             "doc_minhash", "doc_simhash",
             "cube_cea_mean", "cube_aeqd_mean", "cube_eqc_mean",
             "s2_cells", "s2_knn", "hex_cells_img", "cube_jpegbase_decode",
+            "stjoin_hex",
         "reduce_time_exact", "reduce_time_stats", "reduce_time_which",
     }
     window = set(REGISTRY)
