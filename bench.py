@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "doc_simhash", "doc_decontaminate", "doc_dedup_clusters", "doc_training_mix",
     "ann_topk", "ann_knn_join", "ann_knn_join_ivf", "ann_dup_pairs",
     "s2_cells", "s2_knn",
+    "stjoin_hex", "hex_cells_img", "cube_jpegbase_decode", "cube_jp2_decode",
     "events_tumbling", "events_tumbling_ice", "events_sessionize", "tpch_pricing", "tpch_market_revenue",
 ]
 
