@@ -140,7 +140,8 @@ def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
     'jp2-lossy' = irreversible 9/7 at qstep 4. Translated payloads decode
     transparently via codecs.decode, so a translated collection feeds
     build_cube unchanged."""
-    if to_fmt not in ("gtiff", "cog", "png", "lossy", "jpeg", "jp2", "jp2-lossy"):
+    if to_fmt not in ("gtiff", "cog", "png", "lossy", "jpeg",
+                      "jpeg-progressive", "jp2", "jp2-lossy"):
         raise ValueError(f"unsupported target format {to_fmt!r}")
     cols = images.columns
     for need in ("bytes", "fmt", "left", "right", "top", "bottom", "w", "h"):
@@ -182,10 +183,12 @@ def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
                     else:
                         payload = encode_jp2(a16, levels=3, transform="9/7",
                                              qstep=4.0)
-                elif to_fmt == "jpeg":
+                elif to_fmt in ("jpeg", "jpeg-progressive"):
                     if np.nanmin(img) < 0 or np.nanmax(img) > 255:
                         raise ValueError("jpeg target needs uint8-range values")
-                    payload = codecs.encode_jpeg(np.asarray(img, dtype=np.uint8))
+                    payload = codecs.encode_jpeg(
+                        np.asarray(img, dtype=np.uint8),
+                        progressive=to_fmt == "jpeg-progressive")
                 else:
                     payload = codecs.encode_lossy(np.asarray(img, dtype=np.uint8))
                 out_bytes.append(payload)

@@ -623,6 +623,15 @@ def test_translate_collection_jpeg(spark):
         dec = codecs.decode(r["bytes"], "jpeg")
         assert dec.shape == raw.shape
         assert codecs.psnr(raw, dec) >= 40.0
+    # progressive target decodes bit-identically to the sequential one
+    # (same quantized coefficients) and really is an SOF2 stream
+    prog = {r["image_id"]: r for r in
+            translate_collection(imgs.limit(4), "jpeg-progressive").collect()}
+    seq = {r["image_id"]: r for r in out}
+    for iid, r in prog.items():
+        assert b"\xff\xc2" in bytes(r["bytes"])
+        np.testing.assert_array_equal(
+            codecs.decode(r["bytes"]), codecs.decode(seq[iid]["bytes"]))
 
 
 def test_repetition_stats_gopher(spark):
