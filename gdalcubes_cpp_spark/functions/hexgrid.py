@@ -424,6 +424,31 @@ def cover_cells_udf(res: int):
     return cover
 
 
+def polyfill(wkt: str, res: int):
+    """Packed ids of every hex cell whose CENTER falls inside the polygon
+    (H3 polyfill semantics — center containment, even-odd holes), as a
+    sorted int list.  Vector geometries parse through vector/geom.py's
+    even-odd ray casting; candidate centers enumerate from the polygon's
+    lon/lat bbox exactly like cover_cells_np.  Driver-side helper for
+    region -> cell-set expansion (zonal rollups by hex cell, region
+    filters as IN-lists on the join key)."""
+    from ..vector.geom import parse_wkt, points_in_polygon
+
+    kind, rings = parse_wkt(wkt)
+    if kind == "point":
+        return [int(hex_encode_np(np.array([rings[0]]), np.array([rings[1]]),
+                                  res)[0])]
+    allpts = np.vstack([np.asarray(r, float) for r in rings])
+    lo, hi = allpts[:, 0].min(), allpts[:, 0].max()
+    blo, bhi = allpts[:, 1].min(), allpts[:, 1].max()
+    cand = cover_cells_np(np.array([lo]), np.array([hi]),
+                          np.array([blo]), np.array([bhi]), res)[0]
+    cells = np.asarray(cand, dtype=np.int64)
+    clon, clat = hex_center_np(cells)
+    m = points_in_polygon(clon, clat, rings)
+    return sorted(cells[m].tolist())
+
+
 # ---------------------------------------------------------------------------
 # k-rings — exact integer arithmetic on the packed id
 # ---------------------------------------------------------------------------

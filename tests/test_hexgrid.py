@@ -220,6 +220,39 @@ def test_stjoin_hex_matches_broadcast(spark):
     assert a == b and len(a) > 0
 
 
+def test_polyfill_center_containment():
+    """polyfill = cells whose CENTER is inside the polygon (H3 semantics):
+    every returned cell's center passes the independent ray-cast; no
+    nearby cell with an inside center is missed; holes subtract."""
+    from gdalcubes_cpp_spark.vector.geom import points_in_polygon, parse_wkt
+
+    res = 5
+    outer = "10 10, 18 10, 18 17, 10 17, 10 10"
+    hole = "13 12, 15 12, 15 14, 13 14, 13 12"
+    wkt = f"POLYGON(({outer}), ({hole}))"
+    cells = np.asarray(hg.polyfill(wkt, res), dtype=np.int64)
+    assert len(cells) > 10
+    _, rings = parse_wkt(wkt)
+    lon, lat = hg.hex_center_np(cells)
+    assert points_in_polygon(lon, lat, rings).all()
+    # completeness: dense point sampling of the polygon never lands in a
+    # cell that polyfill missed
+    rng = np.random.default_rng(3)
+    px = rng.uniform(10, 18, 4000)
+    py = rng.uniform(10, 17, 4000)
+    inside = points_in_polygon(px, py, rings)
+    pc = hg.hex_encode_np(px[inside], py[inside], res)
+    pl, pb = hg.hex_center_np(pc)
+    central = points_in_polygon(pl, pb, rings)  # their cells w/ inside centers
+    assert set(pc[central].tolist()) <= set(cells.tolist())
+    # hole actually removed cells
+    no_hole = hg.polyfill(f"POLYGON(({outer}))", res)
+    assert len(no_hole) > len(cells)
+    # point WKT degenerates to the containing cell
+    assert hg.polyfill("POINT(12 13)", res) == [
+        int(hg.hex_encode_np(np.array([12.0]), np.array([13.0]), res)[0])]
+
+
 def test_invalid_res_rejected():
     with pytest.raises(ValueError):
         hg.res_params(hg.MAX_RES + 1)
