@@ -424,6 +424,79 @@ def cover_cells_udf(res: int):
     return cover
 
 
+def children_np(cell: int):
+    """The exactly-7 resolution+1 cells whose centers encode to ``cell``
+    (the aperture-7 children).  Computed constructively: candidates are
+    the 2-disk of the child cell nearest the parent center, filtered by
+    parent re-encode — exact because parenthood IS center re-encode."""
+    res, _q, _r = unpack(np.array([cell]))
+    res = int(res[0])
+    if res >= MAX_RES:
+        raise ValueError("children of MAX_RES cells are below MAX_RES")
+    lon, lat = hex_center_np(np.array([cell]))
+    seed = int(hex_encode_np(lon, lat, res + 1)[0])
+    _, sq, sr = unpack(np.array([seed]))
+    offs = kring_offsets(2)
+    qc = np.array([int(sq[0]) + dq for dq, dr in offs], dtype=np.int64)
+    rc = np.array([int(sr[0]) + dr for dq, dr in offs], dtype=np.int64)
+    cand = pack(res + 1, qc, rc)
+    par = hex_parent_np(cand)
+    out = sorted(cand[par == cell].tolist())
+    if len(out) != 7:
+        raise AssertionError("aperture-7 violation for cell %d" % cell)
+    return out
+
+
+def compact(cells):
+    """Replace every complete 7-child group by its parent, recursively —
+    H3's region compression (a polyfill IN-list shrinks ~7x per level).
+    Input: iterable of packed ids (any mix of resolutions); output: a
+    minimal sorted list covering exactly the same leaf set."""
+    import collections
+
+    cur = set(int(c) for c in cells)
+    changed = True
+    while changed:
+        changed = False
+        by_res = collections.defaultdict(list)
+        for c in cur:
+            r = c // _F_RES
+            if r > 0:
+                by_res[int(r)].append(c)
+        for r, group in sorted(by_res.items(), reverse=True):
+            arr = np.asarray(group, dtype=np.int64)
+            parents = hex_parent_np(arr)
+            cnt = collections.Counter(parents.tolist())
+            full = {p for p, k in cnt.items() if k == 7}
+            if not full:
+                continue
+            drop = {int(c) for c, p in zip(arr.tolist(), parents.tolist())
+                    if p in full}
+            cur -= drop
+            cur |= full
+            changed = True
+    return sorted(cur)
+
+
+def uncompact(cells, res: int):
+    """Expand a (possibly compacted) cell set to uniform ``res`` — the
+    inverse of compact for sets whose members are at resolution <= res."""
+    out: set = set()
+    frontier = [int(c) for c in cells]
+    for c in frontier:
+        r = int(np.asarray(c) // _F_RES)
+        if r > res:
+            raise ValueError("cell finer than the target resolution")
+        level = [c]
+        for _ in range(res - r):
+            nxt = []
+            for p in level:
+                nxt.extend(children_np(p))
+            level = nxt
+        out.update(level)
+    return sorted(out)
+
+
 def polyfill(wkt: str, res: int):
     """Packed ids of every hex cell whose CENTER falls inside the polygon
     (H3 polyfill semantics — center containment, even-odd holes), as a

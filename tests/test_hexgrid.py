@@ -253,6 +253,26 @@ def test_polyfill_center_containment():
         int(hg.hex_encode_np(np.array([12.0]), np.array([13.0]), res)[0])]
 
 
+def test_compact_uncompact_roundtrip():
+    """compact folds complete 7-child groups; uncompact restores EXACTLY
+    the original leaf set; polyfill output compresses then round-trips."""
+    res = 6
+    cells = hg.polyfill("POLYGON((10 10, 16 10, 16 15, 10 15, 10 10))", res)
+    comp = hg.compact(cells)
+    assert len(comp) < len(cells)  # a solid region must compress
+    assert any(c // (1 << 58) < res for c in comp)  # coarser cells appear
+    back = hg.uncompact(comp, res)
+    assert back == sorted(cells)
+    # children: exactly 7, all parent back to the cell
+    c0 = int(cells[len(cells) // 2])
+    ch = hg.children_np(c0)
+    assert len(ch) == 7
+    assert (hg.hex_parent_np(np.asarray(ch, dtype=np.int64)) == c0).all()
+    # uncompact refuses finer-than-target members
+    with pytest.raises(ValueError):
+        hg.uncompact(ch, res - 1)
+
+
 def test_invalid_res_rejected():
     with pytest.raises(ValueError):
         hg.res_params(hg.MAX_RES + 1)
