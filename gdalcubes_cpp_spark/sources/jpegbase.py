@@ -549,9 +549,11 @@ def encode_jpeg(
         af = _rgb_to_ycbcr(af)
 
     qt0, qt1 = quality_tables(quality)
-    # per-component (H, V, quant-table id, huffman-table id)
+    # per-component (H, V, quant-table id, huffman-table id);
+    # subsample: False/None = 4:4:4, True/"420" = 4:2:0, "422" = 4:2:2
     if nc == 3 and subsample:
-        samp = [(2, 2), (1, 1), (1, 1)]
+        samp = [(2, 1), (1, 1), (1, 1)] if subsample == "422" else \
+            [(2, 2), (1, 1), (1, 1)]
     else:
         samp = [(1, 1)] * nc
     qids = [0] + [1] * (nc - 1)

@@ -180,6 +180,24 @@ def test_roundtrip_rgb_444_and_420():
     assert codecs.psnr(odd, dodd) >= 30.0
 
 
+def test_roundtrip_rgb_422():
+    img = _rgb()
+    d = jb.encode_jpeg(img, subsample="422")
+    # SOF1 sampling byte of comp 0 must be 0x21 (H=2, V=1)
+    i = d.index(b"\xff\xc0")
+    assert d[i + 11] == 0x21
+    dec = jb.decode_jpeg(d)
+    assert dec.shape == img.shape
+    assert codecs.psnr(img, dec) >= 30.0
+    odd = img[:33, :41]
+    dodd = jb.decode_jpeg(jb.encode_jpeg(odd, subsample="422"))
+    assert dodd.shape == odd.shape
+    # progressive x 4:2:2 compose
+    np.testing.assert_array_equal(
+        jb.decode_jpeg(jb.encode_jpeg(img, subsample="422", progressive=True)),
+        dec)
+
+
 def test_restart_markers_do_not_change_pixels():
     img = _rgb(24, 72)
     plain = jb.decode_jpeg(jb.encode_jpeg(img))
