@@ -180,6 +180,8 @@ def hex_cells(df: DataFrame, lon: str = "lon", lat: str = "lat",
     """Attach the packed hex cell id (and its aperture-7 parent) as native
     column expressions — one F.expr per chain step so whole-stage codegen
     sees small expressions and shares the intermediates."""
+    if parent_col is not None and res == 0:
+        raise ValueError("res-0 cells have no parent; pass parent_col=None")
     pz = "_hx_"
     steps = hex_steps(lon, lat, res, pz, parent=parent_col is not None)
     out = df
@@ -428,14 +430,20 @@ def children_np(cell: int):
     """The exactly-7 resolution+1 cells whose centers encode to ``cell``
     (the aperture-7 children).  Computed constructively: candidates are
     the 2-disk of the child cell nearest the parent center, filtered by
-    parent re-encode — exact because parenthood IS center re-encode."""
-    res, _q, _r = unpack(np.array([cell]))
+    parent re-encode — exact because parenthood IS center re-encode.
+    All math stays in PLANE coordinates (a lon/lat round trip would clamp
+    at the projection's polar edge and mis-seed extreme polar cells)."""
+    res, q, r = unpack(np.array([cell]))
     res = int(res[0])
     if res >= MAX_RES:
         raise ValueError("children of MAX_RES cells are below MAX_RES")
-    lon, lat = hex_center_np(np.array([cell]))
-    seed = int(hex_encode_np(lon, lat, res + 1)[0])
-    _, sq, sr = unpack(np.array([seed]))
+    s, c, n = res_params(res)
+    qd, rd = float(q[0]), float(r[0])
+    xc = s * (SQRT3 * (qd + rd * 0.5))
+    yc = s * (1.5 * rd)
+    px = xc * c - yc * n
+    py = xc * n + yc * c
+    sq, sr = _plane_np(np.array([px]), np.array([py]), res + 1)
     offs = kring_offsets(2)
     qc = np.array([int(sq[0]) + dq for dq, dr in offs], dtype=np.int64)
     rc = np.array([int(sr[0]) + dr for dq, dr in offs], dtype=np.int64)

@@ -121,6 +121,13 @@ def write_png_collection(cube, out_dir: str, bands=None, zlim=None, na: int = 0)
     return paths
 
 
+def _has_nan(img) -> bool:
+    """NaN pixels must REJECT integer re-encode targets — casting NaN to
+    uint8/16 is platform-dependent garbage, and nanmin/nanmax would wave
+    it through silently."""
+    return img.dtype.kind == "f" and bool(np.isnan(img).any())
+
+
 def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
     """Batch re-encode of collection imagery — the image_collection_ops
     translate_gtiff / translate_cog analog (src/image_collection_ops.h:
@@ -167,13 +174,13 @@ def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
                         '{"translated":true}',
                     )
                 elif to_fmt == "png":
-                    if np.nanmin(img) < 0 or np.nanmax(img) > 255:
+                    if _has_nan(img) or np.nanmin(img) < 0 or np.nanmax(img) > 255:
                         raise ValueError("png target needs uint8-range values")
                     payload = codecs.encode_png(np.asarray(img, dtype=np.uint8))
                 elif to_fmt in ("jp2", "jp2-lossy"):
                     from ..sources.jpeg2000 import encode_jp2
 
-                    if np.nanmin(img) < 0 or np.nanmax(img) > 65535:
+                    if _has_nan(img) or np.nanmin(img) < 0 or np.nanmax(img) > 65535:
                         raise ValueError("jp2 target needs uint16-range values")
                     a16 = np.asarray(img, dtype=np.uint16)
                     if a16.shape[-1] == 1:
@@ -184,7 +191,7 @@ def translate_collection(images: DataFrame, to_fmt: str = "gtiff") -> DataFrame:
                         payload = encode_jp2(a16, levels=3, transform="9/7",
                                              qstep=4.0)
                 elif to_fmt in ("jpeg", "jpeg-progressive"):
-                    if np.nanmin(img) < 0 or np.nanmax(img) > 255:
+                    if _has_nan(img) or np.nanmin(img) < 0 or np.nanmax(img) > 255:
                         raise ValueError("jpeg target needs uint8-range values")
                     payload = codecs.encode_jpeg(
                         np.asarray(img, dtype=np.uint8),
@@ -247,7 +254,12 @@ def normalize_orientation(images: DataFrame) -> DataFrame:
                     out_h.append(r["h"])
                     continue
                 img = jb.apply_orientation(jb.decode_jpeg(data), o)
-                out_bytes.append(jb.encode_jpeg(img, exif={"orientation": 1}))
+                # carry the other EXIF fields through (capture time etc.
+                # are exactly what downstream dedup wants to keep)
+                keep = {k: v for k, v in d.items()
+                        if k in ("make", "model", "datetime")}
+                out_bytes.append(
+                    jb.encode_jpeg(img, exif={**keep, "orientation": 1}))
                 out_h.append(img.shape[0])
                 out_w.append(img.shape[1])
             yield b.assign(bytes=out_bytes, w=out_w, h=out_h)

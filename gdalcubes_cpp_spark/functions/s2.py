@@ -690,7 +690,15 @@ def s2_knn_join(
     one per-a window over <= covered candidates; b never broadcasts, the
     frontier shrinks geometrically, and the join key is the Hilbert cell
     (range-partitionable, AQE-skew-splittable). The brute-force tail only
-    ever sees the pathological residue (empty regions, poles)."""
+    ever sees the pathological residue (empty regions, poles).
+
+    Note this function is EAGER: the radius-doubling loop needs each
+    round's resolved set to build the next frontier, so calling it runs
+    Spark jobs immediately (eager localCheckpoints), and round results
+    live in executor storage with truncated lineage — on a cluster,
+    executor loss after a round means rerunning the join, not silent
+    recompute. The cost of exactness-with-early-exit; the one-shot
+    knn_join_bruteforce / knn_join_ivf stay fully lazy."""
     from pyspark.sql.window import Window
 
     aa = a.select(F.col(a_id).alias("_aid"), F.col(lon).alias("_alon"), F.col(lat).alias("_alat"))

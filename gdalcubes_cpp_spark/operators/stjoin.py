@@ -163,104 +163,71 @@ def st_join(
     if method == "broadcast":
         return images.join(F.broadcast(chunks), _residual_predicate(images, chunks))
 
+    # The three cell-keyed strategies share ONE shape — conservative cover
+    # explode on both sides, cell equi-join, exact bbox+time residual,
+    # ownership dedup on the cell of the intersection's bottom-left corner
+    # (that cell is in both covers by each index's superset property, so
+    # exactly one joined row survives: no distinct() shuffle) — and differ
+    # only in the cover function and the owner-cell expression:
+    #   's2'    Hilbert-curve cells (functions/s2.py, Arrow-batch cover;
+    #           range-partitionable key, s2.range_partition_by_cell)
+    #   'hex'   aperture-7 hexes on the equal-area plane
+    #           (functions/hexgrid.py; uniform-area join-key populations)
+    #   'cells' the flat lon/lat grid (functions/cells.py, native exprs)
+    deg = cell_deg or max(
+        grid.view.dx * grid.view.chunk_nx, grid.view.dy * grid.view.chunk_ny
+    )
     if method == "s2":
-        # S2-keyed variant: conservative multi-cell cover of every
-        # footprint at a level matched to the chunk size (functions/s2.py
-        # cover_cells_udf — the vectorized-Arrow batch encode), equi-join
-        # on shared cells, exact bbox+time residual, and ownership dedup
-        # on the NATIVE-expression cell of the intersection's bottom-left
-        # corner (that cell is in both covers by the superset property, so
-        # exactly one joined row survives — no distinct() shuffle). Output
-        # is row-identical to the broadcast and flat-grid strategies; the
-        # Hilbert-ordered key makes the shuffle a range-partitionable
-        # spatial partition (s2.range_partition_by_cell).
         from ..functions import s2 as s2m
 
-        deg = cell_deg or max(
-            grid.view.dx * grid.view.chunk_nx, grid.view.dy * grid.view.chunk_ny
-        )
         level = s2m.level_for_deg(deg)
         cov = s2m.cover_cells_udf(level)
-        # narrow metadata rows: make sure the Arrow encode stage sees every
+
+        def owner(joined):
+            return joined, s2m.s2_cell_id(
+                F.greatest(F.col("left"), F.col("ch_left")),
+                F.greatest(F.col("bottom"), F.col("ch_bottom")), level), ()
+    elif method == "hex":
+        from ..functions import hexgrid as hgm
+
+        res = hgm.res_for_deg(deg)
+        cov = hgm.cover_cells_udf(res)
+
+        def owner(joined):
+            owned = hgm.hex_cells(
+                joined.withColumn("_own_x", F.greatest(F.col("left"), F.col("ch_left")))
+                .withColumn("_own_y", F.greatest(F.col("bottom"), F.col("ch_bottom"))),
+                "_own_x", "_own_y", res, cell_col="_own_cell", parent_col=None,
+            )
+            return owned, F.col("_own_cell"), ("_own_x", "_own_y", "_own_cell")
+    elif method == "cells":
+        def cov(lo, hi, blo, bhi):
+            return C.cover_cells(lo, hi, blo, bhi, deg)
+
+        def owner(joined):
+            return joined, C.cell_id(
+                F.greatest(F.col("left"), F.col("ch_left")),
+                F.greatest(F.col("bottom"), F.col("ch_bottom")), deg), ()
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    if method in ("s2", "hex"):
+        # narrow metadata rows: make sure the Arrow cover stage sees every
         # core (a small parquet scan may yield fewer splits than cores; the
         # repartition is a cheap exchange of footprint tuples, never bytes)
         par = spark.sparkContext.defaultParallelism
         if images.rdd.getNumPartitions() < par:
             images = images.repartition(par)
-        img_c = images.withColumn(
-            "cell", F.explode(cov(F.col("left"), F.col("right"), F.col("bottom"), F.col("top")))
-        )
-        ch_c = chunks.withColumn(
-            "cell",
-            F.explode(cov(F.col("ch_left"), F.col("ch_right"), F.col("ch_bottom"), F.col("ch_top"))),
-        )
-        joined = img_c.join(ch_c, "cell")
-        owner = s2m.s2_cell_id(
-            F.greatest(F.col("left"), F.col("ch_left")),
-            F.greatest(F.col("bottom"), F.col("ch_bottom")),
-            level,
-        )
-        out = joined.filter(_residual_predicate(joined, joined) & (F.col("cell") == owner))
-        return out.drop("cell")
-
-    if method == "hex":
-        # Hex-keyed variant (functions/hexgrid.py): conservative hex cover
-        # of every footprint (centers within the rect's EXACT separable
-        # plane bbox expanded by the circumradius — superset by
-        # construction), cell equi-join, exact residual, ownership dedup
-        # on the hex cell of the intersection's bottom-left corner (in
-        # both covers by the superset property). Row-identical to the
-        # broadcast / flat-grid / S2 strategies; uniform-area buckets mean
-        # footprint-uniform data gives uniform join-key populations.
-        from ..functions import hexgrid as hgm
-
-        deg = cell_deg or max(
-            grid.view.dx * grid.view.chunk_nx, grid.view.dy * grid.view.chunk_ny
-        )
-        res = hgm.res_for_deg(deg)
-        cov = hgm.cover_cells_udf(res)
-        par = spark.sparkContext.defaultParallelism
-        if images.rdd.getNumPartitions() < par:
-            images = images.repartition(par)
-        img_c = images.withColumn(
-            "cell", F.explode(cov(F.col("left"), F.col("right"), F.col("bottom"), F.col("top")))
-        )
-        ch_c = chunks.withColumn(
-            "cell",
-            F.explode(cov(F.col("ch_left"), F.col("ch_right"), F.col("ch_bottom"), F.col("ch_top"))),
-        )
-        joined = img_c.join(ch_c, "cell")
-        owned = hgm.hex_cells(
-            joined.withColumn("_own_x", F.greatest(F.col("left"), F.col("ch_left")))
-            .withColumn("_own_y", F.greatest(F.col("bottom"), F.col("ch_bottom"))),
-            "_own_x", "_own_y", res, cell_col="_own_cell", parent_col=None,
-        )
-        out = owned.filter(
-            _residual_predicate(owned, owned) & (F.col("cell") == F.col("_own_cell"))
-        )
-        return out.drop("cell", "_own_x", "_own_y", "_own_cell")
-
-    if method != "cells":
-        raise ValueError(f"unknown method {method!r}")
-    cell_deg = cell_deg or max(grid.view.dx * grid.view.chunk_nx, grid.view.dy * grid.view.chunk_ny)
-
     img_c = images.withColumn(
-        "cell", F.explode(C.cover_cells(F.col("left"), F.col("right"), F.col("bottom"), F.col("top"), cell_deg))
+        "cell", F.explode(cov(F.col("left"), F.col("right"), F.col("bottom"), F.col("top")))
     )
     ch_c = chunks.withColumn(
         "cell",
-        F.explode(
-            C.cover_cells(F.col("ch_left"), F.col("ch_right"), F.col("ch_bottom"), F.col("ch_top"), cell_deg)
-        ),
+        F.explode(cov(F.col("ch_left"), F.col("ch_right"), F.col("ch_bottom"), F.col("ch_top"))),
     )
-    joined = img_c.join(ch_c, "cell")
-    # bottom-left ownership dedup: only the cell containing the intersection's
-    # bottom-left corner emits the pair (replaces a distinct() shuffle).
-    own_x = F.greatest(F.col("left"), F.col("ch_left"))
-    own_y = F.greatest(F.col("bottom"), F.col("ch_bottom"))
-    owner = C.cell_id(own_x, own_y, cell_deg)
-    out = joined.filter(_residual_predicate(joined, joined) & (F.col("cell") == owner))
-    return out.drop("cell")
+    joined, owner_col, tmp_cols = owner(img_c.join(ch_c, "cell"))
+    out = joined.filter(_residual_predicate(joined, joined) & (F.col("cell") == owner_col))
+    return out.drop("cell", *tmp_cols)
 
 
 def assignment(images: DataFrame, grid: ChunkGrid, **kw) -> DataFrame:

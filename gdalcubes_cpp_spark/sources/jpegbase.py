@@ -70,11 +70,12 @@ _EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
 _EXIF_TYPE_FMT = {1: "B", 3: "H", 4: "I", 9: "i"}
 
 
-def _parse_exif_ifd(buf: bytes, off: int, bo: str, out: dict):
+def _parse_exif_ifd(buf: bytes, off: int, bo: str, out: dict, depth: int = 0):
     """One TIFF IFD (either endian) -> named values into ``out``; follows
     the Exif sub-IFD pointer.  Unknown field types are skipped (the same
-    refuse-to-crash rule as geotiff._parse_ifd)."""
-    if off + 2 > len(buf):
+    refuse-to-crash rule as geotiff._parse_ifd); sub-IFD depth is capped
+    so a self-referencing pointer in crawled bytes cannot recurse."""
+    if depth > 4 or off + 2 > len(buf):
         return
     (n,) = struct.unpack_from(bo + "H", buf, off)
     for i in range(n):
@@ -92,7 +93,7 @@ def _parse_exif_ifd(buf: bytes, off: int, bo: str, out: dict):
             continue
         if tag == EXIF_SUBIFD:
             (p,) = struct.unpack_from(bo + "I", buf, base + 8)
-            _parse_exif_ifd(buf, p, bo, out)
+            _parse_exif_ifd(buf, p, bo, out, depth + 1)
             continue
         if tag not in _EXIF_NAMES:
             continue
@@ -109,33 +110,40 @@ def _parse_exif_ifd(buf: bytes, off: int, bo: str, out: dict):
 
 def exif_dict(data: bytes) -> dict | None:
     """Extract the EXIF IFD from a JPEG's APP1 segment (both byte orders);
-    None when no EXIF is present."""
-    data = bytes(data)
-    if data[:2] != b"\xff\xd8":
-        return None
-    pos = 2
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
+    None when no EXIF is present OR the APP1 payload is malformed — this
+    runs over untrusted crawled bytes inside mapInPandas, so a bad row
+    must degrade to NULLs, never kill the batch."""
+    try:
+        data = bytes(data)
+        if data[:2] != b"\xff\xd8":
             return None
-        m = data[pos + 1]
-        if m in (0xD8, 0xD9, 0xDA) or 0xD0 <= m <= 0xD7:
-            return None  # reached the scan without an APP1
-        (ln,) = struct.unpack_from(">H", data, pos + 2)
-        seg = data[pos + 4:pos + 2 + ln]
-        if m == 0xE1 and seg[:6] == b"Exif\x00\x00":
-            tiff = seg[6:]
-            if tiff[:4] == b"II*\x00":
-                bo = "<"
-            elif tiff[:4] == b"MM\x00*":
-                bo = ">"
-            else:
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
                 return None
-            (ifd0,) = struct.unpack_from(bo + "I", tiff, 4)
-            out: dict = {}
-            _parse_exif_ifd(tiff, ifd0, bo, out)
-            return out
-        pos += 2 + ln
-    return None
+            m = data[pos + 1]
+            if m in (0xD8, 0xD9, 0xDA) or 0xD0 <= m <= 0xD7:
+                return None  # reached the scan without an APP1
+            (ln,) = struct.unpack_from(">H", data, pos + 2)
+            if ln < 2:
+                return None
+            seg = data[pos + 4:pos + 2 + ln]
+            if m == 0xE1 and seg[:6] == b"Exif\x00\x00":
+                tiff = seg[6:]
+                if tiff[:4] == b"II*\x00":
+                    bo = "<"
+                elif tiff[:4] == b"MM\x00*":
+                    bo = ">"
+                else:
+                    return None
+                (ifd0,) = struct.unpack_from(bo + "I", tiff, 4)
+                out: dict = {}
+                _parse_exif_ifd(tiff, ifd0, bo, out)
+                return out
+            pos += 2 + ln
+        return None
+    except (struct.error, IndexError, UnicodeDecodeError):
+        return None
 
 
 def exif_app1(fields: dict) -> bytes:
@@ -517,7 +525,7 @@ def _mag_cat(v: int) -> int:
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 95,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
     progressive: bool = False,
     exif: dict | None = None,
@@ -525,7 +533,8 @@ def encode_jpeg(
 ) -> bytes:
     """uint8 (h, w[, c]) with c in 1..4 -> baseline JFIF/T.81 bytes.
 
-    ``subsample=True`` uses 4:2:0 chroma (3-component images only);
+    ``subsample`` picks the chroma layout for 3-component images:
+    False = 4:4:4, True or "420" = 4:2:0, "422" = horizontal-only 4:2:2;
     ``restart_interval`` emits DRI + RSTn markers every that many MCUs
     (resync points — at scale they bound error blast radius per payload);
     ``progressive=True`` emits an SOF2 frame with a spectral-selection +
@@ -580,6 +589,11 @@ def encode_jpeg(
         # zigzag now: (nblocks, 64) in scan order
         comp_q.append((qz.reshape(-1, 64)[:, ZIGZAG], bw_, bh_))
 
+    # ONE list conversion of the quantized coefficients, shared by the
+    # optimize counting pass, the sequential emission, and the
+    # progressive scan emitters (the slowest pure-Python structure here).
+    coef_lists = [qz.tolist() for qz, _, _ in comp_q]
+
     # Huffman code tables.  The Annex-K typical AC tables carry only EOB0
     # and ZRL among the size-0 symbols; progressive EOB RUNS need EOBn
     # (n<<4, n=1..14), so the progressive script extends both AC tables
@@ -590,8 +604,8 @@ def encode_jpeg(
     if progressive:
         ac_specs = [_prog_ac_spec(*s) for s in ac_specs]
     if optimize:  # two-pass: measured per-image tables (Annex K.2)
-        dc_freq, ac_freq = _count_symbols(comp_q, samp, hids, nc, mcux, mcuy,
-                                          restart_interval)
+        dc_freq, ac_freq = _count_symbols(coef_lists, comp_q, samp, hids,
+                                          nc, mcux, mcuy, restart_interval)
         dc_specs = list(dc_specs)
         ac_specs = list(ac_specs)
         for th in sorted(set(hids)):
@@ -622,8 +636,8 @@ def encode_jpeg(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     if progressive:
-        out += _emit_prog_scans(comp_q, samp, hids, nc, mcux, mcuy,
-                                w, h, hmax, vmax, enc_dc, enc_ac)
+        out += _emit_prog_scans(coef_lists, comp_q, samp, hids, nc, mcux,
+                                mcuy, w, h, hmax, vmax, enc_dc, enc_ac)
         out += b"\xff\xd9"
         return bytes(out)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
@@ -636,7 +650,6 @@ def encode_jpeg(
     preds = [0] * nc
     mcu_i = 0
     rst = 0
-    coef_lists = [qz.tolist() for qz, _, _ in comp_q]
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
@@ -790,7 +803,8 @@ def optimal_table(freq256):
     return tuple(bits[1:17]), tuple(vals)
 
 
-def _count_symbols(comp_q, samp, hids, nc, mcux, mcuy, restart_interval=0):
+def _count_symbols(coef_lists, comp_q, samp, hids, nc, mcux, mcuy,
+                   restart_interval=0):
     """Dry pass: DC-category and AC run/size symbol frequencies per
     Huffman table id (the first pass of two-pass optimized coding).
     Mirrors the emission loop exactly — including restart-interval
@@ -798,7 +812,6 @@ def _count_symbols(comp_q, samp, hids, nc, mcux, mcuy, restart_interval=0):
     not counted would be missing from the optimized table)."""
     dc_freq = {th: [0] * 256 for th in set(hids)}
     ac_freq = {th: [0] * 256 for th in set(hids)}
-    coef_lists = [qz.tolist() for qz, _, _ in comp_q]
     preds = [0] * nc
     mcu_i = 0
     for my in range(mcuy):
@@ -839,14 +852,13 @@ def _sos_header(comps_sel, hids, ss, se, ah, al) -> bytes:
     return hdr + bytes((ss, se, (ah << 4) | al))
 
 
-def _emit_prog_scans(comp_q, samp, hids, nc, mcux, mcuy, w, h, hmax, vmax,
-                     enc_dc, enc_ac) -> bytes:
+def _emit_prog_scans(coef_lists, comp_q, samp, hids, nc, mcux, mcuy, w, h,
+                     hmax, vmax, enc_dc, enc_ac) -> bytes:
     """Progressive scan script (T.81 Annex G; libjpeg-like default):
     DC first (interleaved, Al=1) -> per-component AC bands 1..5 and 6..63
     at Al=2 -> per-component AC refine to Al=1 -> DC refine to Al=0 ->
     per-component AC refine to Al=0.  Exercises spectral selection,
     successive approximation, EOB runs, and ZRL in both scan kinds."""
-    coef_lists = [qz.tolist() for qz, _, _ in comp_q]
     # per-component non-interleaved block grids (dummy blocks NOT coded)
     grids = []
     for ci in range(nc):
@@ -1058,9 +1070,17 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline T.81 bytes -> (h, w, c) uint8.  3-component frames are
-    assumed JFIF YCbCr (the encoder's convention and the JFIF default)."""
-    data = bytes(data)
+    """Baseline/progressive T.81 bytes -> (h, w, c) uint8.  3-component
+    frames are assumed JFIF YCbCr (the encoder's convention and the JFIF
+    default).  Truncated or garbage-tailed streams raise ValueError (the
+    refuse-don't-corrupt policy), never a bare IndexError."""
+    try:
+        return _decode_jpeg(bytes(data))
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

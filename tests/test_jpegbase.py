@@ -528,6 +528,65 @@ def test_exif_metadata_and_normalize_orientation(spark):
     assert bytes(fixed["c"]["bytes"]) == bytes(rows[2]["bytes"])
 
 
+def test_malformed_streams_degrade_cleanly():
+    """Untrusted-bytes policy: exif_dict returns None (never raises) on
+    malformed APP1 payloads; decode_jpeg raises ValueError (never a bare
+    IndexError) on truncated or garbage-tailed streams."""
+    img = _scene(2, 32, 32)
+    good = jb.encode_jpeg(img, exif={"orientation": 3})
+    # truncated TIFF header inside APP1
+    bad_app1 = b"\xff\xe1" + (10).to_bytes(2, "big") + b"Exif\x00\x00II"
+    assert jb.exif_dict(b"\xff\xd8" + bad_app1 + good[2:]) is None
+    # self-referencing Exif sub-IFD pointer must not recurse forever
+    tiff = (b"II*\x00" + (8).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (0x8769).to_bytes(2, "little") + (4).to_bytes(2, "little")
+            + (1).to_bytes(4, "little") + (8).to_bytes(4, "little")
+            + (0).to_bytes(4, "little"))
+    loop_app1 = b"\xff\xe1" + (len(tiff) + 8).to_bytes(2, "big") + b"Exif\x00\x00" + tiff
+    assert jb.exif_dict(b"\xff\xd8" + loop_app1 + good[2:]) == {}
+    # truncated streams: mid-entropy, mid-header, dangling 0xFF
+    for cut in (len(good) - 10, 10, len(good) - 1):
+        with pytest.raises(ValueError):
+            jb.decode_jpeg(good[:cut] if cut != len(good) - 1
+                           else good[:-2] + b"\xff")
+    # orientation survives through exif_dict on the intact stream
+    assert jb.exif_dict(good)["orientation"] == 3
+
+
+def test_normalize_orientation_preserves_exif_fields(spark):
+    import pandas as pd
+
+    from gdalcubes_cpp_spark.functions.image import normalize_orientation
+
+    img = _scene(8, 40, 24)
+    data = codecs.encode_jpeg(img, exif={
+        "orientation": 6, "make": "synthcam", "model": "sc-2",
+        "datetime": "2020:05:20 10:30:00"})
+    df = spark.createDataFrame(pd.DataFrame(
+        [{"image_id": "a", "w": 40, "h": 24, "bytes": data}]))
+    out = normalize_orientation(df).collect()[0]
+    d = jb.exif_dict(bytes(out["bytes"]))
+    assert d == {"orientation": 1, "make": "synthcam", "model": "sc-2",
+                 "datetime": "2020:05:20 10:30:00"}
+
+
+def test_translate_jpeg_rejects_nan(spark):
+    import pandas as pd
+
+    from gdalcubes_cpp_spark.functions.image import translate_collection
+    from gdalcubes_cpp_spark.sources.geotiff import gtiff_bytes
+
+    planes = np.full((1, 8, 8), 100.0)
+    planes[0, 3, 3] = np.nan
+    payload = gtiff_bytes(planes, 0.1, 0.1, 0.0, 10.0, "EPSG:4326", "{}")
+    df = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "n", "bytes": payload, "fmt": "gtiff",
+        "left": 0.0, "right": 0.8, "bottom": 9.2, "top": 10.0,
+        "w": 8, "h": 8}]))
+    with pytest.raises(Exception, match="uint8-range"):
+        translate_collection(df, "jpeg").collect()
+
+
 # ---------------------------------------------------------------------------
 # Synth-population gate + Spark plumbing
 # ---------------------------------------------------------------------------
