@@ -253,7 +253,16 @@ def normalize_orientation(images: DataFrame) -> DataFrame:
                     out_w.append(r["w"])
                     out_h.append(r["h"])
                     continue
-                img = jb.apply_orientation(jb.decode_jpeg(data), o)
+                try:
+                    img = jb.apply_orientation(jb.decode_jpeg(data), o)
+                except (ValueError, NotImplementedError):
+                    # truncated payload or an unsupported SOF: pass the
+                    # original bytes through untouched rather than killing
+                    # the whole mapInPandas batch for one bad row
+                    out_bytes.append(data)
+                    out_w.append(r["w"])
+                    out_h.append(r["h"])
+                    continue
                 # carry the other EXIF fields through (capture time etc.
                 # are exactly what downstream dedup wants to keep)
                 keep = {k: v for k, v in d.items()

@@ -412,7 +412,11 @@ def _walk_dds(buf: bytes) -> dict:
         raise ValueError("not an HDF4 file")
     dds = {}
     pos = 4
+    seen_blocks: set = set()
     while pos:
+        if pos in seen_blocks:  # file-supplied pointer cycle: refuse
+            raise ValueError("corrupt HDF4 file: DD-block chain cycle")
+        seen_blocks.add(pos)
         ndds, nxt = struct.unpack_from(">HI", buf, pos)
         p = pos + 6
         for _ in range(ndds):
@@ -442,7 +446,13 @@ def _element(buf: bytes, dds: dict, tag: int, ref: int) -> bytes:
             ">IIIIH", buf, off + 2)
         out = bytearray()
         first = True
+        seen_tabs: set = set()
         while tab_ref:
+            if tab_ref in seen_tabs or len(out) > total:
+                # cycle in the block-table chain, or more bytes than the
+                # element declares: corrupt/crafted file — refuse
+                raise ValueError("corrupt linked-block element")
+            seen_tabs.add(tab_ref)
             toff, tlen = dds[(DFTAG_LINKED, tab_ref)]
             (tab_ref,) = struct.unpack_from(">H", buf, toff)
             nrefs = min(num_blk, (tlen - 2) // 2)

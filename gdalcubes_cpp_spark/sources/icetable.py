@@ -71,6 +71,12 @@ def _file_stats(local_path: str):
             col = g.column(ci)
             name = col.path_in_schema
             st = col.statistics
+            if name in mins and mins[name] is None:
+                # a prior row group had no stats for this column: the
+                # file-level range is unknown forever (a later group's
+                # range must NOT resurrect it, or pruning could drop a
+                # file whose stats-less rows match the predicate)
+                continue
             if st is None or not st.has_min_max:
                 mins[name] = maxs[name] = None
                 continue
@@ -78,7 +84,7 @@ def _file_stats(local_path: str):
             if lo is None or hi is None:
                 mins[name] = maxs[name] = None
                 continue
-            if name not in mins or mins[name] is None:
+            if name not in mins:
                 mins[name], maxs[name] = lo, hi
             else:
                 mins[name] = min(mins[name], lo)
@@ -192,8 +198,17 @@ class IceTable:
             os.path.join(self.meta, manifest),
         )
 
-        # optimistic commit loop: losers of the v<N> O_EXCL race re-read
-        # the head and retry — manifests are additive, so no rewrite needed
+        # optimistic commit loop. Ownership of snapshot number n is decided
+        # by an atomic os.link() of a fully-written private temp file onto
+        # snap-<n>.json — the link either publishes the complete snapshot
+        # or fails with EEXIST; a loser removes ONLY its own temp file and
+        # retries on the new head (it can never clobber or unlink the
+        # winner's snapshot). The v<n>.json pointer is created after the
+        # snapshot is visible, so a reader that sees v<n> always finds a
+        # complete snap-<n>. If a committer crashes between the two steps,
+        # the next committer "adopts" the orphan by creating v<n> itself
+        # (idempotent: the content is just {"snapshot_id": n}).
+        schema_json = df.schema.json()
         while True:
             try:
                 head = self.current_version()
@@ -207,21 +222,34 @@ class IceTable:
                 "snapshot_id": n,
                 "parent_id": prev_id,
                 "manifests": prev_manifests + [manifest],
+                "schema": schema_json,
                 "summary": {
                     "added_files": len(entries),
                     "added_rows": int(sum(e["n_rows"] for e in entries)),
                     "commit_key": commit_key,
                 },
             }
-            with open(os.path.join(self.meta, f"snap-{n}.json"), "w") as fh:
+            tmp = os.path.join(self.meta, f".snap-{n}.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as fh:
                 json.dump(snap, fh)
+            snap_path = os.path.join(self.meta, f"snap-{n}.json")
             try:
-                with open(os.path.join(self.meta, f"v{n}.json"), "x") as fh:
-                    json.dump({"snapshot_id": n}, fh)
-                return n
+                os.link(tmp, snap_path)
             except FileExistsError:
-                os.unlink(os.path.join(self.meta, f"snap-{n}.json"))
-                continue  # another committer won; retry on the new head
+                os.unlink(tmp)
+                self._publish_pointer(n)  # finish a crashed commit, if any
+                continue  # another committer owns n; retry on the new head
+            os.unlink(tmp)
+            self._publish_pointer(n)
+            return n
+
+    def _publish_pointer(self, n: int) -> None:
+        """Create v<n>.json for an existing snap-<n>.json (idempotent)."""
+        try:
+            with open(os.path.join(self.meta, f"v{n}.json"), "x") as fh:
+                json.dump({"snapshot_id": n}, fh)
+        except FileExistsError:
+            pass
 
     # -------------------------------------------------------------- scan
 
@@ -249,9 +277,21 @@ class IceTable:
 
         paths, _kept, _total = self._pruned_paths(col, lo, hi, snapshot)
         if not paths:
-            return spark.read.parquet(
-                os.path.join(self.path, self.files(snapshot)[0]["path"])
-            ).limit(0)
+            entries = self.files(snapshot)
+            if entries:  # everything pruned: empty DF with the file schema
+                return spark.read.parquet(
+                    os.path.join(self.path, entries[0]["path"])
+                ).limit(0)
+            # empty snapshot (e.g. an empty streaming microbatch commit):
+            # rebuild the schema recorded at append time
+            from pyspark.sql.types import StructType
+
+            schema_json = self.snapshot(snapshot).get("schema")
+            if schema_json is None:  # pre-schema table AND empty snapshot
+                raise ValueError(
+                    f"snapshot has no data files and records no schema: {self.path}")
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json)))
         df = spark.read.parquet(*paths)
         if col is not None:
             if lo is not None:

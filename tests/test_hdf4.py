@@ -698,3 +698,31 @@ def test_read_vdatas_general_tables():
     assert "_HDF_CHK_TBL_" in classes and "Attr0.0" in classes
     # and the SDS itself still decodes
     assert (read_hdf4_bytes(buf2)[0]["data"] == a).all()
+
+
+def test_dd_chain_cycle_refused():
+    """A crafted DD-block next pointer that loops must raise, not hang
+    (untrusted-bytes refuse-don't-corrupt policy)."""
+    buf = bytearray(hdf4_sds_bytes(np.ones((2, 2), np.uint8), names=["x"]))
+    ndds, _nxt = struct.unpack_from(">HI", buf, 4)
+    struct.pack_into(">HI", buf, 4, ndds, 4)  # first block points to itself
+    with pytest.raises(ValueError, match="cycle"):
+        _walk_dds(bytes(buf))
+
+
+def test_linked_table_cycle_refused():
+    """A linked-block table chain with a pointer cycle must raise, not
+    hang or grow the output unboundedly."""
+    from gdalcubes_cpp_spark.sources.hdf4 import (
+        DFTAG_LINKED, SPECIAL_BIT,
+    )
+
+    a = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    buf = bytearray(hdf4_sds_bytes(a, names=["L"], linked=(30, 2)))
+    dds = _walk_dds(bytes(buf))
+    off, _ln = dds[(DFTAG_SD | SPECIAL_BIT, 1)]
+    (tab_ref,) = struct.unpack_from(">H", buf, off + 18)
+    toff, _tlen = dds[(DFTAG_LINKED, tab_ref)]
+    struct.pack_into(">H", buf, toff, tab_ref)  # table chains to itself
+    with pytest.raises(ValueError, match="linked-block"):
+        read_hdf4_bytes(bytes(buf))

@@ -148,3 +148,75 @@ def test_streaming_sink_exactly_once(spark, tdir):
     assert t.read(spark).count() == 80
     keys = [s["summary"]["commit_key"] for s in t.snapshots()]
     assert len(keys) == len(set(keys))  # every snapshot is a distinct batch
+
+
+def test_crashed_commit_adopted(spark, tdir):
+    """A committer that crashed between publishing snap-<n>.json and
+    creating v<n>.json must not wedge the table: the next appender adopts
+    the orphan (creates v<n>) and commits on top of it."""
+    t = IceTable.create(spark, tdir, _mkdf(spark, 0, 10), n_files=1)
+    with open(os.path.join(t.meta, "snap-2.json"), "x") as fh:
+        json.dump({"snapshot_id": 2, "parent_id": 1,
+                   "manifests": t.snapshot(1)["manifests"],
+                   "summary": {"added_files": 0, "added_rows": 0,
+                               "commit_key": None}}, fh)
+    # crash point: no v2.json
+    s = t.append(_mkdf(spark, 10, 20), n_files=1)
+    assert s == 3
+    assert os.path.exists(os.path.join(t.meta, "v2.json"))  # adopted
+    assert t.read(spark).count() == 20
+    assert t.snapshot(3)["parent_id"] == 2
+    # no leftover temp files from the losing attempt
+    assert not [f for f in os.listdir(t.meta) if f.endswith(".tmp")]
+
+
+def test_commit_never_clobbers_winner_snapshot(spark, tdir):
+    """The loser of the snapshot-number race must leave the winner's
+    snap-<n>.json byte-identical (the pre-fix code overwrote then
+    unlinked it)."""
+    t = IceTable.create(spark, tdir, _mkdf(spark, 0, 10), n_files=1)
+    winner = {"snapshot_id": 2, "parent_id": 1,
+              "manifests": t.snapshot(1)["manifests"],
+              "summary": {"added_files": 0, "added_rows": 0,
+                          "commit_key": "winner"}}
+    with open(os.path.join(t.meta, "snap-2.json"), "x") as fh:
+        json.dump(winner, fh)
+    with open(os.path.join(t.meta, "v2.json"), "x") as fh:
+        json.dump({"snapshot_id": 2}, fh)
+    t.append(_mkdf(spark, 10, 20), n_files=1)
+    assert t.snapshot(2) == winner  # untouched by the losing attempt
+
+
+def test_file_stats_missing_rowgroup_pins_unknown(tmp_path):
+    """Once any row group lacks usable stats for a column, the file-level
+    range must stay unknown (None) — a later row group's range must not
+    shadow the stats-less rows, or pruning would drop matching rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gdalcubes_cpp_spark.sources.icetable import _file_stats
+
+    p = str(tmp_path / "f.parquet")
+    schema = pa.schema([("b", pa.binary()), ("k", pa.int64())])
+    with pq.ParquetWriter(p, schema) as w:
+        # rg 1: non-utf8 binary stats -> _stats_value yields None -> pinned
+        w.write_table(pa.table({"b": [b"\xff\xfe"], "k": [5]}, schema=schema))
+        # rg 2: clean utf-8 stats that must NOT resurrect the range
+        w.write_table(pa.table({"b": [b"abc"], "k": [7]}, schema=schema))
+    n, mins, maxs = _file_stats(p)
+    assert n == 2
+    assert mins["b"] is None and maxs["b"] is None
+    assert mins["k"] == 5 and maxs["k"] == 7  # clean column unaffected
+
+
+def test_empty_snapshot_scan(spark, tdir):
+    """A table whose only snapshot carries zero data files (empty
+    streaming microbatch) scans to an empty DataFrame with the recorded
+    schema instead of raising IndexError."""
+    empty = spark.createDataFrame([], "k long, v long, name string")
+    t = IceTable.create(spark, tdir, empty)
+    got = t.scan(spark, "k", 0, 10)
+    assert got.count() == 0
+    assert got.columns == ["k", "v", "name"]
+    got2 = t.read(spark)
+    assert got2.count() == 0 and got2.columns == ["k", "v", "name"]

@@ -675,3 +675,25 @@ def test_spark_mapinpandas_decode(spark):
            for r in df.mapInPandas(batch, "image_id string, mean_px double").collect()}
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-9
+
+
+def test_normalize_orientation_bad_row_passthrough(spark):
+    """One truncated orientation>1 payload must not kill the whole
+    mapInPandas batch: the bad row passes through with its original
+    bytes/dims while good rows in the same batch are still fixed."""
+    import pandas as pd
+
+    from gdalcubes_cpp_spark.functions.image import normalize_orientation
+
+    img = _scene(5, 40, 24)
+    good = codecs.encode_jpeg(img, exif={"orientation": 6})
+    bad = good[:len(good) - 12]  # truncated mid-entropy, EXIF intact
+    df = spark.createDataFrame(pd.DataFrame([
+        {"image_id": "good", "w": 40, "h": 24, "bytes": good},
+        {"image_id": "bad", "w": 40, "h": 24, "bytes": bad},
+    ])).coalesce(1)  # force one batch so a raise would take both rows down
+    out = {r["image_id"]: r for r in normalize_orientation(df).collect()}
+    assert bytes(out["bad"]["bytes"]) == bad  # untouched passthrough
+    assert (out["bad"]["w"], out["bad"]["h"]) == (40, 24)
+    assert (out["good"]["w"], out["good"]["h"]) == (24, 40)
+    assert jb.exif_dict(bytes(out["good"]["bytes"]))["orientation"] == 1
