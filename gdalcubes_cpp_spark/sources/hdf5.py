@@ -1,0 +1,1275 @@
+"""Pure-python HDF5 subset + netCDF-4 layer — reads the reference's real
+compressed exports.
+
+The reference writes NC_NETCDF4 whenever compression is requested or
+force_v4 is set (src/cube.cpp:871 ``nc_create(op, NC_NETCDF4, ...)``),
+defines band variables chunked at the cube chunk size
+(src/cube.cpp:1004-1007 ``nc_def_var_chunking``) and compresses them with
+shuffle+deflate (src/cube.cpp:1011 ``nc_def_var_deflate(ncout, v, 1, 1,
+level)``).  A netCDF-4 file IS an HDF5 file using the public netCDF-4
+conventions (dimension scales, DIMENSION_LIST).  No HDF5 library exists
+in this container, so this module implements — from the public *HDF5 File
+Format Specification* (version 3.0, The HDF Group) and the netCDF-4
+format documentation (Unidata, "NetCDF-4 Performance and Format") — the
+subset those exports use:
+
+reader (``read_hdf5`` / ``read_netcdf4``):
+  - superblock version 0 (libhdf5 default) and version 2/3 (libver
+    "latest" bounds), 8-byte offsets/lengths
+  - object headers v1 and v2 (OHDR, with Jenkins lookup3 checksums) +
+    continuation blocks
+  - groups stored as v1 symbol tables (B-tree v1 type 0 + local heap +
+    SNOD) and as v2 compact link messages; dense (fractal-heap) storage
+    is refused with a clear error
+  - messages: dataspace v1/v2, datatype (fixed-point, float, string,
+    reference, vlen), fill value v1-3, data layout v3
+    (compact/contiguous/chunked), filter pipeline v1/v2 (deflate id 1,
+    shuffle id 2), attribute v1/v3, symbol table, continuation, link
+  - chunked data via B-tree v1 (type 1) walks, any tree depth; partial
+    edge chunks trimmed per the spec (chunks are always full-size)
+  - global heap collections (GCOL) backing vlen data — needed for the
+    netCDF-4 DIMENSION_LIST attribute (vlen sequences of object refs)
+
+writer (``write_hdf5`` / ``write_netcdf4``):
+  the same subset, used to build spec-valid fixtures (the hdf4.py
+  discipline: the reader is tested against files our writer did NOT
+  shortcut — golden structural tests pin the on-disk layout) and to
+  export cubes in the reference's NC4 layout so its users' tooling can
+  open ours.  ``libver='v0'`` emits superblock v0 + v1 object headers +
+  symbol-table groups (what libhdf5 writes by default = what the
+  reference's exports look like); ``libver='latest'`` emits superblock
+  v2 + v2 object headers + compact link messages.
+
+Untrusted-bytes policy (repo-wide): malformed or crafted files raise
+ValueError/NotImplementedError — never hang (visited-set guards on every
+file-supplied pointer walk), never return corrupt data silently.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# filter ids (spec III.A.1 / registered filters)
+FILT_DEFLATE = 1
+FILT_SHUFFLE = 2
+
+_M32 = 0xFFFFFFFF
+
+
+def _rot(x: int, k: int) -> int:
+    return ((x << k) | (x >> (32 - k))) & _M32
+
+
+def jenkins_lookup3(data: bytes, init: int = 0) -> int:
+    """Bob Jenkins' lookup3 hashlittle() — the checksum HDF5 uses for v2
+    superblocks/object headers (spec appendix; public domain algorithm)."""
+    a = b = c = (0xDEADBEEF + len(data) + init) & _M32
+    i, l = 0, len(data)
+    while l > 12:
+        a = (a + int.from_bytes(data[i:i + 4], "little")) & _M32
+        b = (b + int.from_bytes(data[i + 4:i + 8], "little")) & _M32
+        c = (c + int.from_bytes(data[i + 8:i + 12], "little")) & _M32
+        a = (a - c) & _M32; a ^= _rot(c, 4); c = (c + b) & _M32
+        b = (b - a) & _M32; b ^= _rot(a, 6); a = (a + c) & _M32
+        c = (c - b) & _M32; c ^= _rot(b, 8); b = (b + a) & _M32
+        a = (a - c) & _M32; a ^= _rot(c, 16); c = (c + b) & _M32
+        b = (b - a) & _M32; b ^= _rot(a, 19); a = (a + c) & _M32
+        c = (c - b) & _M32; c ^= _rot(b, 4); b = (b + a) & _M32
+        i += 12; l -= 12
+    if l == 0:
+        return c
+    # the C switch adds only the present bytes; zero-padding is equivalent
+    tail = bytes(data[i:i + l]) + b"\x00" * (12 - l)
+    a = (a + int.from_bytes(tail[0:4], "little")) & _M32
+    b = (b + int.from_bytes(tail[4:8], "little")) & _M32
+    c = (c + int.from_bytes(tail[8:12], "little")) & _M32
+    c ^= b; c = (c - _rot(b, 14)) & _M32
+    a ^= c; a = (a - _rot(c, 11)) & _M32
+    b ^= a; b = (b - _rot(a, 25)) & _M32
+    c ^= b; c = (c - _rot(b, 16)) & _M32
+    a ^= c; a = (a - _rot(c, 4)) & _M32
+    b ^= a; b = (b - _rot(a, 14)) & _M32
+    c ^= b; c = (c - _rot(b, 24)) & _M32
+    return c
+
+
+# =====================================================================
+# datatype encode/decode (message type 0x0003)
+# =====================================================================
+
+def _dt_fixed(np_dtype) -> bytes:
+    dt = np.dtype(np_dtype)
+    order = 1 if dt.byteorder == ">" else 0
+    signed = 0x08 if dt.kind == "i" else 0
+    body = bytes([(1 << 4) | 0, order | signed, 0, 0])
+    body += struct.pack("<I", dt.itemsize)
+    body += struct.pack("<HH", 0, dt.itemsize * 8)
+    return body
+
+
+def _dt_float(np_dtype) -> bytes:
+    dt = np.dtype(np_dtype)
+    order = 1 if dt.byteorder == ">" else 0
+    if dt.itemsize == 4:
+        prec, eloc, esz, mloc, msz, bias, sign = 32, 23, 8, 0, 23, 127, 31
+    else:
+        prec, eloc, esz, mloc, msz, bias, sign = 64, 52, 11, 0, 52, 1023, 63
+    # class bit field: bit0 order, bits4-5 mantissa normalization (2 =
+    # implied msb), byte 1 = sign-bit location
+    body = bytes([(1 << 4) | 1, order | 0x20, sign, 0])
+    body += struct.pack("<I", dt.itemsize)
+    body += struct.pack("<HHBBBBI", 0, prec, eloc, esz, mloc, msz, bias)
+    return body
+
+
+def _dt_string(n: int) -> bytes:
+    # null-terminated ASCII fixed string (libnetcdf's text-attribute type)
+    return bytes([(1 << 4) | 3, 0, 0, 0]) + struct.pack("<I", n)
+
+
+def _dt_reference() -> bytes:
+    return bytes([(1 << 4) | 7, 0, 0, 0]) + struct.pack("<I", 8)
+
+
+def _dt_vlen_ref() -> bytes:
+    # vlen SEQUENCE (bits 0-3 = 0) of object references; vlen datum is
+    # 16 bytes on disk: length(4) + gheap address(8) + gheap index(4)
+    return bytes([(1 << 4) | 9, 0, 0, 0]) + struct.pack("<I", 16) + _dt_reference()
+
+
+def _decode_datatype(body: bytes):
+    """-> dict(cls, size, np_dtype?, base?) for the supported classes."""
+    cls = body[0] & 0x0F
+    ver = body[0] >> 4
+    if ver not in (1, 2, 3):
+        raise ValueError(f"unsupported datatype version {ver}")
+    bits0 = body[1]
+    (size,) = struct.unpack_from("<I", body, 4)
+    bo = ">" if (bits0 & 1) else "<"
+    if cls == 0:
+        kind = "i" if (bits0 & 0x08) else "u"
+        return {"cls": cls, "size": size, "np": np.dtype(f"{bo}{kind}{size}")}
+    if cls == 1:
+        return {"cls": cls, "size": size, "np": np.dtype(f"{bo}f{size}")}
+    if cls == 3:
+        return {"cls": cls, "size": size}
+    if cls == 7:
+        return {"cls": cls, "size": size}
+    if cls == 9:
+        vtype = bits0 & 0x0F
+        base = _decode_datatype(body[8:])
+        return {"cls": cls, "size": size, "vlen_type": vtype, "base": base}
+    raise NotImplementedError(f"unsupported datatype class {cls}")
+
+
+def _encode_dataspace(shape, ver: int) -> bytes:
+    rank = len(shape)
+    if ver == 1:
+        body = bytes([1, rank, 0, 0]) + b"\x00" * 4
+    else:
+        # v2 adds a type byte: 0 scalar, 1 simple
+        body = bytes([2, rank, 0, 0 if rank == 0 else 1])
+    for d in shape:
+        body += struct.pack("<Q", d)
+    return body
+
+
+def _decode_dataspace(body: bytes):
+    ver = body[0]
+    rank = body[1]
+    flags = body[2]
+    if ver == 1:
+        pos = 8
+    elif ver == 2:
+        pos = 4
+    else:
+        raise ValueError(f"unsupported dataspace version {ver}")
+    shape = tuple(struct.unpack_from("<Q", body, pos + 8 * i)[0] for i in range(rank))
+    # flags bit0: max dims follow — skip them (we never need them)
+    return shape
+
+
+# =====================================================================
+# writer
+# =====================================================================
+
+class RefList(list):
+    """Attribute value: a netCDF-4 DIMENSION_LIST — one list entry per
+    dataset dimension, each naming the attached dimension-scale dataset."""
+
+
+def _np_attr(v):
+    if isinstance(v, (int, np.integer)):
+        return np.array([v], dtype="<i4")
+    if isinstance(v, float):
+        return np.array([v], dtype="<f8")
+    a = np.asarray(v)
+    if a.dtype.kind == "f":
+        return a.astype("<f8") if a.dtype.itemsize == 8 else a.astype("<f4")
+    if a.dtype.kind in "iu":
+        return a.astype(a.dtype.newbyteorder("<"))
+    raise ValueError(f"unsupported attribute value {v!r}")
+
+
+class _Writer:
+    """Two-pass layout: blocks register (size, emit(addr_of)) thunks; the
+    second pass resolves addresses by name. Address fields are fixed-width
+    so sizes never depend on values."""
+
+    def __init__(self, libver: str):
+        if libver not in ("v0", "latest"):
+            raise ValueError("libver must be 'v0' or 'latest'")
+        self.libver = libver
+        self.blocks: list = []          # (name, size, emit_fn)
+        self.addr: dict = {}
+
+    def add(self, name: str, size: int, emit) -> None:
+        self.blocks.append((name, size, emit))
+
+    def layout(self) -> bytes:
+        off = 0
+        for name, size, _ in self.blocks:
+            self.addr[name] = off
+            off += size
+        self.addr["__eof__"] = off
+        out = bytearray()
+        for name, size, emit in self.blocks:
+            b = emit(self.addr)
+            if len(b) != size:
+                raise AssertionError(f"block {name}: declared {size} emitted {len(b)}")
+            out += b
+        return bytes(out)
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+
+def _msg_v1(mtype: int, body: bytes) -> bytes:
+    body = _pad8(body)
+    return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+
+def _attr_msg_v1(name: str, dt: bytes, ds: bytes, data: bytes) -> bytes:
+    nb = name.encode() + b"\x00"
+    body = struct.pack("<BxHHH", 1, len(nb), len(dt), len(ds))
+    body += _pad8(nb) + _pad8(dt) + _pad8(ds) + data
+    return _msg_v1(0x000C, body)
+
+
+def _attr_msg_v3(name: str, dt: bytes, ds: bytes, data: bytes) -> bytes:
+    nb = name.encode() + b"\x00"
+    body = struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(ds), 0)
+    body += nb + dt + ds + data
+    return body  # framed by the v2-OH message wrapper
+
+
+class _GHeap:
+    """One global heap collection (spec III.E) collecting the vlen payloads
+    of every DIMENSION_LIST in the file."""
+
+    def __init__(self):
+        self.objects: list[bytes] = []
+
+    def put(self, data: bytes) -> int:
+        self.objects.append(data)
+        return len(self.objects)  # 1-based heap object index
+
+    def size(self) -> int:
+        n = 16  # collection header
+        for o in self.objects:
+            n += 16 + len(_pad8(o))
+        return max(4096, n + 16)  # spec: collections are >= 4096 bytes
+
+    def emit(self) -> bytes:
+        total = self.size()
+        out = bytearray(b"GCOL" + bytes([1, 0, 0, 0]) + struct.pack("<Q", total))
+        for i, o in enumerate(self.objects, start=1):
+            out += struct.pack("<HH4xQ", i, 1, len(o)) + _pad8(o)
+        free = total - len(out)
+        if free >= 16:  # object 0 = free space (size includes its header)
+            out += struct.pack("<HH4xQ", 0, 0, free)
+        out += b"\x00" * (total - len(out))
+        return bytes(out)
+
+
+def _chunk_grid(shape, chunks):
+    grid = []
+    idx = [range(0, s, c) for s, c in zip(shape, chunks)]
+
+    def rec(prefix, rest):
+        if not rest:
+            grid.append(tuple(prefix))
+            return
+        for v in rest[0]:
+            rec(prefix + [v], rest[1:])
+
+    rec([], idx)
+    return grid
+
+
+def _encode_chunks(data: np.ndarray, chunks, deflate, shuffle, fill):
+    """-> list of (offset_tuple, raw_bytes) with full-size edge chunks
+    padded by ``fill`` (spec: chunks are always whole)."""
+    out = []
+    for off in _chunk_grid(data.shape, chunks):
+        sl = tuple(slice(o, min(o + c, s)) for o, c, s in zip(off, chunks, data.shape))
+        block = np.full(chunks, fill, dtype=data.dtype)
+        piece = data[sl]
+        block[tuple(slice(0, p) for p in piece.shape)] = piece
+        raw = block.tobytes()
+        if shuffle:
+            raw = block.reshape(-1).view(np.uint8).reshape(
+                -1, data.dtype.itemsize).T.tobytes()
+        if deflate is not None:
+            raw = zlib.compress(raw, deflate)
+        out.append((off, raw))
+    return out
+
+
+def _btree1_chunks(w: _Writer, name: str, chunk_entries, chunks, shape,
+                   itemsize: int):
+    """Register B-tree v1 (type 1) nodes + raw chunk blocks for a dataset;
+    returns the name of the root node block. Leaf capacity 2K with the
+    libhdf5 default K=32 (spec: v0 superblocks carry no istore K)."""
+    rank = len(chunks)
+    cap = 64
+
+    def key(off, nbytes):
+        k = struct.pack("<II", nbytes, 0)
+        for o in off:
+            k += struct.pack("<Q", o)
+        return k + struct.pack("<Q", 0)  # element-size dimension offset
+
+    # the node-final key is the first key of the right sibling; the last
+    # node's final key addresses one-past-the-end of the dataset
+    end_off = tuple(((s + c - 1) // c) * c for s, c in zip(shape, chunks))
+    for ci, (off, raw) in enumerate(chunk_entries):
+        w.add(f"{name}:chunk{ci}", len(raw),
+              lambda a, raw=raw: raw)
+    groups = [chunk_entries[i:i + cap] for i in range(0, len(chunk_entries), cap)]
+    keysz = 8 + 8 * (rank + 1)
+
+    def leaf_emit(a, gi=0, grp=None, base=0):
+        n = len(grp)
+        left = a[f"{name}:leaf{gi-1}"] if gi > 0 else UNDEF
+        right = a[f"{name}:leaf{gi+1}"] if gi + 1 < len(groups) else UNDEF
+        b = b"TREE" + bytes([1, 0]) + struct.pack("<H", n)
+        b += struct.pack("<QQ", left, right)
+        for j, (off, raw) in enumerate(grp):
+            b += key(off, len(raw)) + struct.pack("<Q", a[f"{name}:chunk{base+j}"])
+        if gi + 1 < len(groups):
+            noff, nraw = groups[gi + 1][0]
+            b += key(noff, len(nraw))
+        else:
+            b += key(end_off, 0)
+        return b
+
+    base = 0
+    for gi, grp in enumerate(groups):
+        size = 4 + 2 + 2 + 16 + len(grp) * (keysz + 8) + keysz
+        w.add(f"{name}:leaf{gi}", size,
+              lambda a, gi=gi, grp=grp, base=base: leaf_emit(a, gi, grp, base))
+        base += len(grp)
+    if len(groups) == 1:
+        return f"{name}:leaf0"
+    if len(groups) > cap:
+        raise ValueError("dataset too chunky for the single-level writer")
+
+    def root_emit(a):
+        b = b"TREE" + bytes([1, 1]) + struct.pack("<H", len(groups))
+        b += struct.pack("<QQ", UNDEF, UNDEF)
+        for gi, grp in enumerate(groups):
+            off, raw = grp[0]
+            b += key(off, len(raw)) + struct.pack("<Q", a[f"{name}:leaf{gi}"])
+        b += key(end_off, 0)
+        return b
+
+    size = 24 + len(groups) * (keysz + 8) + keysz
+    w.add(f"{name}:root", size, root_emit)
+    return f"{name}:root"
+
+
+def _dataset_messages(name, spec, w: _Writer, gheap: _GHeap, ds_ver: int):
+    """-> list of (mtype, body_emit(addr)->bytes, body_size) for one
+    dataset's object header, plus registered data/btree blocks."""
+    data = spec["data"]
+    msgs = []
+
+    if isinstance(data, (bytes, str)):
+        raw = data.encode() if isinstance(data, str) else bytes(data)
+        dt_enc = _dt_string(max(1, len(raw)))
+        ds_enc = _encode_dataspace((), ds_ver)
+        shape, npdt = (), None
+        payload = raw if raw else b"\x00"
+    else:
+        data = np.ascontiguousarray(data)
+        npdt = data.dtype.newbyteorder("<")
+        data = data.astype(npdt)
+        dt_enc = _dt_float(npdt) if npdt.kind == "f" else _dt_fixed(npdt)
+        ds_enc = _encode_dataspace(data.shape, ds_ver)
+        shape = data.shape
+        payload = data.tobytes()
+
+    msgs.append((0x0001, lambda a, b=ds_enc: b, len(ds_enc)))
+    msgs.append((0x0003, lambda a, b=dt_enc: b, len(dt_enc)))
+
+    fill = spec.get("fillvalue")
+    if fill is not None and npdt is not None:
+        fb = np.array([fill], dtype=npdt).tobytes()
+        body = bytes([2, 1, 0, 1]) + struct.pack("<I", len(fb)) + fb
+    else:
+        body = bytes([2, 1, 0, 0])
+    msgs.append((0x0005, lambda a, b=body: b, len(body)))
+
+    chunks = spec.get("chunks")
+    deflate = spec.get("deflate")
+    shuffle = bool(spec.get("shuffle"))
+    if chunks is not None:
+        if npdt is None:
+            raise ValueError("chunked string datasets not supported")
+        chunks = tuple(min(c, s) for c, s in zip(chunks, shape))
+        filters = []
+        if shuffle:
+            filters.append((FILT_SHUFFLE, [npdt.itemsize]))
+        if deflate is not None:
+            filters.append((FILT_DEFLATE, [int(deflate)]))
+        if filters:
+            fb = bytes([1, len(filters)]) + b"\x00" * 6
+            for fid, cd in filters:
+                fb += struct.pack("<HHHH", fid, 0, 0, len(cd))
+                for v in cd:
+                    fb += struct.pack("<I", v)
+                if len(cd) % 2:
+                    fb += b"\x00" * 4
+            msgs.append((0x000B, lambda a, b=fb: b, len(fb)))
+        entries = _encode_chunks(
+            data, chunks, deflate if deflate is not None else None, shuffle,
+            fill if fill is not None else 0)
+        root = _btree1_chunks(w, f"ds:{name}", entries, chunks, shape,
+                              npdt.itemsize)
+
+        def layout_emit(a):
+            b = bytes([3, 2, len(chunks) + 1]) + struct.pack("<Q", a[root])
+            for c in chunks:
+                b += struct.pack("<I", c)
+            b += struct.pack("<I", npdt.itemsize)
+            return b
+
+        msgs.append((0x0008, layout_emit, 3 + 8 + 4 * (len(chunks) + 1)))
+    else:
+        w.add(f"ds:{name}:raw", len(payload), lambda a, p=payload: p)
+
+        def layout_emit(a):
+            return bytes([3, 1]) + struct.pack(
+                "<QQ", a[f"ds:{name}:raw"], len(payload))
+
+        msgs.append((0x0008, layout_emit, 18))
+
+    for aname, aval in spec.get("attrs", {}).items():
+        msgs.append(_attr_parts(aname, aval, w, gheap, ds_ver))
+    return msgs
+
+
+def _attr_parts(aname: str, aval, w: _Writer, gheap: _GHeap, ds_ver: int):
+    """-> (0x000C, body_emit, size_hint_parts) where emit needs addresses
+    only for RefList values. Returns components (dt, ds, data_emit)."""
+    if isinstance(aval, RefList):
+        dt = _dt_vlen_ref()
+        ds = _encode_dataspace((len(aval),), ds_ver)
+        idxs = []
+        for _ref in aval:
+            idxs.append(gheap.put(b"\x00" * 8))  # patched via emit below
+
+        def data_emit(a, aval=aval, idxs=idxs):
+            out = b""
+            for ref, idx in zip(aval, idxs):
+                gheap.objects[idx - 1] = struct.pack("<Q", a[f"oh:{ref}"])
+                out += struct.pack("<IQI", 1, a["gheap"], idx)
+            return out
+
+        return ("attr", aname, dt, ds, data_emit, 16 * len(aval))
+    if isinstance(aval, str):
+        raw = aval.encode()
+        raw = raw if raw else b"\x00"
+        dt = _dt_string(len(raw))
+        ds = _encode_dataspace((), ds_ver)
+        return ("attr", aname, dt, ds, lambda a, r=raw: r, len(raw))
+    arr = _np_attr(aval)
+    dt = _dt_float(arr.dtype) if arr.dtype.kind == "f" else _dt_fixed(arr.dtype)
+    ds = _encode_dataspace(arr.shape if arr.shape != (1,) else (1,), ds_ver)
+    raw = arr.tobytes()
+    return ("attr", aname, dt, ds, lambda a, r=raw: r, len(raw))
+
+
+def _oh_v1(msgs, w: _Writer, name: str):
+    """Register a v1 object header block built from message parts."""
+    parts = []
+    for m in msgs:
+        if m[0] == "attr":
+            _tag, aname, dt, ds, data_emit, dlen = m
+            nb = aname.encode() + b"\x00"
+            body_len = 8 + len(_pad8(nb)) + len(_pad8(dt)) + len(_pad8(ds)) + dlen
+            body_len += (8 - body_len % 8) % 8
+
+            def emit(a, aname=aname, dt=dt, ds=ds, data_emit=data_emit,
+                     body_len=body_len):
+                nb = aname.encode() + b"\x00"
+                body = struct.pack("<BxHHH", 1, len(nb), len(dt), len(ds))
+                body += _pad8(nb) + _pad8(dt) + _pad8(ds) + data_emit(a)
+                body += b"\x00" * (body_len - len(body))
+                return struct.pack("<HHB3x", 0x000C, body_len, 0) + body
+
+            parts.append((emit, 8 + body_len))
+        else:
+            mtype, body_emit, blen = m
+            padded = blen + (8 - blen % 8) % 8
+
+            def emit(a, mtype=mtype, body_emit=body_emit, padded=padded):
+                body = body_emit(a)
+                body += b"\x00" * (padded - len(body))
+                return struct.pack("<HHB3x", mtype, padded, 0) + body
+
+            parts.append((emit, 8 + padded))
+    hsize = sum(p[1] for p in parts)
+
+    def oh_emit(a):
+        out = struct.pack("<BxHII4x", 1, len(parts), 1, hsize)
+        for emit, _sz in parts:
+            out += emit(a)
+        return out
+
+    w.add(f"oh:{name}", 16 + hsize, oh_emit)
+
+
+def _oh_v2(msgs, w: _Writer, name: str):
+    """Register a v2 (OHDR) object header block."""
+    parts = []
+    for m in msgs:
+        if m[0] == "attr":
+            _tag, aname, dt, ds, data_emit, dlen = m
+            nb = aname.encode() + b"\x00"
+            body_len = 9 + len(nb) + len(dt) + len(ds) + dlen
+
+            def emit(a, aname=aname, dt=dt, ds=ds, data_emit=data_emit):
+                body = _attr_msg_v3(aname, dt, ds, data_emit(a))
+                return struct.pack("<BHB", 0x0C, len(body), 0) + body
+
+            parts.append((emit, 4 + body_len))
+        else:
+            mtype, body_emit, blen = m
+
+            def emit(a, mtype=mtype, body_emit=body_emit, blen=blen):
+                return struct.pack("<BHB", mtype, blen, 0) + body_emit(a)
+
+            parts.append((emit, 4 + blen))
+    csize = sum(p[1] for p in parts)
+
+    def oh_emit(a):
+        out = b"OHDR" + bytes([2, 0x02]) + struct.pack("<I", csize)
+        for emit, _sz in parts:
+            out += emit(a)
+        out += struct.pack("<I", jenkins_lookup3(out))
+        return out
+
+    w.add(f"oh:{name}", 10 + csize + 4, oh_emit)
+
+
+def write_hdf5(datasets: dict, root_attrs: dict | None = None,
+               libver: str = "v0") -> bytes:
+    """Serialize ``{name: {"data": ndarray|str, "attrs": {...},
+    "chunks": tuple?, "deflate": int?, "shuffle": bool?,
+    "fillvalue": scalar?}}`` plus root attributes into HDF5 bytes."""
+    w = _Writer(libver)
+    gheap = _GHeap()
+    root_attrs = root_attrs or {}
+    names = list(datasets)
+    ds_ver = 1 if libver == "v0" else 2
+
+    if libver == "v0":
+        w.add("sb", 96, lambda a: _superblock_v0(a))
+        root_msgs = [_stab_msg(w)]
+    else:
+        w.add("sb", 48, lambda a: _superblock_v2(a))
+        root_msgs = [_linkinfo_msg(), _groupinfo_msg()]
+        for n in names:
+            root_msgs.append(_link_msg(w, n))
+    for aname, aval in root_attrs.items():
+        root_msgs.append(_attr_parts(aname, aval, w, gheap, ds_ver))
+    (_oh_v1 if libver == "v0" else _oh_v2)(root_msgs, w, "__root__")
+
+    if libver == "v0":
+        _symbol_table(w, names)
+
+    for n in names:
+        msgs = _dataset_messages(n, datasets[n], w, gheap, ds_ver)
+        (_oh_v1 if libver == "v0" else _oh_v2)(msgs, w, n)
+
+    w.add("gheap", gheap.size(), lambda a: gheap.emit())
+    return w.layout()
+
+
+def _superblock_v0(a) -> bytes:
+    out = MAGIC + bytes([0, 0, 0, 0, 0, 8, 8, 0])
+    out += struct.pack("<HHI", 32, 16, 0)      # leaf K=32, internal K=16
+    out += struct.pack("<QQQQ", 0, UNDEF, a["__eof__"], UNDEF)
+    # root symbol table entry: name offset, OH addr, cache type 1 + scratch
+    out += struct.pack("<QQ", 0, a["oh:__root__"])
+    out += struct.pack("<II", 1, 0)
+    out += struct.pack("<QQ", a["btree"], a["heap"])
+    return out
+
+
+def _superblock_v2(a) -> bytes:
+    out = MAGIC + bytes([2, 8, 8, 0])
+    out += struct.pack("<QQQQ", 0, UNDEF, a["__eof__"], a["oh:__root__"])
+    return out + struct.pack("<I", jenkins_lookup3(out))
+
+
+def _stab_msg(w: _Writer):
+    return (0x0011, lambda a: struct.pack("<QQ", a["btree"], a["heap"]), 16)
+
+
+def _linkinfo_msg():
+    body = bytes([0, 0]) + struct.pack("<QQ", UNDEF, UNDEF)
+    return (0x0002, lambda a, b=body: b, len(body))
+
+
+def _groupinfo_msg():
+    body = bytes([0, 0])
+    return (0x000A, lambda a, b=body: b, len(body))
+
+
+def _link_msg(w: _Writer, name: str):
+    nb = name.encode()
+    body_len = 2 + 1 + len(nb) + 8
+
+    def emit(a, nb=nb, name=name):
+        return (bytes([1, 0, len(nb)]) + nb
+                + struct.pack("<Q", a[f"oh:{name}"]))
+
+    return (0x0006, emit, body_len)
+
+
+def _symbol_table(w: _Writer, names: list):
+    """Local heap + group B-tree v1 + SNOD for the root group (v0 path)."""
+    heap_data = bytearray(b"\x00" * 8)  # offset 0 = the empty name
+    offsets = {}
+    for n in sorted(names):
+        offsets[n] = len(heap_data)
+        nb = n.encode() + b"\x00"
+        heap_data += nb + b"\x00" * ((8 - len(nb) % 8) % 8)
+    hd = bytes(heap_data)
+
+    def heap_emit(a):
+        return (b"HEAP" + bytes([0, 0, 0, 0])
+                + struct.pack("<QQQ", len(hd), 1, a["heap"] + 32) + hd)
+
+    w.add("heap", 32 + len(hd), heap_emit)
+
+    snames = sorted(names)
+    if len(snames) > 64:
+        raise ValueError("more than 64 root links needs a multi-SNOD writer")
+
+    def btree_emit(a):
+        b = b"TREE" + bytes([0, 0]) + struct.pack("<H", 1)
+        b += struct.pack("<QQ", UNDEF, UNDEF)
+        b += struct.pack("<Q", 0)                     # key 0: empty name
+        b += struct.pack("<Q", a["snod"])
+        b += struct.pack("<Q", offsets[snames[-1]])   # key 1: last name
+        return b
+
+    w.add("btree", 24 + 24, btree_emit)
+
+    def snod_emit(a):
+        b = b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(snames))
+        for n in snames:
+            b += struct.pack("<QQ", offsets[n], a[f"oh:{n}"])
+            b += struct.pack("<II", 0, 0) + b"\x00" * 16
+        return b
+
+    w.add("snod", 8 + 40 * len(snames), snod_emit)
+
+
+# =====================================================================
+# reader
+# =====================================================================
+
+class _R:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.gheaps: dict = {}
+
+    def u(self, pos, n):
+        return int.from_bytes(self.buf[pos:pos + n], "little")
+
+
+def _read_superblock(r: _R):
+    if r.buf[:8] != MAGIC:
+        raise ValueError("not an HDF5 file")
+    ver = r.buf[8]
+    if ver == 0:
+        if r.buf[13] != 8 or r.buf[14] != 8:
+            raise NotImplementedError("only 8-byte offsets/lengths supported")
+        # root symbol table entry at 24+4*8: name off, OH addr
+        return r.u(24 + 32 + 8, 8)
+    if ver in (2, 3):
+        if r.buf[9] != 8 or r.buf[10] != 8:
+            raise NotImplementedError("only 8-byte offsets/lengths supported")
+        return r.u(12 + 24, 8)
+    raise NotImplementedError(f"superblock version {ver}")
+
+
+def _parse_messages_v1(r: _R, addr: int):
+    """v1 object header -> [(type, body_bytes)], following continuations."""
+    nmsgs = r.u(addr + 2, 2)
+    hsize = r.u(addr + 8, 4)
+    spans = [(addr + 16, hsize)]
+    msgs = []
+    seen_spans = set()
+    while spans and len(msgs) < nmsgs:
+        pos, remaining = spans.pop(0)
+        if pos in seen_spans:
+            raise ValueError("object header continuation cycle")
+        seen_spans.add(pos)
+        while remaining >= 8 and len(msgs) < nmsgs:
+            mtype = r.u(pos, 2)
+            msize = r.u(pos + 2, 2)
+            body = r.buf[pos + 8:pos + 8 + msize]
+            if mtype == 0x0010:
+                spans.append((r.u(pos + 8, 8) , r.u(pos + 16, 8)))
+            else:
+                msgs.append((mtype, bytes(body)))
+            pos += 8 + msize
+            remaining -= 8 + msize
+    return msgs
+
+
+def _parse_messages_v2(r: _R, addr: int):
+    if r.buf[addr:addr + 4] != b"OHDR":
+        raise ValueError("bad OHDR signature")
+    flags = r.buf[addr + 5]
+    pos = addr + 6
+    if flags & 0x20:
+        pos += 16                      # times
+    if flags & 0x10:
+        pos += 4                       # max compact / min dense
+    size_bytes = 1 << (flags & 0x03)
+    csize = r.u(pos, size_bytes)
+    pos += size_bytes
+    track_order = bool(flags & 0x04)
+    msgs = []
+    spans = [(pos, csize, False)]
+    seen_spans = set()
+    while spans:
+        pos, csize, is_cont = spans.pop(0)
+        if pos in seen_spans:
+            raise ValueError("object header continuation cycle")
+        seen_spans.add(pos)
+        end = pos + csize
+        if is_cont:
+            if r.buf[pos:pos + 4] != b"OCHK":
+                raise ValueError("bad OCHK signature")
+            pos += 4
+            end -= 4                   # trailing checksum
+        while pos + 4 <= end:
+            mtype = r.buf[pos]
+            msize = r.u(pos + 1, 2)
+            pos += 4
+            if track_order:
+                pos += 2
+            body = bytes(r.buf[pos:pos + msize])
+            pos += msize
+            if mtype == 0x10:
+                (caddr,) = struct.unpack_from("<Q", body, 0)
+                (clen,) = struct.unpack_from("<Q", body, 8)
+                spans.append((caddr, clen, True))
+            else:
+                msgs.append((mtype, body))
+    return msgs
+
+
+def _parse_object(r: _R, addr: int):
+    if r.buf[addr:addr + 4] == b"OHDR":
+        return _parse_messages_v2(r, addr)
+    if r.buf[addr] == 1:
+        return _parse_messages_v1(r, addr)
+    raise ValueError(f"unrecognized object header at {addr}")
+
+
+def _decode_attr_v1(r: _R, body: bytes):
+    name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+
+    def p8(n):
+        return n + (8 - n % 8) % 8
+
+    pos = 8
+    name = body[pos:pos + name_size].split(b"\x00")[0].decode()
+    pos += p8(name_size)
+    dt = _decode_datatype(body[pos:pos + dt_size])
+    pos += p8(dt_size)
+    shape = _decode_dataspace(body[pos:pos + ds_size])
+    pos += p8(ds_size)
+    return name, _attr_value(r, dt, shape, body[pos:])
+
+
+def _decode_attr_v3(r: _R, body: bytes):
+    ver = body[0]
+    if ver == 1:
+        return _decode_attr_v1(r, body)
+    if ver not in (2, 3):
+        raise NotImplementedError(f"attribute message version {ver}")
+    flags = body[1]
+    name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+    pos = 8 + (1 if ver == 3 else 0)
+    if flags & 0x03:
+        raise NotImplementedError("shared attribute datatype/dataspace")
+    name = body[pos:pos + name_size].split(b"\x00")[0].decode()
+    pos += name_size
+    dt = _decode_datatype(body[pos:pos + dt_size])
+    pos += dt_size
+    shape = _decode_dataspace(body[pos:pos + ds_size])
+    pos += ds_size
+    return name, _attr_value(r, dt, shape, body[pos:])
+
+
+def _gheap_object(r: _R, addr: int, index: int) -> bytes:
+    if addr not in r.gheaps:
+        if r.buf[addr:addr + 4] != b"GCOL":
+            raise ValueError("bad global heap signature")
+        total = r.u(addr + 8, 8)
+        objs = {}
+        pos = addr + 16
+        end = addr + total
+        while pos + 16 <= end:
+            idx = r.u(pos, 2)
+            size = r.u(pos + 8, 8)
+            if idx == 0:
+                break
+            objs[idx] = bytes(r.buf[pos + 16:pos + 16 + size])
+            pos += 16 + size + (8 - size % 8) % 8
+        r.gheaps[addr] = objs
+    return r.gheaps[addr][index]
+
+
+def _attr_value(r: _R, dt: dict, shape, raw: bytes):
+    n = int(np.prod(shape)) if shape else 1
+    if dt["cls"] == 3:
+        return raw[:dt["size"]].split(b"\x00")[0].decode("utf-8", "replace")
+    if dt["cls"] in (0, 1):
+        a = np.frombuffer(raw[:n * dt["size"]], dt["np"])
+        return a.reshape(shape) if shape else a
+    if dt["cls"] == 7:
+        return [int.from_bytes(raw[i * 8:(i + 1) * 8], "little") for i in range(n)]
+    if dt["cls"] == 9:
+        out = []
+        for i in range(n):
+            ln, gaddr, gidx = struct.unpack_from("<IQI", raw, i * 16)
+            data = _gheap_object(r, gaddr, gidx)
+            base = dt["base"]
+            if base["cls"] == 7:
+                out.append([int.from_bytes(data[j * 8:(j + 1) * 8], "little")
+                            for j in range(ln)])
+            else:
+                out.append(np.frombuffer(data[:ln * base["size"]], base["np"]))
+        return out
+    raise NotImplementedError(f"attribute datatype class {dt['cls']}")
+
+
+def _walk_chunk_btree(r: _R, addr: int, rank: int, seen: set):
+    """B-tree v1 type-1 walk -> [(chunk_offsets, nbytes, filter_mask, addr)]."""
+    if addr in seen:
+        raise ValueError("chunk B-tree cycle")
+    seen.add(addr)
+    if r.buf[addr:addr + 4] != b"TREE":
+        raise ValueError("bad chunk B-tree signature")
+    if r.buf[addr + 4] != 1:
+        raise ValueError("expected a raw-data (type 1) B-tree node")
+    level = r.buf[addr + 5]
+    used = r.u(addr + 6, 2)
+    keysz = 8 + 8 * rank
+    pos = addr + 24
+    out = []
+    for _ in range(used):
+        nbytes = r.u(pos, 4)
+        fmask = r.u(pos + 4, 4)
+        offs = tuple(r.u(pos + 8 + 8 * i, 8) for i in range(rank - 1))
+        child = r.u(pos + keysz, 8)
+        if level == 0:
+            out.append((offs, nbytes, fmask, child))
+        else:
+            out.extend(_walk_chunk_btree(r, child, rank, seen))
+        pos += keysz + 8
+    return out
+
+
+def _apply_filters(raw: bytes, filters, itemsize: int, fmask: int) -> bytes:
+    for i, (fid, cd) in enumerate(reversed(filters)):
+        if fmask & (1 << (len(filters) - 1 - i)):
+            continue  # filter skipped for this chunk
+        if fid == FILT_DEFLATE:
+            raw = zlib.decompress(raw)
+        elif fid == FILT_SHUFFLE:
+            sz = cd[0] if cd else itemsize
+            arr = np.frombuffer(raw, np.uint8).reshape(sz, -1)
+            raw = arr.T.tobytes()
+        else:
+            raise NotImplementedError(f"unsupported filter id {fid}")
+    return raw
+
+
+def _decode_filter_pipeline(body: bytes):
+    ver = body[0]
+    nf = body[1]
+    filters = []
+    if ver == 1:
+        pos = 8
+        for _ in range(nf):
+            fid = int.from_bytes(body[pos:pos + 2], "little")
+            namelen = int.from_bytes(body[pos + 2:pos + 4], "little")
+            ncd = int.from_bytes(body[pos + 6:pos + 8], "little")
+            pos += 8 + namelen
+            cd = [int.from_bytes(body[pos + 4 * i:pos + 4 * i + 4], "little")
+                  for i in range(ncd)]
+            pos += 4 * ncd + (4 if ncd % 2 else 0)
+            filters.append((fid, cd))
+    elif ver == 2:
+        pos = 2
+        for _ in range(nf):
+            fid = int.from_bytes(body[pos:pos + 2], "little")
+            pos += 2
+            namelen = 0
+            if fid >= 256:
+                namelen = int.from_bytes(body[pos:pos + 2], "little")
+                pos += 2
+            ncd = int.from_bytes(body[pos + 2:pos + 4], "little")
+            pos += 4 + namelen
+            cd = [int.from_bytes(body[pos + 4 * i:pos + 4 * i + 4], "little")
+                  for i in range(ncd)]
+            pos += 4 * ncd
+            filters.append((fid, cd))
+    else:
+        raise NotImplementedError(f"filter pipeline version {ver}")
+    return filters
+
+
+def _read_dataset(r: _R, msgs):
+    shape, dt, filters = None, None, []
+    layout = None
+    attrs = {}
+    fill = None
+    for mtype, body in msgs:
+        if mtype == 0x0001:
+            shape = _decode_dataspace(body)
+        elif mtype == 0x0003:
+            dt = _decode_datatype(body)
+        elif mtype == 0x0005:
+            ver = body[0]
+            if ver in (1, 2):
+                if ver == 1 or body[3] == 1:
+                    (sz,) = struct.unpack_from("<I", body, 4)
+                    fill = body[8:8 + sz]
+            elif ver == 3:
+                if body[1] & 0x20:
+                    (sz,) = struct.unpack_from("<I", body, 2)
+                    fill = body[6:6 + sz]
+            else:
+                raise NotImplementedError(f"fill value version {ver}")
+        elif mtype == 0x000B:
+            filters = _decode_filter_pipeline(body)
+        elif mtype == 0x0008:
+            layout = body
+        elif mtype in (0x000C,):
+            name, val = _decode_attr_v3(r, body)
+            attrs[name] = val
+    if shape is None or dt is None or layout is None:
+        raise ValueError("dataset object header missing required messages")
+
+    if dt["cls"] == 3:
+        npdt = None
+        itemsize = dt["size"]
+    elif dt["cls"] in (0, 1):
+        npdt = dt["np"]
+        itemsize = npdt.itemsize
+    else:
+        raise NotImplementedError(f"dataset datatype class {dt['cls']}")
+
+    ver = layout[0]
+    if ver != 3:
+        raise NotImplementedError(f"data layout version {ver} (v3 only)")
+    cls = layout[1]
+    n = int(np.prod(shape)) if shape else 1
+    if cls == 0:                                           # compact
+        (sz,) = struct.unpack_from("<H", layout, 2)
+        raw = layout[4:4 + sz]
+    elif cls == 1:                                         # contiguous
+        addr, sz = struct.unpack_from("<QQ", layout, 2)
+        if addr == UNDEF:
+            raw = (fill or b"\x00" * itemsize) * n
+        else:
+            raw = bytes(r.buf[addr:addr + sz])
+    elif cls == 2:                                         # chunked
+        rank = layout[2]
+        (baddr,) = struct.unpack_from("<Q", layout, 3)
+        cdims = struct.unpack_from(f"<{rank}I", layout, 11)
+        chunks = cdims[:-1]
+        if npdt is None:
+            raise NotImplementedError("chunked string datasets")
+        grid = tuple((s + c - 1) // c for s, c in zip(shape, chunks))
+        full = tuple(g * c for g, c in zip(grid, chunks))
+        if fill is not None and len(fill) == itemsize:
+            fv = np.frombuffer(fill, npdt)[0]
+        else:
+            fv = np.nan if npdt.kind == "f" else 0
+        arr = np.full(full, fv, dtype=npdt)
+        if baddr != UNDEF:
+            for offs, nbytes, fmask, caddr in _walk_chunk_btree(
+                    r, baddr, rank, set()):
+                raw = bytes(r.buf[caddr:caddr + nbytes])
+                raw = _apply_filters(raw, filters, itemsize, fmask)
+                block = np.frombuffer(raw, npdt)[:int(np.prod(chunks))]
+                block = block.reshape(chunks)
+                sl = tuple(slice(o, o + c) for o, c in zip(offs, chunks))
+                arr[sl] = block
+        data = arr[tuple(slice(0, s) for s in shape)]
+        return {"shape": shape, "dtype": npdt, "data": data, "attrs": attrs}
+    else:
+        raise NotImplementedError(f"data layout class {cls}")
+
+    if npdt is None:
+        return {"shape": shape, "dtype": None,
+                "data": bytes(raw).split(b"\x00")[0], "attrs": attrs}
+    data = np.frombuffer(raw[:n * itemsize], npdt).reshape(shape)
+    return {"shape": shape, "dtype": npdt, "data": data, "attrs": attrs}
+
+
+def _group_links(r: _R, msgs):
+    """-> [(name, oh_addr)] from either group flavor."""
+    links = []
+    for mtype, body in msgs:
+        if mtype == 0x0011:                                # symbol table
+            btree, heap = struct.unpack_from("<QQ", body, 0)
+            links.extend(_walk_group_btree(r, btree, heap, set()))
+        elif mtype == 0x0006:                              # link message
+            links.append(_decode_link(body))
+        elif mtype == 0x0002:                              # link info
+            fheap, _nidx = struct.unpack_from("<QQ", body, 2 + (8 if body[1] & 1 else 0))
+            if fheap != UNDEF:
+                raise NotImplementedError(
+                    "dense (fractal heap) link storage not supported")
+    return links
+
+
+def _decode_link(body: bytes):
+    ver, flags = body[0], body[1]
+    if ver != 1:
+        raise NotImplementedError(f"link message version {ver}")
+    pos = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = body[pos]; pos += 1
+    if flags & 0x04:
+        pos += 8                                           # creation order
+    if flags & 0x10:
+        pos += 1                                           # charset
+    lsz = 1 << (flags & 0x03)
+    nlen = int.from_bytes(body[pos:pos + lsz], "little")
+    pos += lsz
+    name = body[pos:pos + nlen].decode()
+    pos += nlen
+    if ltype != 0:
+        raise NotImplementedError("only hard links supported")
+    (addr,) = struct.unpack_from("<Q", body, pos)
+    return name, addr
+
+
+def _local_heap_name(r: _R, heap: int, off: int) -> str:
+    if r.buf[heap:heap + 4] != b"HEAP":
+        raise ValueError("bad local heap signature")
+    daddr = r.u(heap + 24, 8)
+    end = r.buf.index(b"\x00", daddr + off)
+    return r.buf[daddr + off:end].decode()
+
+
+def _walk_group_btree(r: _R, addr: int, heap: int, seen: set):
+    if addr in seen:
+        raise ValueError("group B-tree cycle")
+    seen.add(addr)
+    sig = r.buf[addr:addr + 4]
+    if sig == b"SNOD":
+        n = r.u(addr + 6, 2)
+        out = []
+        for i in range(n):
+            base = addr + 8 + 40 * i
+            off = r.u(base, 8)
+            oh = r.u(base + 8, 8)
+            out.append((_local_heap_name(r, heap, off), oh))
+        return out
+    if sig != b"TREE" or r.buf[addr + 4] != 0:
+        raise ValueError("bad group B-tree node")
+    used = r.u(addr + 6, 2)
+    out = []
+    pos = addr + 24
+    for _ in range(used):
+        child = r.u(pos + 8, 8)
+        out.extend(_walk_group_btree(r, child, heap, seen))
+        pos += 16
+    return out
+
+
+def read_hdf5(src) -> dict:
+    """path | bytes -> {"attrs": root attrs, "datasets": {path: {"shape",
+    "dtype", "data", "attrs", "addr"}}}. Sub-groups flatten to 'g/name'."""
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        buf = bytes(src)
+    else:
+        with open(src, "rb") as f:
+            buf = f.read()
+    r = _R(buf)
+    root = _read_superblock(r)
+    out = {"attrs": {}, "datasets": {}}
+
+    def visit(addr: int, prefix: str, into_attrs: dict, seen: set):
+        if addr in seen:
+            raise ValueError("group cycle")
+        seen.add(addr)
+        msgs = _parse_object(r, addr)
+        is_group = any(m[0] in (0x0011, 0x0002, 0x0006) for m in msgs)
+        has_layout = any(m[0] == 0x0008 for m in msgs)
+        for mtype, body in msgs:
+            if mtype == 0x000C and (is_group or not has_layout):
+                name, val = _decode_attr_v3(r, body)
+                into_attrs[name] = val
+        if has_layout:
+            ds = _read_dataset(r, msgs)
+            ds["addr"] = addr
+            out["datasets"][prefix.rstrip("/")] = ds
+            return
+        for name, child in _group_links(r, msgs):
+            sub: dict = {}
+            visit(child, prefix + name + "/", sub, seen)
+            key = (prefix + name).rstrip("/")
+            if key in out["datasets"]:
+                out["datasets"][key]["attrs"].update(
+                    {k: v for k, v in sub.items()
+                     if k not in out["datasets"][key]["attrs"]})
+            elif sub:
+                out["attrs"].update({f"{key}/{k}": v for k, v in sub.items()})
+
+    visit(root, "", out["attrs"], set())
+    return out
+
+
+# =====================================================================
+# netCDF-4 layer (the Unidata netCDF-4 convention over HDF5)
+# =====================================================================
+
+_PHANTOM = "This is a netCDF dimension but not a netCDF variable"
+
+
+def read_netcdf4(src) -> dict:
+    """netCDF-4 (HDF5) file -> the SAME dict shape as netcdf3.read_netcdf:
+    {"dims": {name: size}, "gatts": {...}, "vars": {name: ndarray|bytes}}
+    with CF scale_factor/add_offset/_FillValue auto-unpack applied.
+
+    Dimension identity follows the netCDF-4 convention: datasets carrying
+    CLASS="DIMENSION_SCALE" are dimensions; a scale whose NAME starts with
+    the 'not a netCDF variable' sentinel is a phantom dim (no variable);
+    data variables map their axes via DIMENSION_LIST object references."""
+    h = read_hdf5(src)
+    dims = {}
+    by_addr = {}
+    for name, ds in h["datasets"].items():
+        by_addr[ds["addr"]] = name
+        if ds["attrs"].get("CLASS") == "DIMENSION_SCALE":
+            dims[name] = int(ds["shape"][0]) if ds["shape"] else 0
+    gatts = {k: v for k, v in h["attrs"].items()
+             if not k.startswith("_NCProperties")}
+    out_vars = {}
+    for name, ds in h["datasets"].items():
+        a = ds["attrs"]
+        if a.get("CLASS") == "DIMENSION_SCALE" and str(
+                a.get("NAME", "")).startswith(_PHANTOM):
+            continue                                       # phantom dim
+        data = ds["data"]
+        if ds["dtype"] is None:                            # string scalar
+            out_vars[name] = data
+            continue
+        arr = np.asarray(data)
+        if "scale_factor" in a or "add_offset" in a:
+            arr = arr.astype(np.float64)
+            if "_FillValue" in a:
+                arr = np.where(arr == float(np.asarray(a["_FillValue"]).ravel()[0]),
+                               np.nan, arr)
+            arr = arr * float(np.asarray(a.get("scale_factor", [1.0])).ravel()[0]) \
+                + float(np.asarray(a.get("add_offset", [0.0])).ravel()[0])
+        elif arr.dtype.kind == "f":
+            arr = arr.astype(np.float64)
+        out_vars[name] = arr
+    return {"dims": dims, "gatts": gatts, "vars": out_vars}
+
+
+def write_netcdf4(cube, path: str, packing: dict | None = None,
+                  deflate: int = 1, shuffle: bool = True,
+                  libver: str = "v0", chunks: tuple | None = None) -> None:
+    """Export a cube as a netCDF-4 (HDF5) file in the REFERENCE's layout
+    (src/cube.cpp:871-1011): dims time/y/x as dimension scales, band
+    variables chunked at the cube chunk size and shuffle+deflate
+    compressed (``nc_def_var_deflate(ncout, v, 1, 1, level)``), CF
+    scale_factor/add_offset packing, plus the engine's ``view`` global
+    attribute so read_netcdf_cube round-trips."""
+    from .netcdf3 import _pack_plane
+
+    v = cube.view
+    dense = cube.collect_dense()                           # (nb, nt, ny, nx)
+    t_off = np.array([(v.datetime_at(i) - v.t0).total_seconds()
+                      for i in range(v.nt)], dtype="<i4")
+    yy = np.array([v.y_of(i) for i in range(v.ny)], dtype="<f8")
+    xx = np.array([v.x_of(i) for i in range(v.nx)], dtype="<f8")
+    cs = chunks or (v.chunk_nt, v.chunk_ny, v.chunk_nx)
+    cs = tuple(min(int(c), int(s)) for c, s in zip(cs, (v.nt, v.ny, v.nx)))
+
+    def dimscale(name, data, extra=None):
+        d = {"data": data, "attrs": {
+            "CLASS": "DIMENSION_SCALE", "NAME": name,
+            "_Netcdf4Dimid": {"time": 0, "y": 1, "x": 2}[name]}}
+        d["attrs"].update(extra or {})
+        return d
+
+    datasets = {
+        "time": dimscale("time", t_off, {
+            "units": f"seconds since {v.t0.isoformat()}",
+            "standard_name": "time", "axis": "T", "calendar": "gregorian"}),
+        "y": dimscale("y", yy, {"axis": "Y"}),
+        "x": dimscale("x", xx, {"axis": "X"}),
+    }
+    for bi, b in enumerate(cube.bands):
+        if packing is None:
+            data = dense[bi].astype("<f8")
+            battrs = {"_FillValue": np.array([np.nan], "<f8")}
+            fillv = np.nan
+        else:
+            data = _pack_plane(dense[bi], packing).astype("<i2")
+            fillv = int(packing.get("nodata", -32768))
+            battrs = {
+                "_FillValue": np.array([fillv], "<i2"),
+                "scale_factor": float(packing["scale"]),
+                "add_offset": float(packing["offset"]),
+            }
+        battrs["DIMENSION_LIST"] = RefList(["time", "y", "x"])
+        datasets[b] = {"data": data, "attrs": battrs, "chunks": cs,
+                       "deflate": int(deflate) if deflate else None,
+                       "shuffle": shuffle, "fillvalue": fillv}
+    gatts = {
+        "Conventions": "CF-1.6", "source": "gdalcubes_cpp_spark",
+        "srs": v.srs, "view": v.to_json(),
+    }
+    blob = write_hdf5(datasets, gatts, libver=libver)
+    with open(path, "wb") as f:
+        f.write(blob)

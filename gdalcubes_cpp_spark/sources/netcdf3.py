@@ -347,8 +347,14 @@ def read_netcdf(path: str) -> dict:
     interop with files produced by netcdf-c."""
     with open(path, "rb") as f:
         buf = memoryview(f.read())
+    if bytes(buf[:8]) == b"\x89HDF\r\n\x1a\n":
+        # netCDF-4: what the reference writes whenever compression is on
+        # (nc_create(NC_NETCDF4), src/cube.cpp:871) — an HDF5 container
+        from .hdf5 import read_netcdf4
+
+        return read_netcdf4(bytes(buf))
     assert bytes(buf[:3]) == b"CDF" and buf[3] in (1, 2, 5), \
-        "not a CDF-1/CDF-2/CDF-5 classic file"
+        "not a CDF-1/CDF-2/CDF-5 classic file (nor netCDF-4/HDF5)"
     ver = buf[3]
     big = ver == 5
     numrecs, pos = _read_sz(buf, 4, big)

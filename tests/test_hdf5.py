@@ -1,0 +1,272 @@
+"""HDF5 subset + netCDF-4 layer: spec conformance of the writer, reader
+interop (both superblock generations), chunk/filter handling, netCDF-4
+dimension-scale conventions, cube roundtrip, and the untrusted-bytes
+refuse-don't-hang guards."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gdalcubes_cpp_spark.sources.hdf5 import (
+    MAGIC,
+    RefList,
+    jenkins_lookup3,
+    read_hdf5,
+    read_netcdf4,
+    write_hdf5,
+    write_netcdf4,
+)
+
+LIBVERS = ["v0", "latest"]
+
+
+def test_lookup3_vectors():
+    """Jenkins' published hashlittle() self-test values (lookup3.c)."""
+    assert jenkins_lookup3(b"") == 0xDEADBEEF
+    assert jenkins_lookup3(b"Four score and seven years ago") == 0x17770551
+    assert jenkins_lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+
+
+@pytest.mark.parametrize("libver", LIBVERS)
+@pytest.mark.parametrize("dt", ["<f8", "<f4", "<i4", "<i2", "<u1", ">f4", ">i2"])
+def test_contiguous_dtypes(libver, dt):
+    rng = np.random.RandomState(3)
+    a = (rng.rand(4, 7) * 100).astype(dt)
+    h = read_hdf5(write_hdf5({"d": {"data": a}}, libver=libver))
+    got = h["datasets"]["d"]["data"]
+    assert got.shape == a.shape
+    assert np.array_equal(got.astype("<f8"), a.astype("<f8"))
+
+
+@pytest.mark.parametrize("libver", LIBVERS)
+@pytest.mark.parametrize("deflate,shuffle", [(None, False), (1, False),
+                                             (6, True), (None, True)])
+def test_chunked_filters(libver, deflate, shuffle):
+    rng = np.random.RandomState(5)
+    a = (rng.rand(6, 10, 14) * 50).astype("<f8")
+    a[0, 0, :3] = np.nan
+    h = read_hdf5(write_hdf5({"b": {
+        "data": a, "chunks": (2, 4, 5), "deflate": deflate,
+        "shuffle": shuffle, "fillvalue": np.nan}}, libver=libver))
+    assert np.allclose(h["datasets"]["b"]["data"], a, equal_nan=True)
+
+
+def test_edge_chunks_trimmed():
+    """Chunks are always full-size on disk; the reader must trim the
+    edge-chunk padding back to the dataspace extent."""
+    a = np.arange(5 * 7, dtype="<i4").reshape(5, 7)
+    h = read_hdf5(write_hdf5({"d": {"data": a, "chunks": (4, 4),
+                                    "deflate": 2}}))
+    assert np.array_equal(h["datasets"]["d"]["data"], a)
+
+
+def test_many_chunks_multi_leaf_btree():
+    """> 64 chunks forces a two-level chunk B-tree (leaf capacity 2K with
+    the libhdf5 default K=32); the walker must traverse internal nodes."""
+    a = np.arange(40 * 36, dtype="<f4").reshape(40, 36)
+    h = read_hdf5(write_hdf5({"d": {"data": a, "chunks": (4, 4),
+                                    "deflate": 1}}))  # 90 chunks
+    assert np.array_equal(h["datasets"]["d"]["data"], a)
+
+
+@pytest.mark.parametrize("libver", LIBVERS)
+def test_attributes_and_strings(libver):
+    h = read_hdf5(write_hdf5(
+        {"s": {"data": "EPSG:32632", "attrs": {"role": "crs", "n": 7,
+                                               "f": 2.5}}},
+        {"title": "global", "vec": np.array([1.0, 2.0, 3.0])},
+        libver=libver))
+    assert h["attrs"]["title"] == "global"
+    assert np.allclose(h["attrs"]["vec"], [1.0, 2.0, 3.0])
+    d = h["datasets"]["s"]
+    assert d["data"] == b"EPSG:32632"
+    assert d["attrs"]["role"] == "crs"
+    assert int(np.asarray(d["attrs"]["n"]).ravel()[0]) == 7
+    assert float(np.asarray(d["attrs"]["f"]).ravel()[0]) == 2.5
+
+
+@pytest.mark.parametrize("libver", LIBVERS)
+def test_dimension_list_references(libver):
+    """DIMENSION_LIST is a vlen sequence of object references resolved
+    through a global heap collection — addresses must map back to the
+    dimension-scale datasets."""
+    blob = write_hdf5({
+        "time": {"data": np.arange(3, dtype="<i4"),
+                 "attrs": {"CLASS": "DIMENSION_SCALE", "NAME": "time"}},
+        "x": {"data": np.arange(4, dtype="<f8"),
+              "attrs": {"CLASS": "DIMENSION_SCALE", "NAME": "x"}},
+        "v": {"data": np.zeros((3, 4), dtype="<f8"),
+              "attrs": {"DIMENSION_LIST": RefList(["time", "x"])}},
+    }, libver=libver)
+    h = read_hdf5(blob)
+    addr2name = {d["addr"]: n for n, d in h["datasets"].items()}
+    dl = h["datasets"]["v"]["attrs"]["DIMENSION_LIST"]
+    assert [addr2name[refs[0]] for refs in dl] == ["time", "x"]
+
+
+def test_superblock_v0_golden_structure():
+    """On-disk conformance (HDF5 spec II.A.1): signature, version block,
+    8-byte offsets/lengths, EOF address, root symbol-table entry wiring,
+    local heap + SNOD layout."""
+    blob = write_hdf5({"a": {"data": np.arange(4, dtype="<i4")}},
+                      {"g": "x"}, libver="v0")
+    assert blob[:8] == MAGIC
+    assert blob[8] == 0                       # superblock version 0
+    assert blob[13] == 8 and blob[14] == 8    # offset/length sizes
+    leaf_k, int_k = struct.unpack_from("<HH", blob, 16)
+    assert (leaf_k, int_k) == (32, 16)
+    eof = struct.unpack_from("<Q", blob, 40)[0]
+    assert eof == len(blob)
+    root_oh = struct.unpack_from("<Q", blob, 64)[0]
+    assert blob[root_oh] == 1                 # v1 object header
+    btree, heap = struct.unpack_from("<QQ", blob, 80)
+    assert blob[btree:btree + 4] == b"TREE" and blob[btree + 4] == 0
+    assert blob[heap:heap + 4] == b"HEAP"
+    # the SNOD the btree points at holds the sorted link
+    snod = struct.unpack_from("<Q", blob, btree + 32)[0]  # key0 then child0
+    assert blob[snod:snod + 4] == b"SNOD"
+    assert struct.unpack_from("<H", blob, snod + 6)[0] == 1
+
+
+def test_superblock_v2_checksummed():
+    """v2 superblock and OHDR headers carry Jenkins lookup3 checksums the
+    writer must compute correctly (spec II.A.2 / IV.A.1.b)."""
+    blob = write_hdf5({"a": {"data": np.arange(4, dtype="<i4")}},
+                      libver="latest")
+    assert blob[8] == 2
+    got = struct.unpack_from("<I", blob, 44)[0]
+    assert got == jenkins_lookup3(blob[:44])
+    root = struct.unpack_from("<Q", blob, 36)[0]
+    assert blob[root:root + 4] == b"OHDR"
+    csize = struct.unpack_from("<I", blob, root + 6)[0]
+    hdr_end = root + 10 + csize
+    got = struct.unpack_from("<I", blob, hdr_end)[0]
+    assert got == jenkins_lookup3(blob[root:hdr_end])
+
+
+def test_corrupt_files_refused():
+    """Untrusted-bytes policy: crafted pointer cycles raise ValueError
+    (never hang); dense link storage raises NotImplementedError."""
+    blob = bytearray(write_hdf5(
+        {"d": {"data": np.arange(64, dtype="<f8").reshape(8, 8),
+               "chunks": (4, 4)}}, libver="v0"))
+    # group B-tree cycle: point the btree's child at the btree itself
+    btree, _heap = struct.unpack_from("<QQ", blob, 80)
+    bad = bytearray(blob)
+    struct.pack_into("<Q", bad, btree + 32, btree)
+    with pytest.raises(ValueError, match="cycle|bad group"):
+        read_hdf5(bytes(bad))
+    # chunk B-tree cycle: make the chunk node claim to be an internal
+    # node whose child is itself
+    pos = bytes(blob).find(b"TREE", btree + 4)
+    while pos != -1 and blob[pos + 4] != 1:
+        pos = bytes(blob).find(b"TREE", pos + 4)
+    assert pos != -1
+    bad = bytearray(blob)
+    bad[pos + 5] = 1                              # level 1 => children are nodes
+    struct.pack_into("<Q", bad, pos + 24 + 8 + 8 * 3, pos)  # child 0 -> itself
+    with pytest.raises(ValueError, match="cycle|B-tree"):
+        read_hdf5(bytes(bad))
+    # dense (fractal heap) links are refused, not mis-parsed
+    blob2 = bytearray(write_hdf5({"d": {"data": np.arange(3, dtype="<i4")}},
+                                 libver="latest"))
+    root = struct.unpack_from("<Q", blob2, 36)[0]
+    # link info message body starts after OHDR prefix (sig+ver+flags+4) +
+    # first message header (4): ver, flags, then fractal heap address
+    li = root + 10 + 4
+    struct.pack_into("<Q", blob2, li + 2, 4096)   # fheap != UNDEF
+    with pytest.raises(NotImplementedError, match="dense"):
+        read_hdf5(bytes(blob2))
+    with pytest.raises(ValueError, match="not an HDF5 file"):
+        read_hdf5(b"CDF\x01" + b"\x00" * 64)
+
+
+def _mkcube(spark, chunk=(2, 3, 4)):
+    from gdalcubes_cpp_spark.sources.collection import formula_cube
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(left=0.0, right=8.0, bottom=0.0, top=6.0, nx=8, ny=6,
+                        t0="2020-01-01", nt=4, dt="P1D", chunk_size=chunk)
+    return formula_cube(spark, v, {
+        "B1": "CASE WHEN (it + iy + ix) % 5 = 0 THEN NULL ELSE "
+              "CAST(it*3 + iy + ix AS DOUBLE) END",
+        "B2": "CAST(it + iy*2 + ix AS DOUBLE)",
+    })
+
+
+@pytest.mark.parametrize("libver", LIBVERS)
+def test_netcdf4_cube_roundtrip(spark, tmp_path, libver):
+    """write_netcdf4 -> read_netcdf (magic dispatch) -> read_netcdf_cube:
+    the reference's NC4 export layout (chunked + shuffle + deflate,
+    src/cube.cpp:871,1004,1011) comes back cell-exact."""
+    from gdalcubes_cpp_spark.sources.netcdf3 import read_netcdf, read_netcdf_cube
+
+    cube = _mkcube(spark)
+    path = str(tmp_path / f"cube_{libver}.nc")
+    write_netcdf4(cube, path, deflate=2, shuffle=True, libver=libver)
+    raw = open(path, "rb").read()
+    assert raw[:8] == MAGIC
+
+    nc = read_netcdf(path)                    # dispatches on the magic
+    assert nc["dims"] == {"time": 4, "y": 6, "x": 8}
+    assert nc["gatts"]["srs"] == "EPSG:4326"
+    assert np.allclose(nc["vars"]["x"], np.arange(8) + 0.5)
+    assert np.allclose(nc["vars"]["y"], 6.0 - (np.arange(6) + 0.5))
+    assert np.array_equal(nc["vars"]["time"], np.arange(4) * 86400)
+    want = cube.collect_dense()
+    assert np.array_equal(np.isnan(nc["vars"]["B1"]), np.isnan(want[0]))
+    m = np.isfinite(want[0])
+    assert (nc["vars"]["B1"][m] == want[0][m]).all()
+
+    back = read_netcdf_cube(spark, path)
+    assert back.bands == ("B1", "B2")
+    got = back.collect_dense()
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    mm = np.isfinite(want)
+    assert (got[mm] == want[mm]).all()
+
+
+def test_netcdf4_packed_roundtrip(spark, tmp_path):
+    """CF packing (scale_factor/add_offset on NC_SHORT) auto-unpacks on
+    read, matching the classic reader's behavior bit-for-bit."""
+    from gdalcubes_cpp_spark.sources.netcdf3 import (read_netcdf,
+                                                     write_netcdf)
+
+    cube = _mkcube(spark)
+    pk = {"scale": 0.5, "offset": -2.0, "nodata": -32768}
+    p3 = str(tmp_path / "c3.nc")
+    p4 = str(tmp_path / "c4.nc")
+    write_netcdf(cube, p3, packing=pk)
+    write_netcdf4(cube, p4, packing=pk, deflate=4)
+    a, b = read_netcdf(p3), read_netcdf(p4)
+    for band in ("B1", "B2"):
+        assert np.array_equal(np.isnan(a["vars"][band]), np.isnan(b["vars"][band]))
+        m = np.isfinite(a["vars"][band])
+        assert (a["vars"][band][m] == b["vars"][band][m]).all()
+
+
+def test_netcdf4_phantom_dimension():
+    """A dimension-scale whose NAME carries the 'not a netCDF variable'
+    sentinel is a dim without a variable — in dims, not in vars."""
+    blob = write_hdf5({
+        "d0": {"data": np.zeros(5, dtype="<f4"), "attrs": {
+            "CLASS": "DIMENSION_SCALE",
+            "NAME": "This is a netCDF dimension but not a netCDF "
+                    "variable.         5"}},
+        "v": {"data": np.arange(5, dtype="<f8"),
+              "attrs": {"DIMENSION_LIST": RefList(["d0"])}},
+    })
+    nc = read_netcdf4(blob)
+    assert nc["dims"] == {"d0": 5}
+    assert set(nc["vars"]) == {"v"}
+
+
+def test_netcdf4_deflate_actually_compresses(tmp_path, spark):
+    cube = _mkcube(spark, chunk=(4, 6, 8))
+    p_raw = str(tmp_path / "raw.nc")
+    p_z = str(tmp_path / "z.nc")
+    write_netcdf4(cube, p_raw, deflate=0, shuffle=False)
+    write_netcdf4(cube, p_z, deflate=6, shuffle=True)
+    import os
+    assert os.path.getsize(p_z) < os.path.getsize(p_raw)
