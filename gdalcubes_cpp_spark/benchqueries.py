@@ -2976,26 +2976,43 @@ def cube_mask_band_decode(spark, sf_dir):
     return cube.reduce_time([("mean", "B1"), ("count", "B1")]).df
 
 
-@q(
-    "netcdf_roundtrip",
-    f"""
+_NC_RT_SQL = f"""
 WITH cells AS ({_CELLS_F_SQL})
 SELECT it, iy, ix, B1, B2 FROM cells
 WHERE B1 IS NOT NULL OR B2 IS NOT NULL
+"""
+
+
+@q(
+    "netcdf_roundtrip",
+    f"""
+SELECT 'cdf1' AS container, sub.* FROM ({_NC_RT_SQL}) sub
+UNION ALL
+SELECT 'nc4' AS container, sub.* FROM ({_NC_RT_SQL}) sub
 """,
 )
 def netcdf_roundtrip(spark, sf_dir):
-    """Single-file netCDF-3 classic container roundtrip (src/cube.cpp:736
-    write_netcdf_file + src/ncdf_cube.h:48-50 re-read) — pure-python CDF-1
-    writer/reader (sources/netcdf3.py), values byte-exact through the
-    container."""
+    """Single-file netCDF container roundtrip, BOTH formats the reference
+    writes (src/cube.cpp:871-873): classic CDF-1 (NC_CLASSIC_MODEL) and
+    netCDF-4/HDF5 (NC_NETCDF4 with chunked shuffle+deflate band variables,
+    nc_def_var_deflate src/cube.cpp:1011) — each written and re-read by
+    the pure-python spec implementations (sources/netcdf3.py,
+    sources/hdf5.py), values byte-exact through either container."""
     import tempfile
 
+    from .sources.hdf5 import write_netcdf4
     from .sources.netcdf3 import read_netcdf_cube, write_netcdf
 
-    path = tempfile.mktemp(suffix=".nc", prefix="gcs_")
-    write_netcdf(_formula_cube(spark), path)
-    return read_netcdf_cube(spark, path).df
+    cube = _formula_cube(spark)
+    p1 = tempfile.mktemp(suffix=".nc", prefix="gcs_")
+    write_netcdf(cube, p1)
+    a = read_netcdf_cube(spark, p1).df.select(
+        F.lit("cdf1").alias("container"), "*")
+    p4 = tempfile.mktemp(suffix=".nc", prefix="gcs_nc4_")
+    write_netcdf4(cube, p4, deflate=2, shuffle=True)
+    b = read_netcdf_cube(spark, p4).df.select(
+        F.lit("nc4").alias("container"), "*")
+    return a.unionAll(b)
 
 
 _GTIFF_RT_SQL = f"""
