@@ -596,15 +596,47 @@ _RECT_CELLS_SQL = f"""
 @q(
     "extract_geom",
     f"""
-SELECT fid, it, iy, ix, B1, B2 FROM ({_RECT_CELLS_SQL})
-WHERE B1 IS NOT NULL OR B2 IS NOT NULL
+WITH cells AS (
+  SELECT fid, it, iy, ix, B1, B2 FROM ({_RECT_CELLS_SQL})
+  WHERE B1 IS NOT NULL OR B2 IS NOT NULL
+)
+SELECT 'wkt' AS source, cells.* FROM cells
+UNION ALL SELECT 'geojson' AS source, cells.* FROM cells
+UNION ALL SELECT 'shp' AS source, cells.* FROM cells
 """,
 )
 def extract_geom(spark, sf_dir):
-    """extract_geom: feature -> (fid, t, bands) rows (src/extract_geom.cpp:220-520)."""
+    """extract_geom: feature -> (fid, t, bands) rows (src/extract_geom.cpp:
+    220-520), from THREE feature sources in one tagged union: the WKT
+    DataFrame, a GeoJSON file and a Shapefile(+dbf) — the reference opens
+    any OGR datasource (src/extract_geom.cpp:33-218); read_features is the
+    OGR-analog (vector/features.py), and all three must produce identical
+    rows."""
+    import tempfile
+
+    from .vector.features import read_features, write_geojson, write_shp
     from .vector.queries import extract_geom as eg
 
-    return eg(_formula_cube(spark), _rects_df(spark))
+    cube = _formula_cube(spark)
+    a = eg(cube, _rects_df(spark)).select(F.lit("wkt").alias("source"), "*")
+
+    gj = tempfile.mktemp(suffix=".geojson", prefix="gcs_")
+    write_geojson(gj, [(fid, w, {}) for fid, w in
+                       ((r["fid"], r["wkt"]) for r in _rects_df(spark).collect())])
+    b = eg(cube, read_features(spark, gj, view=cube.view)).select(
+        F.lit("geojson").alias("source"), "*")
+
+    base = tempfile.mktemp(prefix="gcs_shp_")
+    rows = sorted((r["fid"], r["wkt"]) for r in _rects_df(spark).collect())
+    write_shp(base, [w for _fid, w in rows],
+              attrs=[{"orig_fid": fid} for fid, _w in rows])
+    feats = read_features(spark, base + ".shp", view=cube.view)
+    # shapefile fids are record numbers; map back to the fixture's fids
+    feats = feats.select(
+        F.get_json_object("props", "$.orig_fid").cast("long").alias("fid"),
+        "wkt")
+    c = eg(cube, feats).select(F.lit("shp").alias("source"), "*")
+    return a.unionAll(b).unionAll(c)
 
 
 @q(
