@@ -3162,20 +3162,77 @@ def ann_approx_suite(spark, sf_dir):
 
 @q("images_multimodal", None)  # rows-only: binary-column multimodal surface
 def images_multimodal(spark, sf_dir):
-    """The multimodal family's driver entry: real image decode +
-    per-channel stats + perceptual hash via an Arrow-batched mapInPandas
-    over the synthetic encoded-bytes table (functions/image.py — the
-    audio/video arms are honest stubs sharing this plumbing). Value
-    exactness is pytest-gated (test_image_stats_and_thumbnails); no SQL
-    engine can replay an image codec, hence rows-only."""
-    from .functions.image import image_stats
+    """The multimodal family's driver entry, ALL THREE modalities with
+    real codecs in one tagged union: image decode + per-channel stats +
+    phash; WAV/PCM audio (sample counts + RMS); Motion-JPEG AVI video
+    (frame dims + luminance) — functions/image.py over sources/riff.py
+    and the T.81 codec. No SQL engine can replay a codec, hence
+    rows-only, but the query SELF-VERIFIES (r4 VERDICT #4): audio RMS
+    must equal the source signal's RMS exactly (PCM is lossless) and
+    video luminance must sit within the JPEG tolerance of the source
+    frames, both enforced in-query via assert_true — a semantic
+    regression fails the driver run instead of still returning rows.
+    Pixel exactness is additionally pytest-gated
+    (test_image_stats_and_thumbnails, test_audio_video_real_codecs)."""
+    import numpy as np
+    import pandas as pd
+
+    from .functions.image import (_synth_frame, audio_stats, fake_audio,
+                                  fake_video, image_stats, video_stats)
     from .synth import images_df
 
     imgs = images_df(spark, 400)
-    return image_stats(imgs).select(
-        "image_id", "w", "h", "channels",
-        F.round("mean_b1", 6).alias("mean_b1_r"), "phash",
+    a = image_stats(imgs).select(
+        F.lit("image").alias("kind"), F.col("image_id").alias("id"),
+        F.col("w").cast("long").alias("d1"), F.col("h").cast("long").alias("d2"),
+        F.col("channels").cast("long").alias("d3"),
+        F.round("mean_b1", 6).alias("v_r"),
+        F.col("phash").cast("string").alias("sig"),
     )
+
+    def _sig(seed, n=1024):
+        t = np.arange(n)
+        return (np.sin(t * (1 + seed % 17) * 0.01) * 10000).astype(np.int16)
+
+    seeds = list(range(40))
+    audio = spark.createDataFrame(pd.DataFrame({
+        "id": seeds,
+        "payload": [fake_audio(s) for s in seeds],
+        "want_rms": [float(np.sqrt(np.mean(_sig(s).astype(np.float64) ** 2)))
+                     for s in seeds],
+    }))
+    b = (audio_stats(audio.select("id", "payload"))
+         .join(audio.select("id", "want_rms"), "id")
+         .withColumn("_chk", F.assert_true(
+             F.abs(F.col("rms") - F.col("want_rms")) < F.lit(1e-9),
+             F.lit("audio RMS diverged from the lossless-PCM source")))
+         .select(F.lit("audio").alias("kind"), F.col("id").cast("string"),
+                 F.col("n_samples").cast("long").alias("d1"),
+                 F.col("rate").cast("long").alias("d2"),
+                 # assert_true returns NULL on success (raises otherwise);
+                 # folding it into an output column keeps it un-prunable
+                 (F.lit(1) + F.coalesce(F.col("_chk").cast("long"),
+                                        F.lit(0))).alias("d3"),
+                 F.round("rms", 6).alias("v_r"), F.lit("").alias("sig")))
+    vid = spark.createDataFrame(pd.DataFrame({
+        "id": seeds[:20],
+        "payload": [fake_video(s, n_frames=6, h=16, w=16) for s in seeds[:20]],
+        "want_lum": [float(np.stack([_synth_frame(s, f, 16, 16)
+                                     for f in range(6)]).astype(float).mean())
+                     for s in seeds[:20]],
+    }))
+    c = (video_stats(vid.select("id", "payload"))
+         .join(vid.select("id", "want_lum"), "id")
+         .withColumn("_chk", F.assert_true(
+             F.abs(F.col("mean_lum") - F.col("want_lum")) < F.lit(2.0),
+             F.lit("video luminance outside the MJPEG tolerance")))
+         .select(F.lit("video").alias("kind"), F.col("id").cast("string"),
+                 F.col("n_frames").cast("long").alias("d1"),
+                 F.col("h").cast("long").alias("d2"),
+                 (F.col("w").cast("long")
+                  + F.coalesce(F.col("_chk").cast("long"), F.lit(0))).alias("d3"),
+                 F.round("mean_lum", 6).alias("v_r"), F.lit("").alias("sig")))
+    return a.unionAll(b).unionAll(c)
 
 
 # ---------------------------------------------------------------------------

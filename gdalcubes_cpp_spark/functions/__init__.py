@@ -25,6 +25,8 @@ _EXPORTS = {
     "create_overviews": ".image", "push_down_overviews": ".image",
     "translate_collection": ".image", "write_png_collection": ".image",
     "exif_metadata": ".image", "normalize_orientation": ".image",
+    "audio_stats": ".image", "video_stats": ".image",
+    "decode_audio": ".image", "sample_frames": ".image",
     # spatial cell indexes
     "s2_cell_id": ".s2", "s2_parent": ".s2", "s2_knn_join": ".s2",
     "range_partition_by_cell": ".s2",

@@ -176,14 +176,42 @@ def test_image_stats_and_thumbnails(spark):
     assert arr.shape == (8, 8, 2)
 
 
-def test_audio_video_stub_plumbing(spark):
+def test_audio_video_real_codecs(spark):
+    """Round-5: the audio/video arms are REAL codecs (WAV/PCM +
+    MJPEG-AVI), value-gated — exact RMS for lossless PCM, per-frame
+    PSNR >= 40 dB for the Motion-JPEG roundtrip."""
+    import numpy as np
+
     pdf = pd.DataFrame({"id": [1, 2], "payload": [image.fake_audio(1), image.fake_audio(2)]})
     out = image.audio_stats(spark.createDataFrame(pdf)).toPandas()
-    assert len(out) == 2 and (out["rate"] == 16000).all() and (out["rms"] > 0).all()
+    assert len(out) == 2 and (out["rate"] == 16000).all()
+    # PCM is lossless: decoded RMS equals the source signal's RMS exactly
+    for seed in (1, 2):
+        t = np.arange(1024)
+        sig = (np.sin(t * (1 + seed % 17) * 0.01) * 10000).astype(np.int16)
+        want = float(np.sqrt(np.mean(sig.astype(np.float64) ** 2)))
+        got = float(out.set_index("id").loc[seed, "rms"])
+        assert got == want
+    # video: sampled frames come back within JPEG tolerance of the source
     frames = image.sample_frames(image.fake_video(5, n_frames=8), every=2)
-    assert frames.shape == (4, 16, 16)
-    with pytest.raises(NotImplementedError):
+    assert frames.shape[:3] == (4, 16, 16)
+    orig = np.stack([image._synth_frame(5, f, 16, 16) for f in range(8)])[::2]
+    dec = frames if frames.ndim == 3 else frames[..., 0]
+    for i in range(4):
+        mse = np.mean((orig[i].astype(float) - dec[i].astype(float)) ** 2)
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-12)) >= 40.0
+    vs = image.video_stats(
+        spark.createDataFrame(pd.DataFrame(
+            {"id": [7], "payload": [image.fake_video(7, n_frames=6, fps=12)]}))
+    ).toPandas()
+    assert (int(vs["n_frames"][0]), int(vs["h"][0]), int(vs["w"][0])) == (6, 16, 16)
+    want_lum = float(np.stack(
+        [image._synth_frame(7, f, 16, 16) for f in range(6)]).astype(float).mean())
+    assert abs(float(vs["mean_lum"][0]) - want_lum) < 2.0  # JPEG tolerance
+    with pytest.raises(ValueError):
         image.decode_audio(b"not audio bytes")
+    with pytest.raises(ValueError):
+        image.sample_frames(b"not video bytes")
 
 
 def test_create_overviews(spark):
