@@ -3146,17 +3146,43 @@ def ann_rp_lsh_pairs(spark, sf_dir):
 def ann_approx_suite(spark, sf_dir):
     """Folded rows-only suite: IVF top-k + RP-LSH near-dup pairs
     normalized to (kind, a, b, score_r) in one union — both approximate
-    by construction (recall/subset properties are pytest-gated:
-    test_ivf_recall, test_rp_lsh_pairs)."""
-    a = _DEFS["ann_ivf_topk"][0](spark, sf_dir).select(
-        F.lit("ivf_topk").alias("kind"), F.lit(0).cast("long").alias("a"),
-        F.col("vec_id").cast("long").alias("b"),
-        F.round("cos", 6).alias("score_r"),
-    )
-    b = _DEFS["ann_rp_lsh_pairs"][0](spark, sf_dir).select(
-        F.lit("rp_lsh").alias("kind"), F.col("vec_a").cast("long").alias("a"),
-        F.col("vec_b").cast("long").alias("b"), F.col("cos_r").alias("score_r"),
-    )
+    by construction, but SELF-VERIFYING (r4 VERDICT #4): the IVF arm
+    recomputes the EXACT top-k in the same query and assert_true's a
+    recall floor (observed deterministic recall is 0.5/0.4 at
+    sf0.01/0.1; floor 3/10 trips on a bucket-join regression, e.g.
+    recall 0), and every RP-LSH pair asserts its exact-cosine score
+    clears the threshold (the verify filter's precision contract).
+    Tighter recall/subset properties stay pytest-gated
+    (test_ivf_recall, test_rp_lsh_pairs)."""
+    from .functions.ann import cosine_topk
+
+    ivf = _DEFS["ann_ivf_topk"][0](spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = cosine_topk(emb, qv, k=10).select("vec_id")
+    hits = ivf.join(F.broadcast(exact), "vec_id", "left_semi").agg(
+        F.count("*").alias("hits"))
+    a = (ivf.crossJoin(F.broadcast(hits))
+         .withColumn("_chk", F.assert_true(
+             F.col("hits") >= F.lit(3),
+             F.lit("IVF recall collapsed below 3/10 vs the exact top-k")))
+         .select(
+             F.lit("ivf_topk").alias("kind"),
+             (F.lit(0) + F.coalesce(F.col("_chk").cast("long"),
+                                    F.lit(0))).alias("a"),
+             F.col("vec_id").cast("long").alias("b"),
+             F.round("cos", 6).alias("score_r")))
+    b = (_DEFS["ann_rp_lsh_pairs"][0](spark, sf_dir)
+         .withColumn("_chk", F.assert_true(
+             F.col("cos_r") >= F.lit(0.4) - F.lit(1e-6),
+             F.lit("RP-LSH emitted a pair below its cosine threshold")))
+         .select(
+             F.lit("rp_lsh").alias("kind"),
+             (F.col("vec_a").cast("long")
+              + F.coalesce(F.col("_chk").cast("long"), F.lit(0))).alias("a"),
+             F.col("vec_b").cast("long").alias("b"),
+             F.col("cos_r").alias("score_r")))
     return a.unionAll(b)
 
 
@@ -3539,17 +3565,22 @@ _fold("cube_srs_suite", "srs",  # every non-separable-SRS warp family
        ("aeqd", "cube_aeqd_mean"), ("eqc", "cube_eqc_mean")])
 @q("cube_decode_suite", None)  # rows-only: every real-byte decode path
 def cube_decode_suite(spark, sf_dir):
-    """Folded rows-only suite: all four real-decode paths — aggregating
-    resampler, plain PNG pipeline, simple_cube, separate-channel mask band
-    — normalized to (path, iy, ix, val) in one union. Pixel exactness per
-    member is pytest-gated (test_resampling / test_stjoin_build /
-    test_band_mask_scl_pattern); no SQL engine can replay a PNG codec."""
+    """Folded rows-only suite: all real-decode paths — aggregating
+    resampler, plain PNG pipeline, simple_cube, separate-channel mask band,
+    JPEG 2000, baseline/progressive JPEG — normalized to
+    (path, iy, ix, val) in one union. Pixel exactness per member is
+    pytest-gated (test_resampling / test_stjoin_build /
+    test_band_mask_scl_pattern); no SQL engine can replay a PNG codec.
+    SELF-VERIFYING arm (r4 VERDICT #4): the jp2 member's planes are the
+    closed formula ((31r + 17c + 1000k) mod 4999) near-gathered at source
+    pixel (2i+1, 2j+1), so every decoded cell assert_true's the formula
+    recomputed in-query — a decode/warp regression fails the driver run
+    instead of still returning rows."""
     parts = [
         ("average", "cube_average_decode", "B1_mean"),
         ("real", "cube_real_decode", "B1_mean"),
         ("simple", "simple_cube_decode", "B1"),
         ("mask_band", "cube_mask_band_decode", "B1_mean"),
-        ("jp2", "cube_jp2_decode", "B1"),
         ("jpegbase", "cube_jpegbase_decode", "B1"),
     ]
     out = None
@@ -3559,7 +3590,18 @@ def cube_decode_suite(spark, sf_dir):
             F.col(valcol).cast("double").alias("val"),
         )
         out = df if out is None else out.unionAll(df)
-    return out
+    jp2 = (_DEFS["cube_jp2_decode"][0](spark, sf_dir)
+           .withColumn("_want", F.expr(
+               "CAST(pmod((2*iy + 1)*31 + (2*ix + 1)*17 + it*1000, 4999) "
+               "AS DOUBLE)"))
+           .withColumn("_chk", F.assert_true(
+               F.col("B1") == F.col("_want"),
+               F.lit("jp2 decode diverged from the plane formula")))
+           .select(F.lit("jp2").alias("path"), "iy", "ix",
+                   (F.col("B1").cast("double")
+                    + F.coalesce(F.col("_chk").cast("double"),
+                                 F.lit(0.0))).alias("val")))
+    return out.unionAll(jp2)
 
 
 @q(
@@ -3628,16 +3670,46 @@ def tpch_suite(spark, sf_dir):
 def doc_near_dups_suite(spark, sf_dir):
     """Folded rows-only suite: full MinHash-LSH near-dup pipeline + bucketed
     SimHash hamming join (functions/dedup.py near_dups_minhash,
-    simhash_near_dups)."""
-    a = _DEFS["doc_near_dups_pipeline"][0](spark, sf_dir).select(
-        F.lit("minhash").alias("method"), "doc_a", "doc_b",
-        F.col("jaccard").cast("double").alias("score"),
-    )
-    b = _DEFS["doc_simhash_near_dups"][0](spark, sf_dir).select(
-        F.lit("simhash").alias("method"), "doc_a", "doc_b",
-        F.col("hamming").cast("double").alias("score"),
-    )
-    return a.unionAll(b)
+    simhash_near_dups) — SELF-VERIFYING (r4 VERDICT #4): every minhash
+    pair asserts exact-Jaccard >= its threshold and every simhash pair
+    asserts hamming <= its bound (the verify filters' precision
+    contracts), and an 'xcheck' arm cross-checks the two LSH schemes'
+    GUARANTEED overlap — a pair with Jaccard = 1 has identical shingle
+    sets, hence identical minhashes under ANY salt, so the r=2 pipeline
+    and the oracled r=1 doc_lsh_jaccard query must agree exactly on the
+    Jaccard-1 pair set; any symmetric-difference row trips assert_true
+    (the arm is empty when healthy, so suite row counts are unchanged)."""
+    a0 = _DEFS["doc_near_dups_pipeline"][0](spark, sf_dir)
+    a = (a0.withColumn("_chk", F.assert_true(
+            F.col("jaccard") >= F.lit(0.5) - F.lit(1e-9),
+            F.lit("minhash near-dup pair below its Jaccard threshold")))
+         .select(F.lit("minhash").alias("method"), "doc_a", "doc_b",
+                 (F.col("jaccard").cast("double")
+                  + F.coalesce(F.col("_chk").cast("double"),
+                               F.lit(0.0))).alias("score")))
+    b = (_DEFS["doc_simhash_near_dups"][0](spark, sf_dir)
+         .withColumn("_chk", F.assert_true(
+             F.col("hamming") <= F.lit(8),
+             F.lit("simhash pair above its hamming bound")))
+         .select(F.lit("simhash").alias("method"), "doc_a", "doc_b",
+                 (F.col("hamming").cast("double")
+                  + F.coalesce(F.col("_chk").cast("double"),
+                               F.lit(0.0))).alias("score")))
+    pipe1 = a0.filter(F.col("jaccard") >= 0.999999).select("doc_a", "doc_b")
+    lsh1 = (_DEFS["doc_lsh_jaccard"][0](spark, sf_dir)
+            .filter(F.col("jaccard") >= 0.999999).select("doc_a", "doc_b"))
+    diff = (pipe1.join(lsh1, ["doc_a", "doc_b"], "left_anti")
+            .unionAll(lsh1.join(pipe1, ["doc_a", "doc_b"], "left_anti")))
+    xcheck = diff.select(
+        F.lit("xcheck").alias("method"), "doc_a", "doc_b",
+        F.coalesce(
+            # row-dependent always-false condition: assert_true(lit(False))
+            # would constant-fold and raise at PLAN time even with 0 rows
+            F.assert_true(F.col("doc_a") != F.col("doc_a"),
+                          F.lit("Jaccard-1 pair sets diverged between the "
+                                "r=1 and r=2 LSH schemes")).cast("double"),
+            F.lit(-1.0)).alias("score"))
+    return a.unionAll(b).unionAll(xcheck)
 
 
 @q(
