@@ -218,3 +218,93 @@ def test_decontaminate_plan_no_text_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for m in re.finditer(r"\(\d+\) Exchange\n(Input.*)", plan):
         assert "text" not in m.group(1), m.group(1)
+
+
+def test_json_plan_full_registry(spark, tmp_path):
+    """r4 VERDICT #5 — registry parity with cube_factory
+    (src/cube_factory.cpp:86+): one pipeline spec exercising join_bands
+    (nested sub-plan), window_space, filter_geom, select/rename, masks at
+    the source, and the extract/sink terminals."""
+    from gdalcubes_cpp_spark.plans.jsonplan import run_plan
+
+    v = view_small(nx=20, ny=20, chunk_size=(4, 10, 10))
+    vj = json.loads(v.to_json())
+    base = {"source": {"kind": "formula", "view": vj,
+                       "bands_exprs": {"B1": "CAST((it + iy + ix) % 7 AS DOUBLE)"}}}
+    other = {"source": {"kind": "formula", "view": vj,
+                        "bands_exprs": {"B1": "CAST(it AS DOUBLE)"}}}
+    plan = dict(base)
+    plan["ops"] = [
+        {"op": "join_bands", "others": [other]},           # X1_B1, X2_B1
+        {"op": "rename_bands", "mapping": {"X1.B1": "A", "X2.B1": "T"}},
+        {"op": "apply_pixel", "exprs": {"S": "A + T"}, "keep_bands": True},
+        {"op": "select_bands", "bands": ["A", "S"]},
+        {"op": "window_space", "window": [1, 1],
+         "reducers": [["mean", "A"], ["max", "S"]]},
+        {"op": "filter_geom",
+         "wkt": "POLYGON ((-11.0 19.0, -9.0 19.0, -9.0 21.0, -11.0 21.0, -11.0 19.0))"},
+        {"op": "reduce_time", "reducers": [["mean", "A_mean"], ["max", "S_max"]]},
+    ]
+    cube = run_plan(spark, plan)
+    assert cube.bands == ("A_mean_mean", "S_max_max")
+    n = cube.df.count()
+    assert n > 0
+
+    # extract terminal: inline features AND a vector file
+    eplan = dict(base)
+    eplan["extract"] = {"kind": "extract_geom", "features": [
+        {"fid": 1, "wkt": "POLYGON ((-11.0 19.0, -10.0 19.0, -10.0 20.0, "
+                          "-11.0 20.0, -11.0 19.0))"}]}
+    got = run_plan(spark, eplan)
+    assert got.count() > 0 and "fid" in got.columns
+
+    from gdalcubes_cpp_spark.vector.features import write_geojson
+
+    gj = str(tmp_path / "f.geojson")
+    write_geojson(gj, [(1, eplan["extract"]["features"][0]["wkt"], {})])
+    eplan2 = dict(base)
+    eplan2["extract"] = {"kind": "zonal_statistics", "features_path": gj,
+                         "stats": ["mean", "count"]}
+    z = run_plan(spark, eplan2)
+    assert z.count() > 0 and "B1_mean" in z.columns
+
+    # sink terminals round-trip through the containers
+    from gdalcubes_cpp_spark.sources.netcdf3 import read_netcdf_cube
+
+    for sink in ({"kind": "netcdf", "path": str(tmp_path / "c3.nc")},
+                 {"kind": "netcdf4", "path": str(tmp_path / "c4.nc"),
+                  "deflate": 2}):
+        splan = dict(base)
+        splan["sink"] = sink
+        p = run_plan(spark, splan)
+        back = read_netcdf_cube(spark, p)
+        ref = run_plan(spark, base)
+        a, b = back.collect_dense(), ref.collect_dense()
+        m = np.isfinite(b)
+        assert np.array_equal(np.isnan(a), np.isnan(b)) and (a[m] == b[m]).all()
+
+    # packed sink + chunks sink execute and land files
+    splan = dict(base)
+    splan["sink"] = {"kind": "packed", "path": str(tmp_path / "packed"),
+                     "packing": {"type": "int16", "scale": [0.5],
+                                 "offset": [0.0], "nodata": [-32768]}}
+    import os
+    assert os.path.exists(run_plan(spark, splan))
+    splan["sink"] = {"kind": "chunks", "path": str(tmp_path / "chunks")}
+    assert os.path.exists(run_plan(spark, splan) + "/cube.json")
+
+    # masks ride the source spec
+    mplan = {"source": {"kind": "synth", "n": 120, "view": vj,
+                        "bands": ["B1"],
+                        "mask": {"kind": "band", "channel": 1,
+                                 "vmin": 0, "vmax": 9}},
+             "ops": [{"op": "reduce_time", "reducers": [["count", "B1"]]}]}
+    mc = run_plan(spark, mplan)
+    assert mc.df.count() > 0
+
+    # terminal exclusivity is enforced
+    bad = dict(base)
+    bad["extract"] = {"kind": "extract_geom", "features": []}
+    bad["sink"] = {"kind": "chunks", "path": str(tmp_path / "x")}
+    with pytest.raises(ValueError, match="one terminal"):
+        run_plan(spark, bad)
