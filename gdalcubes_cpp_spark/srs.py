@@ -139,6 +139,14 @@ def _proj4_towgs84(kv: dict, s: str):
     """7-tuple (tx,ty,tz,rx",ry",rz",ds_ppm) from +towgs84=, or None.
     3-param form pads zero rotations/scale (the EPSG geocentric
     translation special case)."""
+    ng = kv.get("nadgrids")
+    if ng not in (None, True) and str(ng) not in ("@null", "null"):
+        # NTv2 grid-shift file(s): PROJ semantics give +nadgrids=
+        # precedence over +towgs84=. The tag rides the helm slot; the
+        # datum stage dispatches on it (sources/ntv2.py). Only the first
+        # grid of a comma list is used ('@' optional-prefixes stripped).
+        path = str(ng).split(",")[0].lstrip("@")
+        return ("ntv2", path)
     tw = kv.get("towgs84")
     if tw in (None, True):
         return None
@@ -1075,10 +1083,18 @@ def _e2_of(a: float, inv_f: float) -> float:
     return f * (2.0 - f)
 
 
+def _is_ntv2(helm) -> bool:
+    return isinstance(helm, tuple) and len(helm) == 2 and helm[0] == "ntv2"
+
+
 def _helm_consts(helm):
     """(tx, ty, tz, rx, ry, rz, m) with rotations in radians and the scale
     factor applied — precomputed python floats so numpy and SQL consume
     identical literals."""
+    if _is_ntv2(helm):
+        raise ValueError(
+            "NTv2 grid-shift datums have no closed-form SQL mirror; "
+            "grid-shifted SRS keys cannot join the oracled families")
     tx, ty, tz, rxs, rys, rzs, ds = helm
     return (tx, ty, tz, rxs * _AS2RAD, rys * _AS2RAD, rzs * _AS2RAD,
             1.0 + ds * 1e-6)
@@ -1133,14 +1149,25 @@ def xyz_to_wgs84_geodetic(X, Y, Z):
 
 def datum_to_wgs84(lon_deg, lat_deg, a: float, e2: float, helm):
     """Source-datum geodetic -> WGS84 geodetic (degrees); the op order the
-    SQL mirrors replay stage by stage."""
+    SQL mirrors replay stage by stage. An NTv2 helm tag applies the grid
+    shift geodetically instead (the grid IS the datum transformation —
+    no XYZ stage, per the NTv2 Developer's Guide)."""
+    if _is_ntv2(helm):
+        from .sources.ntv2 import grid_shift
+
+        return grid_shift(helm[1]).forward(lon_deg, lat_deg)
     X, Y, Z = geodetic_to_xyz(lon_deg, lat_deg, a, e2)
     return xyz_to_wgs84_geodetic(*helmert_forward(X, Y, Z, helm))
 
 
 def wgs84_to_datum(lon_deg, lat_deg, a: float, e2: float, helm):
     """WGS84 geodetic -> source-datum geodetic (degrees). The target-side
-    geodetic conversion uses Bowring with the SOURCE ellipsoid."""
+    geodetic conversion uses Bowring with the SOURCE ellipsoid. An NTv2
+    helm tag iterates the grid shift (the Guide's inverse)."""
+    if _is_ntv2(helm):
+        from .sources.ntv2 import grid_shift
+
+        return grid_shift(helm[1]).inverse(lon_deg, lat_deg)
     X, Y, Z = geodetic_to_xyz(lon_deg, lat_deg, A_WGS84, E2)
     u, v, w = helmert_inverse(X, Y, Z, helm)
     b = a * math.sqrt(1.0 - e2)
