@@ -36,12 +36,13 @@ import bench
 cores = int(sys.argv[1])
 n = int(sys.argv[2])
 path = sys.argv[3]
+method = sys.argv[5] if len(sys.argv) > 5 else "auto"
 spark = get_spark(app=f"scaling-{{cores}}", cores=cores, shuffle_partitions=max(cores, 8))
 bench.warmup(spark)
 best = None
 for _ in range(int(sys.argv[4])):
     t0 = time.time()
-    rows = bench.images_pipeline(spark, n, path=path)
+    rows = bench.images_pipeline(spark, n, path=path, method=method)
     w = time.time() - t0
     best = w if best is None else min(best, w)
 print(json.dumps({{"cores": cores, "wall_s": best, "rows": rows}}))
@@ -49,14 +50,57 @@ spark.stop()
 """
 
 
-def run_level(cores: int, path: str, reps: int) -> dict:
+def run_level(cores: int, path: str, reps: int, n: int | None = None,
+              method: str = "auto") -> dict:
     code = CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(N), path, str(reps)],
+        [sys.executable, "-c", code, str(cores), str(n or N), path,
+         str(reps), method],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def _cooldown(limit: float = 3.0, max_wait: int = 360) -> float:
+    import time as _time
+
+    waited = 0
+    while os.getloadavg()[0] > limit and waited < max_wait:
+        _time.sleep(20)
+        waited += 20
+    return os.getloadavg()[0]
+
+
+# st_join strategies to evidence separately (r4 VERDICT #9): the cell
+# strategies recommended at 100 TB, where neither side broadcasts. One
+# cooled-down (lo, hi) pair each at a reduced N (their cover UDF costs
+# more per image; the auto flagship above carries the median-of-5 story).
+STRATEGIES = ("s2", "hex")
+N_STRAT = int(os.environ.get("SPARK_GRAFT_SCALING_STRAT_IMAGES", "1600000"))
+
+
+def run_strategies(path: str) -> dict:
+    out = {}
+    for m in STRATEGIES:
+        la0 = _cooldown()
+        lo = run_level(LO, path, 2, n=N_STRAT, method=m)
+        hi = run_level(HI, path, 3, n=N_STRAT, method=m)
+        ips_lo = N_STRAT / lo["wall_s"]
+        ips_hi = N_STRAT / hi["wall_s"]
+        eff = (ips_hi / ips_lo) / (HI / LO)
+        out[m] = {
+            "n_images": N_STRAT,
+            "lo_wall_s": round(lo["wall_s"], 2),
+            "hi_wall_s": round(hi["wall_s"], 2),
+            "lo_images_per_sec": round(ips_lo, 1),
+            "hi_images_per_sec": round(ips_hi, 1),
+            "efficiency": round(eff, 3),
+            "rows_equal": lo["rows"] == hi["rows"],
+            "loadavg_start": round(la0, 1),
+        }
+        print(f"strategy {m}: eff={eff:.3f}", flush=True)
+    return out
 
 
 def main() -> None:
@@ -66,6 +110,7 @@ def main() -> None:
 
     spark = get_spark(app="scaling-prep", cores=HI)
     path = bench.materialize_images(spark, N)
+    path_strat = bench.materialize_images(spark, N_STRAT)
     spark.stop()
 
     # median-of-TRIALS full (lo, hi) pairs, fresh JVM per level per trial:
@@ -117,6 +162,7 @@ def main() -> None:
         "rows_lo": trials[0]["rows"], "rows_hi": trials[0]["rows"],
         "rows_equal": all(tr["rows_equal"] for tr in trials),
     }
+    result["strategies"] = run_strategies(path_strat)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
@@ -150,6 +196,19 @@ best {result['efficiency_best']}; per-trial {[t['efficiency'] for t in result['t
 Output row count identical at both levels: {result['rows_equal']}
 ({result['rows_lo']} rows) — the correctness-at-both-sizes gate.
 
+### Per-join-strategy scaling (the 100 TB cell strategies)
+
+Same probe, one cooled-down (lo, hi) pair per st_join method at
+{N_STRAT:,} images (the flagship's 'auto' above carries the
+median-of-{TRIALS} evidence):
+
+| method | local[{LO}] wall s | local[{HI}] wall s | efficiency | rows equal |
+|---|---|---|---|---|
+""" + "".join(
+        f"| {m} | {s['lo_wall_s']} | {s['hi_wall_s']} | {s['efficiency']} "
+        f"| {s['rows_equal']} |\n"
+        for m, s in result["strategies"].items()) + f"""
+
 Caveats: single machine, shared page cache/memory bus — a real 4x-executor
 cluster adds network shuffle but also 4x memory bandwidth; the pipeline's
 only wide exchange is the final per-cell aggregation (map-side combined),
@@ -162,6 +221,30 @@ The reference (appelmar/gdalcubes_cpp) publishes no benchmark numbers
 HTTP with no resume (src/swarm.cpp:265-297). Our engine distributes via
 Spark partitions, pushes aggregation map-side, and checkpoints lineage
 per partition (gdalcubes_cpp_spark/ckpt.py).
+"""
+    q5 = os.path.join(REPO, "BENCH", "quiet_r5.json")
+    if os.path.exists(q5):
+        with open(q5) as f:
+            lines = [json.loads(l) for l in f if l.strip().startswith("{")]
+        if lines:
+            b = lines[-1]
+            if "images_per_sec_codec" in b:
+                md += f"""
+## Flagship throughput: memcpy-payload vs codec-in-the-loop
+
+| variant | images | images/sec |
+|---|---|---|
+| flagship (stand-in payloads) | {b['n_images']:,} | {b['images_per_sec']:,} |
+| codec-in-the-loop (real baseline JPEG, from-spec python codec) | {b['n_images_codec']:,} | {b['images_per_sec_codec']:,} |
+
+Policy (r4 VERDICT #7): the flagship table uses memcpy-speed stand-in
+payloads ON PURPOSE — it measures the ENGINE (join + tile + aggregate),
+not a pure-Python codec. The codec-in-the-loop sibling is the honest
+end-to-end number with sources/jpegbase.py decoding every image inside
+the scan; in production the decode kernel swaps to libjpeg-turbo (a
+C library, ~100x this python codec), moving the end-to-end number back
+toward the engine figure. Both are recorded each round in
+BENCH/quiet_r5.json / BENCH_r05.json.
 """
     extra = os.path.join(REPO, "BENCH", "BASELINE_EXTRA.md")
     if os.path.exists(extra):
