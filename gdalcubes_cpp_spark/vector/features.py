@@ -378,12 +378,57 @@ def write_geojson(path: str, rows: list[tuple], srs_note: str | None = None) -> 
 
 # ------------------------------------------------------------ Spark entry
 
-def _parse_one(path: str) -> tuple[list[tuple], str | None]:
+def gpkg_rows(path: str, layer: str | None = None) -> tuple[list[tuple], str | None]:
+    """GeoPackage feature layer -> ([(fid, wkt, props_json)], srs).
+    Geometry blobs decode through the from-spec GeoPackageBinary/WKB
+    parser (vector/gpkg.py); non-geometry columns ride as props. The
+    layer defaults to the first entry of gpkg_geometry_columns."""
+    import sqlite3
+
+    from .gpkg import GPKG_APP_ID, _wkt_of, read_gpkg_geom_blob
+
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        (app_id,) = cur.execute("PRAGMA application_id").fetchone()
+        if app_id != GPKG_APP_ID:
+            raise ValueError("not a GeoPackage (application_id mismatch)")
+        gcs = cur.execute(
+            "SELECT table_name, column_name, srs_id FROM gpkg_geometry_columns"
+            " ORDER BY table_name").fetchall()
+        if not gcs:
+            raise ValueError("GeoPackage holds no feature layers")
+        if layer is not None:
+            gcs = [g for g in gcs if g[0] == layer]
+            if not gcs:
+                raise ValueError(f"no GeoPackage layer {layer!r}")
+        tname, gcol, srs_id = gcs[0]
+        cols = [r[1] for r in cur.execute(f'PRAGMA table_info("{tname}")')]
+        attr_cols = [c for c in cols if c not in (gcol, "fid")]
+        sel = ", ".join(f'"{c}"' for c in ["fid", gcol] + attr_cols)
+        rows = []
+        for rec in cur.execute(f'SELECT {sel} FROM "{tname}" ORDER BY fid'):
+            fid, blob = rec[0], rec[1]
+            if blob is None:
+                continue
+            kind, g, _bsrs = read_gpkg_geom_blob(bytes(blob))
+            props = json.dumps(dict(zip(attr_cols, rec[2:])), sort_keys=True,
+                               default=str)
+            rows.append((int(fid), _wkt_of(kind, g), props))
+    finally:
+        con.close()
+    srs = f"EPSG:{srs_id}" if srs_id and srs_id > 0 else None
+    return rows, srs
+
+
+def _parse_one(path: str, layer: str | None = None) -> tuple[list[tuple], str | None]:
     """-> (rows, srs_or_None) for one vector file."""
     low = path.lower()
     if low.endswith((".json", ".geojson")):
         with open(path, "rb") as f:
             return geojson_rows(f.read()), "EPSG:4326"
+    if low.endswith(".gpkg"):
+        return gpkg_rows(path, layer=layer)
     if low.endswith(".shp"):
         with open(path, "rb") as f:
             shp = f.read()
@@ -401,7 +446,7 @@ def _parse_one(path: str) -> tuple[list[tuple], str | None]:
                 srs = _srs_from_prj(f.read())
         return shp_rows(shp, dbf), srs
     raise ValueError(f"unrecognized vector file {path!r} "
-                     "(.geojson/.json/.shp supported)")
+                     "(.geojson/.json/.shp/.gpkg supported)")
 
 
 def _srs_from_prj(wkt: str) -> str | None:
@@ -421,7 +466,7 @@ _FEATURES_SCHEMA = "fid bigint, wkt string, props string"
 
 
 def read_features(spark, paths, srs: str | None = None, view=None,
-                  densify_n: int = 16):
+                  densify_n: int = 16, layer: str | None = None):
     """Vector file(s) -> features DataFrame (``fid``, ``wkt``, ``props``)
     ready for extract_geom / zonal_statistics / filter_geom.
 
@@ -436,7 +481,7 @@ def read_features(spark, paths, srs: str | None = None, view=None,
     from pyspark.sql import functions as F
 
     if isinstance(paths, str):
-        rows, detected = _parse_one(paths)
+        rows, detected = _parse_one(paths, layer=layer)
         df = spark.createDataFrame(
             pd.DataFrame(rows, columns=["fid", "wkt", "props"]),
             _FEATURES_SCHEMA)
@@ -446,7 +491,7 @@ def read_features(spark, paths, srs: str | None = None, view=None,
         def run(batches):
             for b in batches:
                 for p in b["path"]:
-                    rows, f_srs = _parse_one(p)
+                    rows, f_srs = _parse_one(p, layer=layer)
                     if rows:
                         # 40-bit path hash << 20: globally-unique fids
                         # that still fit the signed int64 column

@@ -239,3 +239,53 @@ def test_read_features_reprojects_to_view(spark, tmp_path):
     write_geojson(gj, [(1, "POINT (9.0 48.0)", {})])
     got = read_features(spark, gj, view=v).collect()[0]
     assert got.wkt == "POINT (9.0 48.0)"
+
+
+def test_read_features_gpkg(spark, tmp_path):
+    """GeoPackage feature layers (the modern OGR default) read through
+    the from-spec GeoPackageBinary/WKB parser: fid + geometry + attribute
+    columns as props, SRS from gpkg_geometry_columns."""
+    import sqlite3
+
+    from gdalcubes_cpp_spark.vector.gpkg import GPKG_APP_ID, gpkg_geom_blob
+    from gdalcubes_cpp_spark.vector.queries import extract_geom
+
+    p = str(tmp_path / "zones.gpkg")
+    con = sqlite3.connect(p)
+    cur = con.cursor()
+    cur.execute(f"PRAGMA application_id = {GPKG_APP_ID}")
+    cur.execute("CREATE TABLE gpkg_geometry_columns (table_name TEXT, "
+                "column_name TEXT, geometry_type_name TEXT, srs_id INTEGER, "
+                "z TINYINT, m TINYINT)")
+    cur.execute("INSERT INTO gpkg_geometry_columns VALUES "
+                "('zones','geom','GEOMETRY',4326,0,0)")
+    cur.execute("CREATE TABLE zones (fid INTEGER PRIMARY KEY, geom BLOB, "
+                "name TEXT, score DOUBLE)")
+    wkts = {1: "POLYGON ((1.0 1.0, 4.0 1.0, 4.0 3.0, 1.0 3.0, 1.0 1.0))",
+            2: "POLYGON ((5.0 2.0, 7.0 2.0, 7.0 5.0, 5.0 5.0, 5.0 2.0))"}
+    for fid, w in wkts.items():
+        cur.execute("INSERT INTO zones VALUES (?,?,?,?)",
+                    (fid, gpkg_geom_blob(w), f"z{fid}", fid * 1.5))
+    con.commit()
+    con.close()
+
+    feats = read_features(spark, p)
+    rows = {r.fid: r for r in feats.collect()}
+    assert set(rows) == {1, 2}
+    probes = [(2.0, 2.0), (6.0, 3.0), (0.1, 0.1)]
+    for fid in (1, 2):
+        assert _containment(rows[fid].wkt, probes) == \
+            _containment(wkts[fid], probes)
+        assert json.loads(rows[fid].props) == {"name": f"z{fid}",
+                                               "score": fid * 1.5}
+    # drives extract_geom identically to the in-memory WKT table
+    import pandas as pd
+
+    cube = _mini_cube(spark)
+    ref = spark.createDataFrame(pd.DataFrame(
+        [(k, v) for k, v in wkts.items()], columns=["fid", "wkt"]))
+    want = sorted(map(tuple, extract_geom(cube, ref).collect()))
+    got = sorted(map(tuple, extract_geom(cube, feats).collect()))
+    assert got == want and want
+    with pytest.raises(ValueError, match="no GeoPackage layer"):
+        read_features(spark, p, layer="nope")
