@@ -58,6 +58,7 @@ UNDEF = 0xFFFFFFFFFFFFFFFF
 # filter ids (spec III.A.1 / registered filters)
 FILT_DEFLATE = 1
 FILT_SHUFFLE = 2
+FILT_FLETCHER32 = 3
 
 _M32 = 0xFFFFFFFF
 
@@ -314,19 +315,26 @@ def _chunk_grid(shape, chunks):
     return grid
 
 
-def _encode_chunks(data: np.ndarray, chunks, deflate, shuffle, fill):
+def _encode_chunks(data: np.ndarray, chunks, deflate, shuffle, fill,
+                   fletcher32: bool = False):
     """-> list of (offset_tuple, raw_bytes) with full-size edge chunks
-    padded by ``fill`` (spec: chunks are always whole)."""
+    padded by ``fill`` (spec: chunks are always whole). Pipeline order on
+    write matches the message: fletcher32 (checksum appended) -> shuffle
+    (trailer passes through unshuffled) -> deflate."""
     out = []
+    itemsize = data.dtype.itemsize
     for off in _chunk_grid(data.shape, chunks):
         sl = tuple(slice(o, min(o + c, s)) for o, c, s in zip(off, chunks, data.shape))
         block = np.full(chunks, fill, dtype=data.dtype)
         piece = data[sl]
         block[tuple(slice(0, p) for p in piece.shape)] = piece
         raw = block.tobytes()
+        if fletcher32:
+            raw = raw + _fletcher32(raw).to_bytes(4, "little")
         if shuffle:
-            raw = block.reshape(-1).view(np.uint8).reshape(
-                -1, data.dtype.itemsize).T.tobytes()
+            n = (len(raw) // itemsize) * itemsize
+            head = np.frombuffer(raw[:n], np.uint8).reshape(-1, itemsize)
+            raw = head.T.tobytes() + raw[n:]
         if deflate is not None:
             raw = zlib.compress(raw, deflate)
         out.append((off, raw))
@@ -431,11 +439,14 @@ def _dataset_messages(name, spec, w: _Writer, gheap: _GHeap, ds_ver: int):
     chunks = spec.get("chunks")
     deflate = spec.get("deflate")
     shuffle = bool(spec.get("shuffle"))
+    fletcher = bool(spec.get("fletcher32"))
     if chunks is not None:
         if npdt is None:
             raise ValueError("chunked string datasets not supported")
         chunks = tuple(min(c, s) for c, s in zip(chunks, shape))
         filters = []
+        if fletcher:
+            filters.append((FILT_FLETCHER32, []))
         if shuffle:
             filters.append((FILT_SHUFFLE, [npdt.itemsize]))
         if deflate is not None:
@@ -451,7 +462,7 @@ def _dataset_messages(name, spec, w: _Writer, gheap: _GHeap, ds_ver: int):
             msgs.append((0x000B, lambda a, b=fb: b, len(fb)))
         entries = _encode_chunks(
             data, chunks, deflate if deflate is not None else None, shuffle,
-            fill if fill is not None else 0)
+            fill if fill is not None else 0, fletcher32=fletcher)
         root = _btree1_chunks(w, f"ds:{name}", entries, chunks, shape,
                               npdt.itemsize)
 
@@ -917,11 +928,45 @@ def _apply_filters(raw: bytes, filters, itemsize: int, fmask: int) -> bytes:
             raw = zlib.decompress(raw)
         elif fid == FILT_SHUFFLE:
             sz = cd[0] if cd else itemsize
-            arr = np.frombuffer(raw, np.uint8).reshape(sz, -1)
-            raw = arr.T.tobytes()
+            n = (len(raw) // sz) * sz
+            arr = np.frombuffer(raw[:n], np.uint8).reshape(sz, -1)
+            # spec: leftover bytes (e.g. a fletcher32 trailer filtered
+            # earlier in the pipeline) pass through unshuffled
+            raw = arr.T.tobytes() + raw[n:]
+        elif fid == FILT_FLETCHER32:
+            # checksum filter (nc_def_var_fletcher32): 4 trailing bytes —
+            # the Fletcher-32 of the payload, verified then stripped
+            if len(raw) < 4:
+                raise ValueError("fletcher32 chunk shorter than its checksum")
+            payload, trailer = raw[:-4], raw[-4:]
+            got = _fletcher32(payload)
+            # accept either trailer byte order (encoders differ; our
+            # writer emits little-endian)
+            if got not in (int.from_bytes(trailer, "little"),
+                           int.from_bytes(trailer, "big")):
+                raise ValueError("fletcher32 checksum mismatch (corrupt chunk)")
+            raw = payload
         else:
             raise NotImplementedError(f"unsupported filter id {fid}")
     return raw
+
+
+def _fletcher32(data: bytes) -> int:
+    """Fletcher-32 over 16-bit little-endian words (libhdf5's
+    H5_checksum_fletcher32; odd trailing byte zero-padded)."""
+    if len(data) % 2:
+        data = data + b"\x00"
+    words = np.frombuffer(data, "<u2").astype(np.uint64)
+    s1 = np.uint64(0)
+    s2 = np.uint64(0)
+    # block the sums so they never overflow before folding (libhdf5 folds
+    # every 360 words; 2**64 headroom lets us fold once per 2**20 block)
+    for i in range(0, len(words), 1 << 20):
+        blk = words[i:i + (1 << 20)]
+        c1 = np.cumsum(blk, dtype=np.uint64)
+        s2 = (s2 + np.uint64(len(blk)) * s1 + np.sum(c1, dtype=np.uint64)) % np.uint64(65535)
+        s1 = (s1 + np.sum(blk, dtype=np.uint64)) % np.uint64(65535)
+    return int((s2 << np.uint64(16)) | s1)
 
 
 def _decode_filter_pipeline(body: bytes):
@@ -959,12 +1004,25 @@ def _decode_filter_pipeline(body: bytes):
     return filters
 
 
+def _check_attr_info(body: bytes) -> None:
+    """Attribute info message (0x0015): attributes moved to DENSE storage
+    (fractal heap) would otherwise be SILENTLY missing — refuse instead."""
+    flags = body[1]
+    pos = 2 + (2 if flags & 0x01 else 0)
+    (fheap,) = struct.unpack_from("<Q", body, pos)
+    if fheap != UNDEF:
+        raise NotImplementedError(
+            "dense (fractal heap) attribute storage not supported")
+
+
 def _read_dataset(r: _R, msgs):
     shape, dt, filters = None, None, []
     layout = None
     attrs = {}
     fill = None
     for mtype, body in msgs:
+        if mtype == 0x0015:
+            _check_attr_info(body)
         if mtype == 0x0001:
             shape = _decode_dataspace(body)
         elif mtype == 0x0003:
@@ -1143,6 +1201,8 @@ def read_hdf5(src) -> dict:
         is_group = any(m[0] in (0x0011, 0x0002, 0x0006) for m in msgs)
         has_layout = any(m[0] == 0x0008 for m in msgs)
         for mtype, body in msgs:
+            if mtype == 0x0015:
+                _check_attr_info(body)
             if mtype == 0x000C and (is_group or not has_layout):
                 name, val = _decode_attr_v3(r, body)
                 into_attrs[name] = val
