@@ -1252,11 +1252,15 @@ def read_netcdf4(src) -> dict:
     gatts = {k: v for k, v in h["attrs"].items()
              if not k.startswith("_NCProperties")}
     out_vars = {}
+    var_atts = {}
+    _machinery = {"CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST",
+                  "_Netcdf4Dimid", "_Netcdf4Coordinates"}
     for name, ds in h["datasets"].items():
         a = ds["attrs"]
         if a.get("CLASS") == "DIMENSION_SCALE" and str(
                 a.get("NAME", "")).startswith(_PHANTOM):
             continue                                       # phantom dim
+        var_atts[name] = {k: v for k, v in a.items() if k not in _machinery}
         data = ds["data"]
         if ds["dtype"] is None:                            # string scalar
             out_vars[name] = data
@@ -1272,7 +1276,8 @@ def read_netcdf4(src) -> dict:
         elif arr.dtype.kind == "f":
             arr = arr.astype(np.float64)
         out_vars[name] = arr
-    return {"dims": dims, "gatts": gatts, "vars": out_vars}
+    return {"dims": dims, "gatts": gatts, "vars": out_vars,
+            "var_atts": var_atts}
 
 
 def write_netcdf4(cube, path: str, packing: dict | None = None,

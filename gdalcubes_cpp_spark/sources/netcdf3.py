@@ -406,7 +406,12 @@ def read_netcdf(path: str) -> dict:
                       (slab_bytes(h[1], h[3]) for h in rec_vars))
 
     out = {}
+    var_atts = {}
     for name, dimids, _atts, nc_type, begin in hdrs:
+        var_atts[name] = {
+            k: (v if isinstance(v, str) else np.asarray(v))
+            for k, v in _atts.items()
+        }
         is_rec = rec_dim is not None and dimids[:1] == [rec_dim]
         if is_rec:
             slab = slab_bytes(dimids, nc_type)
@@ -434,20 +439,86 @@ def read_netcdf(path: str) -> dict:
     dims_out = dict(dims)
     if rec_dim is not None:
         dims_out[dims[rec_dim][0]] = numrecs
-    return {"dims": dims_out, "gatts": gatts, "vars": out}
+    return {"dims": dims_out, "gatts": gatts, "vars": out,
+            "var_atts": var_atts}
+
+
+def view_from_cf(nc: dict):
+    """Reconstruct a CubeView from CF metadata alone — the shape of a
+    FOREIGN gdalcubes export (the reference writes Conventions/source +
+    coordinate variables, src/cube.cpp:903-1001, but no engine-private
+    view attribute): extent from the x/y cell-center coordinates (uniform
+    spacing), the time axis from the CF ``units`` epoch ("<unit> since
+    <iso>") plus the stored offsets, SRS from the ``srs`` global
+    attribute or the CF grid-mapping variable's ``spatial_ref``."""
+    import re as _re
+    from datetime import timedelta
+
+    from ..view import CubeView
+
+    xs = np.asarray(nc["vars"]["x"], dtype=np.float64)
+    ys = np.asarray(nc["vars"]["y"], dtype=np.float64)
+    if len(xs) < 1 or len(ys) < 1:
+        raise ValueError("CF reconstruction needs x/y coordinate variables")
+    dx = float(xs[1] - xs[0]) if len(xs) > 1 else 1.0
+    dy = float(ys[0] - ys[1]) if len(ys) > 1 else 1.0   # y descends (north up)
+    left, right = float(xs[0] - dx / 2), float(xs[-1] + dx / 2)
+    top, bottom = float(ys[0] + dy / 2), float(ys[-1] - dy / 2)
+
+    tvals = np.asarray(nc["vars"]["time"], dtype=np.float64)
+    units = nc.get("var_atts", {}).get("time", {}).get("units", "")
+    m = _re.match(r"(seconds|minutes|hours|days)\s+since\s+(.+)", str(units))
+    if not m:
+        raise ValueError(f"unsupported CF time units {units!r}")
+    per = {"seconds": 1, "minutes": 60, "hours": 3600, "days": 86400}[m.group(1)]
+    epoch = str(m.group(2)).strip().replace(" ", "T")
+    from datetime import datetime as _dt
+
+    t_epoch = _dt.fromisoformat(epoch)
+    t0 = t_epoch + timedelta(seconds=float(tvals[0]) * per)
+    if len(tvals) > 1:
+        step_s = float(tvals[1] - tvals[0]) * per
+    else:
+        step_s = 86400.0
+    # express dt in the largest unit that divides the step exactly
+    if step_s % 86400 == 0:
+        dt = f"P{int(step_s // 86400)}D"
+    elif step_s % 3600 == 0:
+        dt = f"PT{int(step_s // 3600)}H"
+    elif step_s % 60 == 0:
+        dt = f"PT{int(step_s // 60)}M"
+    else:
+        dt = f"PT{int(step_s)}S"
+    srs = nc["gatts"].get("srs")
+    if not srs:
+        crs = nc.get("var_atts", {}).get("crs", {})
+        srs = crs.get("spatial_ref", "EPSG:4326")
+    return CubeView.create(
+        srs=str(srs), left=left, right=right, bottom=bottom, top=top,
+        nx=len(xs), ny=len(ys), t0=t0.isoformat(), nt=len(tvals), dt=dt,
+    )
 
 
 def read_netcdf_cube(spark, path: str):
-    """netCDF file -> Cube (the ncdf_cube analog for our own exports):
-    rebuilds the view from the embedded JSON and parallelizes the cells."""
+    """netCDF file -> Cube (the ncdf_cube analog, src/ncdf_cube.h:48-50).
+    Our own exports rebuild the view from the embedded JSON gatt; a
+    FOREIGN export (the reference's real files carry no such attribute)
+    reconstructs it from CF metadata (view_from_cf)."""
     import pandas as pd
 
     from ..cube import Cube
     from ..view import CubeView
 
     nc = read_netcdf(path)
-    view = CubeView.from_json(nc["gatts"]["view"])
-    bands = [k for k in nc["vars"] if k not in ("time", "y", "x")]
+    if "view" in nc["gatts"]:
+        view = CubeView.from_json(nc["gatts"]["view"])
+    else:
+        view = view_from_cf(nc)
+    bands = [
+        k for k, a in nc["vars"].items()
+        if k not in ("time", "y", "x")
+        and isinstance(a, np.ndarray) and a.ndim == 3   # excludes e.g. crs
+    ]
     frames = {}
     arr0 = nc["vars"][bands[0]]
     tt, yy, xx = np.meshgrid(

@@ -322,3 +322,57 @@ def test_dense_attribute_storage_refused():
     with pytest.raises(NotImplementedError, match="dense"):
         _check_attr_info(with_corder)
     _ = root
+
+
+def test_foreign_export_cf_reconstruction(spark, tmp_path):
+    """A FOREIGN gdalcubes export — the reference's real attribute layout
+    (Conventions/source/srs gatts, CF time units, crs variable, NO
+    engine-private view JSON, src/cube.cpp:903-1001) — opens through
+    read_netcdf_cube by reconstructing the view from CF metadata."""
+    from gdalcubes_cpp_spark.sources.netcdf3 import (read_netcdf,
+                                                     read_netcdf_cube,
+                                                     view_from_cf)
+
+    nt, ny, nx = 3, 6, 8
+    band = np.arange(nt * ny * nx, dtype="<f8").reshape(nt, ny, nx)
+    band[0, 0, 0] = np.nan
+    xs = (0.0 + (np.arange(nx) + 0.5) * 0.5).astype("<f8")      # left=0, dx=.5
+    ys = (6.0 - (np.arange(ny) + 0.5) * 1.0).astype("<f8")      # top=6, dy=1
+    tvals = np.array([0, 16, 32], dtype="<i4")                  # P16D steps
+
+    def dimscale(name, data, extra):
+        at = {"CLASS": "DIMENSION_SCALE", "NAME": name}
+        at.update(extra)
+        return {"data": data, "attrs": at}
+
+    blob = write_hdf5({
+        "time": dimscale("time", tvals, {
+            "units": "days since 2020-03-01T00:00:00",
+            "standard_name": "time", "calendar": "gregorian", "axis": "T"}),
+        "y": dimscale("y", ys, {"axis": "Y"}),
+        "x": dimscale("x", xs, {"axis": "X"}),
+        "crs": {"data": "", "attrs": {"spatial_ref": "EPSG:4326"}},
+        "NDVI": {"data": band, "chunks": (2, 3, 4), "deflate": 2,
+                 "shuffle": True, "fillvalue": np.nan,
+                 "attrs": {"_FillValue": np.array([np.nan]),
+                           "DIMENSION_LIST": RefList(["time", "y", "x"])}},
+    }, {"Conventions": "CF-1.6", "source": "gdalcubes 0.6.4",
+        "srs": "EPSG:4326"})
+    p = str(tmp_path / "foreign.nc")
+    open(p, "wb").write(blob)
+
+    nc = read_netcdf(p)
+    assert "view" not in nc["gatts"]
+    assert nc["var_atts"]["time"]["units"].startswith("days since")
+    v = view_from_cf(nc)
+    assert (v.nx, v.ny, v.nt) == (nx, ny, nt)
+    assert (v.left, v.right, v.bottom, v.top) == (0.0, 4.0, 0.0, 6.0)
+    assert str(v.dt.n) + v.dt.unit == "16D" and v.t0.isoformat().startswith("2020-03-01")
+
+    cube = read_netcdf_cube(spark, p)
+    assert cube.bands == ("NDVI",)
+    got = cube.collect_dense()[0]
+    assert got.shape == (nt, ny, nx)
+    m = np.isfinite(band)
+    assert np.array_equal(np.isnan(got), np.isnan(band))
+    assert (got[m] == band[m]).all()
