@@ -87,32 +87,71 @@ def thumbnails(images: DataFrame, size: int = 16) -> DataFrame:
     )
 
 
-def write_png_collection(cube, out_dir: str, bands=None, zlim=None, na: int = 0) -> list:
-    """PNG collection export (src/cube.h:858-862 write_png_collection): one
-    8-bit PNG per time slice, values linearly scaled from ``zlim`` to
-    0..255 (like the reference's zlim creation option), NaN -> ``na``.
-    1 selected band -> grayscale, 3 -> RGB. A viz export: quantization is
-    lossy by definition; returns the written paths."""
+def write_png_collection(cube, out_dir: str, bands=None, zlim=None,
+                         na: int | None = None, gamma: float = 1.0,
+                         na_color=None, na_transparent: bool = False) -> list:
+    """PNG collection export — full write_png_collection parity
+    (src/cube.cpp:440-663): one 8-bit PNG per time slice. Per-band
+    ``zlim`` ((lo, hi) or [(lo, hi)] per band; reference default 0..255),
+    scaled v01 = (v-lo)/(hi-lo) then round(pow(v01, gamma)*255) clamped
+    (the reference's gamma curve, :628-629); NaN handling mirrors
+    :615-622 — ``na_transparent`` adds an alpha channel (0 at NaN, 255
+    elsewhere), else ``na_color`` is written RAW (not scaled/gamma'd; a
+    3-value na_color with one band replicates it to RGB, the
+    grayscale_as_rgb path :482-492), else 0. Band selection defaults:
+    3-band cube -> RGB, otherwise first band grayscale (:451-467).
+    Returns the written paths."""
     import os
 
     v = cube.view
-    bands = list(bands or cube.bands)
+    if bands is None:
+        bands = list(cube.bands) if len(cube.bands) == 3 else [cube.bands[0]]
+    bands = list(bands)
     if len(bands) not in (1, 3):
         raise ValueError("PNG export needs 1 (gray) or 3 (RGB) bands")
+    if na is not None and na_color is None:  # pre-r5 kwarg compatibility
+        na_color = [int(na)]
+    if na_transparent:
+        na_color = None
+    if na_color is not None:
+        na_color = [int(c) for c in np.atleast_1d(na_color)]
+        if len(na_color) not in (1, 3):
+            raise ValueError("na_color needs 1 (gray) or 3 (RGB) values")
+        if len(na_color) == 3 and len(bands) == 1:
+            bands = bands * 3                 # grayscale_as_rgb (:482-492)
+        elif len(na_color) == 1 and len(bands) == 3:
+            na_color = na_color * 3
     idx = [list(cube.bands).index(b) for b in bands]
     dense = cube.collect_dense()[idx]  # (nb, nt, ny, nx)
     if zlim is None:
         finite = dense[np.isfinite(dense)]
-        zlim = (float(finite.min()), float(finite.max())) if finite.size else (0.0, 1.0)
-    lo, hi = zlim
-    scale = 255.0 / (hi - lo) if hi > lo else 1.0
+        zlim = (float(finite.min()), float(finite.max())) if finite.size else (0.0, 255.0)
+    zl = np.atleast_2d(np.asarray(zlim, dtype=np.float64))
+    if zl.shape[0] == 1 and len(bands) > 1:
+        zl = np.repeat(zl, len(bands), axis=0)
+    if zl.shape != (len(bands), 2):
+        raise ValueError("zlim must be (lo, hi) or one (lo, hi) per band")
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for it in range(v.nt):
-        sl = dense[:, it]
-        q = np.clip(np.round((sl - lo) * scale), 0, 255)
-        q = np.where(np.isfinite(sl), q, float(na)).astype(np.uint8)
-        img = np.moveaxis(q, 0, -1)  # (ny, nx, nb)
+        sl = dense[:, it]                                  # (nb, ny, nx)
+        chans = []
+        nanmask = ~np.isfinite(sl)
+        for ib in range(len(bands)):
+            lo, hi = zl[ib]
+            span = hi - lo if hi > lo else 1.0
+            with np.errstate(invalid="ignore"):
+                v01 = (sl[ib] - lo) / span
+                q = np.clip(np.round(np.power(np.clip(v01, 0.0, None),
+                                              gamma) * 255.0), 0, 255)
+            fillv = (na_color[ib] if na_color is not None else 0)
+            chans.append(np.where(nanmask[ib], float(fillv), q))
+        img = np.stack(chans, axis=-1)
+        if na_transparent:
+            # gray+alpha (PNG color type 4) or RGBA (type 6)
+            alpha = np.where(nanmask.any(axis=0), 0.0, 255.0)
+            img = np.concatenate([img, alpha[..., None]], axis=-1)
+        img = img.astype(np.uint8)
         stamp = v.datetime_at(it).isoformat().replace(":", "")
         path = os.path.join(out_dir, f"cube_{it:04d}_{stamp}.png")
         with open(path, "wb") as f:

@@ -374,3 +374,53 @@ def test_driver_laea_aea_margins():
 
         assert margin(LON.ravel()) > 1e-5, v.srs
         assert margin(LAT.ravel()) > 1e-5, v.srs
+
+
+def test_png_collection_gamma_nacolor_alpha(spark, tmp_path):
+    """Reference parity for the full option surface (src/cube.cpp:440-663):
+    gamma curve round(pow(v01, gamma)*255), RAW (unscaled) na_color with
+    the grayscale_as_rgb replication, and na_transparent alpha masks."""
+    from gdalcubes_cpp_spark import codecs
+    from gdalcubes_cpp_spark.benchqueries import _formula_cube
+    from gdalcubes_cpp_spark.functions.image import write_png_collection
+
+    c = _formula_cube(spark)
+    dense = c.collect_dense()[0]
+    sl = dense[0]
+    fin = np.isfinite(sl)
+
+    # gamma
+    paths = write_png_collection(c, str(tmp_path / "g"), bands=["B1"],
+                                 zlim=(0.0, 10.0), gamma=2.2)
+    img = codecs.decode_png(open(paths[0], "rb").read())[:, :, 0]
+    want = np.clip(np.round(np.power(np.clip(sl / 10.0, 0, None), 2.2) * 255), 0, 255)
+    want = np.where(fin, want, 0.0).astype(np.uint8)
+    assert np.array_equal(img, want)
+
+    # 3-value na_color over ONE band -> replicated RGB, na written raw
+    paths = write_png_collection(c, str(tmp_path / "rgb"), bands=["B1"],
+                                 zlim=(0.0, 10.0), na_color=(250, 10, 33))
+    img = codecs.decode_png(open(paths[0], "rb").read())
+    assert img.shape[-1] == 3
+    if (~fin).any():
+        yy, xx = np.argwhere(~fin)[0]
+        assert tuple(img[yy, xx]) == (250, 10, 33)
+    base = np.clip(np.round(sl * 25.5), 0, 255)
+    for ch, nav in enumerate((250, 10, 33)):
+        want = np.where(fin, base, float(nav)).astype(np.uint8)
+        assert np.array_equal(img[:, :, ch], want)
+
+    # na_transparent: gray+alpha, alpha 0 exactly at NaN
+    paths = write_png_collection(c, str(tmp_path / "a"), bands=["B1"],
+                                 zlim=(0.0, 10.0), na_transparent=True)
+    img = codecs.decode_png(open(paths[0], "rb").read())
+    assert img.shape[-1] == 2
+    assert np.array_equal(img[:, :, 1] == 0, ~fin)
+
+    # per-band zlim on an RGB export
+    c2 = c.apply_pixel({"B3": "B1 + B2"}, keep_bands=True)
+    paths = write_png_collection(
+        c2, str(tmp_path / "z"), bands=["B1", "B2", "B3"],
+        zlim=[(0.0, 10.0), (0.0, 20.0), (0.0, 40.0)])
+    img = codecs.decode_png(open(paths[0], "rb").read())
+    assert img.shape[-1] == 3
