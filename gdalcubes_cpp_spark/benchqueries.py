@@ -1303,6 +1303,56 @@ def events_tumbling(spark, sf_dir):
     )
 
 
+@q(
+    "events_asof",
+    """
+WITH cp AS (
+  SELECT * FROM (
+    SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ts,
+           CAST(min(event_id) AS DOUBLE) AS cv
+    FROM events GROUP BY 1, 2
+  ) WHERE EXTRACT(hour FROM ts) % 2 = 0
+),
+j AS (
+  SELECT e.ts AS ts, e.event_type AS event_type, c.ts AS ts_r, c.cv AS cv
+  FROM events e ASOF LEFT JOIN cp c
+    ON e.event_type = c.event_type AND e.ts >= c.ts
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+       CAST(count(ts_r) AS BIGINT) AS n,
+       CAST(min(floor(epoch(ts)) - floor(epoch(ts_r))) AS DOUBLE) AS vmin,
+       CAST(max(floor(epoch(ts)) - floor(epoch(ts_r))) AS DOUBLE) AS vmax,
+       round(sum(cv), 3) AS vsum
+FROM j GROUP BY 1, 2
+""",
+)
+def events_asof(spark, sf_dir):
+    """AS-OF JOIN (operators/asof.py — the nearest-time operator the
+    reference lacks, SURVEY §2.4; union+sort+last(ignorenulls) plan, one
+    exchange, no range-join blow-up): events match BACKWARD to the
+    latest even-hour checkpoint of their event_type, then aggregate to
+    the events-suite schema (match counts, min/max match gap in seconds,
+    checkpoint-id sums). The oracle is DuckDB's NATIVE ASOF LEFT JOIN —
+    the real SQL operator, not a mirrored reimplementation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .operators.asof import asof_join
+
+    cp = (ev.groupBy(F.date_trunc("hour", "ts").alias("ts"), "event_type")
+          .agg(F.min("event_id").cast("double").alias("cv"))
+          .filter(F.hour("ts") % 2 == 0))
+    j = asof_join(ev.select("event_id", "ts", "event_type"), cp,
+                  on="ts", by=["event_type"])
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp("ts_r")).cast("double")
+    return (
+        j.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("ts_r").alias("n"),
+             F.min(gap).alias("vmin"), F.max(gap).alias("vmax"),
+             F.round(F.sum("cv_r"), 3).alias("vsum"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n",
+                "vmin", "vmax", "vsum")
+    )
+
+
 @q("events_tumbling_ice", _DEFS["events_tumbling"][1])
 def events_tumbling_ice(spark, sf_dir):
     """The same tumbling aggregation read THROUGH the snapshot/manifest
@@ -3298,7 +3348,8 @@ def _fold(name: str, tag_col: str, parts) -> None:
 _fold("stjoin_suite", "strategy",
       [("grid", "stjoin_rows"), ("s2", "stjoin_s2"), ("hex", "stjoin_hex")])
 _fold("events_tumbling_suite", "src",
-      [("direct", "events_tumbling"), ("ice", "events_tumbling_ice")])
+      [("direct", "events_tumbling"), ("ice", "events_tumbling_ice"),
+       ("asof", "events_asof")])
 _fold("cube_mean_median", "agg", [("mean", "cube_mean"), ("median", "cube_median")])
 _fold("cube_first_last", "agg", [("first", "cube_first"), ("last", "cube_last")])
 _fold("cube_counts", "agg",

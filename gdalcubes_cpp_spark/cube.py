@@ -46,6 +46,14 @@ _REDUCERS = {
     # (e.g. under reduce_space) yields NULL.
     "slope": lambda c: F.expr(f"regr_slope({c}, it)"),
     "intercept": lambda c: F.expr(f"regr_intercept({c}, it)"),
+    # approximate quantiles — the reference's OWN future-work note
+    # (src/reduce_time.cpp:355 'approx medians') realized with Spark's
+    # Greenwald-Khanna sketch: mergeable partial state, so the 100 TB
+    # reduction never buffers per-cell value lists the way the exact
+    # percentile kernel does. Error bound 1/accuracy (pytest-gated).
+    "approx_median": lambda c: F.percentile_approx(c, 0.5, 10000),
+    "approx_Q1": lambda c: F.percentile_approx(c, 0.25, 10000),
+    "approx_Q3": lambda c: F.percentile_approx(c, 0.75, 10000),
 }
 
 # moving-window reducers supported by window_time (src/window_time.cpp:29-95)
