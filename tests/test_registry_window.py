@@ -67,6 +67,7 @@ def test_every_def_reachable():
         "simple_cube_decode", "cube_mask_band_decode",
         "ann_ivf_topk", "ann_rp_lsh_pairs", "ann_topk", "ann_dup_pairs",
         "stjoin_rows", "stjoin_s2", "events_tumbling", "events_tumbling_ice",
+        "events_asof",  # r5: folded into events_tumbling_suite
         "cube_utm_mean", "cube_polar_mean", "cube_sinu_mean", "cube_lcc_mean",
         "cube_laea_mean", "cube_aea_mean", "zonal_statistics", "zonal_topk",
             "cube_osgb_mean", "cube_swiss_mean", "cube_jp2_decode", "cube_hom_mean",
