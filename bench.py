@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "events_tumbling", "events_tumbling_ice", "events_sessionize", "tpch_pricing", "tpch_market_revenue",
     # round-5 surfaces: nc4 container roundtrip, 3-modality codec union,
     # 3-source vector ingest (extract_geom above now covers it)
-    "netcdf_roundtrip", "images_multimodal",
+    "netcdf_roundtrip", "images_multimodal", "events_asof",
 ]
 
 

@@ -2517,12 +2517,23 @@ SELECT 'topk' AS part, fid, it,
        B1_mean, {", ".join("CAST(NULL AS DOUBLE) AS " + c for c in _ZONAL_STAT_COLS[1:])},
        rk
 FROM ({_DEFS["zonal_topk"][1]}) t
+UNION ALL
+SELECT 'rollup' AS part, fid, it,
+       avg(B1) AS B1_mean, CAST(count(B1) AS DOUBLE) AS B1_count,
+       {", ".join("CAST(NULL AS DOUBLE) AS " + c for c in _ZONAL_STAT_COLS[2:])},
+       CAST(GROUPING(fid, it) AS INT) AS rk
+FROM ({_RECT_CELLS_SQL})
+GROUP BY ROLLUP (fid, it)
+HAVING GROUPING(fid, it) > 0
 """,
 )
 def zonal_suite(spark, sf_dir):
     """Folded driver suite: zonal_statistics (src/vector_queries.cpp:603-
-    1160, 5 stats x 2 bands) + the zonal top-k ranking extension, one
-    tagged union (frees a registry-window slot for hdf4_modis_pixels)."""
+    1160, 5 stats x 2 bands) + the zonal top-k ranking extension + a
+    GROUPING-SETS member (per-feature totals and the grand total via
+    rollup — a capability the reference lacks outright, SURVEY §2.4
+    'no grouping sets/cube/rollup, ironically'; rk carries the grouping
+    level), one tagged union."""
     a = _DEFS["zonal_statistics"][0](spark, sf_dir).select(
         F.lit("stats").alias("part"), "fid", "it",
         *_ZONAL_STAT_COLS, F.lit(0).alias("rk"),
@@ -2533,7 +2544,20 @@ def zonal_suite(spark, sf_dir):
         *[F.lit(None).cast("double").alias(c) for c in _ZONAL_STAT_COLS[1:]],
         "rk",
     )
-    return a.unionAll(b)
+    from .vector.queries import extract_geom as _eg
+
+    joined = _eg(_formula_cube(spark), _rects_df(spark))
+    c = (joined.rollup("fid", "it")
+         .agg(F.avg("B1").alias("B1_mean"),
+              F.count("B1").cast("double").alias("B1_count"),
+              F.grouping_id().cast("int").alias("rk"))
+         .filter(F.col("rk") > 0)
+         .select(F.lit("rollup").alias("part"), "fid", "it",
+                 "B1_mean", "B1_count",
+                 *[F.lit(None).cast("double").alias(cn)
+                   for cn in _ZONAL_STAT_COLS[2:]],
+                 "rk"))
+    return a.unionAll(b).unionAll(c)
 
 
 # ------------------------------------------------- masks (value/range)
