@@ -89,15 +89,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     payload = [c for c in right.columns if c != on and c not in by]
 
     def gap(a, b):
-        return F.abs(F.unix_timestamp(a).cast("double")
-                     - F.unix_timestamp(b).cast("double"))
+        # cast(timestamp as double) keeps FRACTIONAL seconds —
+        # unix_timestamp truncates, which would mis-rank 'nearest'
+        # ties and mis-apply tolerance on sub-second data
+        return F.abs(a.cast("double") - b.cast("double"))
 
     if direction in ("backward", "forward"):
         out = _one_side(left, right, on, by, payload, direction, suffix)
     else:
         # duplicate left rows must stay distinct through the two-sided
-        # recombination: key on a synthetic row id, not the row values
-        left = left.withColumn("_rid", F.monotonically_increasing_id())
+        # recombination: key on a synthetic row id, not the row values.
+        # monotonically_increasing_id is NON-DETERMINISTIC across plan
+        # re-executions, and the backward and forward subtrees each
+        # re-execute `left` — pin the ids with an eager localCheckpoint
+        # so both subtrees read the SAME materialized assignment.
+        left = left.withColumn(
+            "_rid", F.monotonically_increasing_id()).localCheckpoint(eager=True)
         b = _one_side(left, right, on, by, payload, "backward", "_bwd")
         f = _one_side(left, right, on, by, payload, "forward", "_fwd").select(
             "_rid", f"{on}_fwd", *[f"{c}_fwd" for c in payload])

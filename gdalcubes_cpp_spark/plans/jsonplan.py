@@ -104,10 +104,8 @@ def _features_df(spark: SparkSession, a: dict):
         from ..vector.features import read_features
 
         return read_features(spark, a["features_path"], srs=a.get("srs"))
-    import pandas as pd
-
-    return spark.createDataFrame(
-        pd.DataFrame(a["features"])[["fid", "wkt"]], "fid bigint, wkt string")
+    rows = [(int(f["fid"]), str(f["wkt"])) for f in a["features"]]
+    return spark.createDataFrame(rows, "fid bigint, wkt string")
 
 
 def _run_extract(spark: SparkSession, cube: Cube, a: dict):

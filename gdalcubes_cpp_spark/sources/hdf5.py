@@ -252,18 +252,6 @@ def _pad8(b: bytes) -> bytes:
     return b + b"\x00" * ((8 - len(b) % 8) % 8)
 
 
-def _msg_v1(mtype: int, body: bytes) -> bytes:
-    body = _pad8(body)
-    return struct.pack("<HHB3x", mtype, len(body), 0) + body
-
-
-def _attr_msg_v1(name: str, dt: bytes, ds: bytes, data: bytes) -> bytes:
-    nb = name.encode() + b"\x00"
-    body = struct.pack("<BxHHH", 1, len(nb), len(dt), len(ds))
-    body += _pad8(nb) + _pad8(dt) + _pad8(ds) + data
-    return _msg_v1(0x000C, body)
-
-
 def _attr_msg_v3(name: str, dt: bytes, ds: bytes, data: bytes) -> bytes:
     nb = name.encode() + b"\x00"
     body = struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(ds), 0)
@@ -341,8 +329,7 @@ def _encode_chunks(data: np.ndarray, chunks, deflate, shuffle, fill,
     return out
 
 
-def _btree1_chunks(w: _Writer, name: str, chunk_entries, chunks, shape,
-                   itemsize: int):
+def _btree1_chunks(w: _Writer, name: str, chunk_entries, chunks, shape):
     """Register B-tree v1 (type 1) nodes + raw chunk blocks for a dataset;
     returns the name of the root node block. Leaf capacity 2K with the
     libhdf5 default K=32 (spec: v0 superblocks carry no istore K)."""
@@ -463,8 +450,7 @@ def _dataset_messages(name, spec, w: _Writer, gheap: _GHeap, ds_ver: int):
         entries = _encode_chunks(
             data, chunks, deflate if deflate is not None else None, shuffle,
             fill if fill is not None else 0, fletcher32=fletcher)
-        root = _btree1_chunks(w, f"ds:{name}", entries, chunks, shape,
-                              npdt.itemsize)
+        root = _btree1_chunks(w, f"ds:{name}", entries, chunks, shape)
 
         def layout_emit(a):
             b = bytes([3, 2, len(chunks) + 1]) + struct.pack("<Q", a[root])
@@ -952,21 +938,28 @@ def _apply_filters(raw: bytes, filters, itemsize: int, fmask: int) -> bytes:
 
 
 def _fletcher32(data: bytes) -> int:
-    """Fletcher-32 over 16-bit little-endian words (libhdf5's
-    H5_checksum_fletcher32; odd trailing byte zero-padded)."""
+    """libhdf5's H5_checksum_fletcher32, bit-exact: 16-bit words
+    assembled BIG-endian (data[0]<<8 | data[1]; a trailing odd byte is
+    the high byte), sums folded (x & 0xffff) + (x >> 16) after every
+    360-word block and once more at the end — NOT a mod-65535 Fletcher
+    (they differ at multiples of 65535). The vectorized block math
+    reproduces the word-at-a-time C loop exactly: within a block
+    sum2 accumulates every prefix of sum1, i.e. n*sum1_in + sum(cumsum)."""
     if len(data) % 2:
         data = data + b"\x00"
-    words = np.frombuffer(data, "<u2").astype(np.uint64)
-    s1 = np.uint64(0)
-    s2 = np.uint64(0)
-    # block the sums so they never overflow before folding (libhdf5 folds
-    # every 360 words; 2**64 headroom lets us fold once per 2**20 block)
-    for i in range(0, len(words), 1 << 20):
-        blk = words[i:i + (1 << 20)]
-        c1 = np.cumsum(blk, dtype=np.uint64)
-        s2 = (s2 + np.uint64(len(blk)) * s1 + np.sum(c1, dtype=np.uint64)) % np.uint64(65535)
-        s1 = (s1 + np.sum(blk, dtype=np.uint64)) % np.uint64(65535)
-    return int((s2 << np.uint64(16)) | s1)
+    words = np.frombuffer(data, ">u2").astype(np.uint64)
+    s1 = 0
+    s2 = 0
+    for i in range(0, len(words), 360):
+        blk = words[i:i + 360]
+        c = np.cumsum(blk, dtype=np.uint64)
+        s2 += s1 * len(blk) + int(np.sum(c, dtype=np.uint64))
+        s1 += int(np.sum(blk, dtype=np.uint64))
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    s1 = (s1 & 0xFFFF) + (s1 >> 16)
+    s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    return (s2 << 16) | s1
 
 
 def _decode_filter_pipeline(body: bytes):

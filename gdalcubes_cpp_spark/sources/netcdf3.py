@@ -460,10 +460,13 @@ def view_from_cf(nc: dict):
     ys = np.asarray(nc["vars"]["y"], dtype=np.float64)
     if len(xs) < 1 or len(ys) < 1:
         raise ValueError("CF reconstruction needs x/y coordinate variables")
-    dx = float(xs[1] - xs[0]) if len(xs) > 1 else 1.0
-    dy = float(ys[0] - ys[1]) if len(ys) > 1 else 1.0   # y descends (north up)
-    left, right = float(xs[0] - dx / 2), float(xs[-1] + dx / 2)
-    top, bottom = float(ys[0] + dy / 2), float(ys[-1] - dy / 2)
+    dx = float(abs(xs[1] - xs[0])) if len(xs) > 1 else 1.0
+    # our exports write y DESCENDING (north up); foreign CF files (xarray,
+    # CDO) often write it ASCENDING — take extents order-independently
+    # (read_netcdf_cube flips the data rows for ascending-y files)
+    dy = float(abs(ys[1] - ys[0])) if len(ys) > 1 else 1.0
+    left, right = float(min(xs) - dx / 2), float(max(xs) + dx / 2)
+    top, bottom = float(max(ys) + dy / 2), float(min(ys) - dy / 2)
 
     tvals = np.asarray(nc["vars"]["time"], dtype=np.float64)
     units = nc.get("var_atts", {}).get("time", {}).get("units", "")
@@ -514,6 +517,14 @@ def read_netcdf_cube(spark, path: str):
         view = CubeView.from_json(nc["gatts"]["view"])
     else:
         view = view_from_cf(nc)
+    ys = np.asarray(nc["vars"].get("y", []), dtype=np.float64)
+    if len(ys) > 1 and ys[1] > ys[0]:
+        # ascending-y CF file: flip rows so array index iy=0 is the TOP
+        # row (the cube model's orientation)
+        for k, a in list(nc["vars"].items()):
+            if isinstance(a, np.ndarray) and a.ndim == 3:
+                nc["vars"][k] = a[:, ::-1, :]
+        nc["vars"]["y"] = ys[::-1]
     bands = [
         k for k, a in nc["vars"].items()
         if k not in ("time", "y", "x")

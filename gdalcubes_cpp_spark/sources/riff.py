@@ -15,9 +15,9 @@ Both formats are public Microsoft/IBM specifications:
   Motion-JPEG is exactly "a JPEG per frame" — encoded/decoded by the
   from-spec T.81 codec in sources/jpegbase.py.
 
-Untrusted-bytes policy: malformed containers raise ValueError (bounded
-walks — chunk sizes are clamped to the buffer; a zero-advance walk
-raises), never hang or return silently-corrupt samples.
+Untrusted-bytes policy: malformed containers raise ValueError (a chunk
+declaring more bytes than remain REFUSES — truncated files never return
+silently-short samples; a zero-advance walk raises), never hang.
 """
 
 from __future__ import annotations
@@ -62,14 +62,20 @@ def _chunk(fourcc: bytes, payload: bytes) -> bytes:
 
 
 def _walk_riff(buf: bytes, start: int, end: int):
-    """-> [(fourcc, payload_start, payload_len)] one level deep."""
+    """-> [(fourcc, payload_start, payload_len)] one level deep. A chunk
+    whose declared size runs past the container is a truncated/corrupt
+    file and REFUSES (the module's untrusted-bytes policy — clamping
+    would return silently-short sample/frame data)."""
     out = []
     pos = start
     while pos + 8 <= end:
         fourcc = bytes(buf[pos:pos + 4])
         (size,) = struct.unpack_from("<I", buf, pos + 4)
         payload = pos + 8
-        size = min(size, max(0, end - payload))  # clamp: refuse-don't-read-past
+        if payload + size > end:
+            raise ValueError(
+                f"truncated RIFF: chunk {fourcc!r} declares {size} bytes "
+                f"but only {end - payload} remain")
         out.append((fourcc, payload, size))
         nxt = payload + size + (size % 2)
         if nxt <= pos:
@@ -121,8 +127,7 @@ def decode_wav(data: bytes):
 
 # ------------------------------------------------------------------- AVI
 
-def encode_avi_mjpeg(frames, fps: int = 10, quality_frames: bytes | None = None,
-                     **jpeg_kw) -> bytes:
+def encode_avi_mjpeg(frames, fps: int = 10, **jpeg_kw) -> bytes:
     """list of (h, w[, c]) uint8 frames -> Motion-JPEG AVI bytes (each
     frame one baseline JPEG via sources/jpegbase.encode_jpeg)."""
     from .jpegbase import encode_jpeg

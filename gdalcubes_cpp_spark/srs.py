@@ -255,7 +255,7 @@ def _from_proj4(s: str) -> str:
                 repr(v) for v in (p.a, p.e2, p.k0, p.lat0, p.lon0, p.fe, p.fn)
             )
             if helm is not None:
-                key += ":" + ":".join(repr(v) for v in helm)
+                key += ":" + _helm_key(helm)
             _ETM[key] = p
             return key
         pw = SwissParams(
@@ -273,7 +273,7 @@ def _from_proj4(s: str) -> str:
             repr(v) for v in (pw.a, pw.e2, pw.lat0, pw.lon0, pw.fe, pw.fn)
         )
         if helm is not None:
-            key += ":" + ":".join(repr(v) for v in helm)
+            key += ":" + _helm_key(helm)
         _SWISS[key] = pw
         return key
     if proj == "omerc":
@@ -298,7 +298,7 @@ def _from_proj4(s: str) -> str:
             ph.a, ph.e2, ph.latc, ph.lonc, ph.alphac, ph.gammac, ph.k0,
             ph.ec, ph.nc))
         if helm is not None:
-            key += ":" + ":".join(repr(v) for v in helm)
+            key += ":" + _helm_key(helm)
         _HOM[key] = ph
         return key
     if proj == "aeqd":
@@ -315,7 +315,7 @@ def _from_proj4(s: str) -> str:
         key = "AEQD:" + ":".join(repr(v) for v in (
             pq.lat0, pq.lon0, pq.fe, pq.fn, pq.a, pq.e2))
         if helm is not None:
-            key += ":" + ":".join(repr(v) for v in helm)
+            key += ":" + _helm_key(helm)
         _AEQD[key] = pq
         return key
     if proj == "eqc":
@@ -1083,6 +1083,25 @@ def _e2_of(a: float, inv_f: float) -> float:
     return f * (2.0 - f)
 
 
+def _helm_key(helm) -> str:
+    """Dynamic-key suffix for a datum spec — parseable back by
+    _helm_from_parts in ANY process (executors re-resolve key strings
+    in fresh Python workers, so the suffix must round-trip)."""
+    if _is_ntv2(helm):
+        return "ntv2@" + helm[1]
+    return ":".join(repr(v) for v in helm)
+
+
+def _helm_from_parts(parts: list, k: int):
+    """Inverse of _helm_key over ':'-split key segments from index k."""
+    if len(parts) <= k:
+        return None
+    rest = ":".join(parts[k:])
+    if rest.startswith("ntv2@"):
+        return ("ntv2", rest[5:])
+    return tuple(float(v) for v in parts[k:k + 7])
+
+
 def _is_ntv2(helm) -> bool:
     return isinstance(helm, tuple) and len(helm) == 2 and helm[0] == "ntv2"
 
@@ -1840,7 +1859,7 @@ def _aeqd_of(s: str) -> AeqdParams | None:
         try:
             parts = s.split(":")
             lat0, lon0, fe, fn, a, e2 = (float(v) for v in parts[1:7])
-            helm = tuple(float(v) for v in parts[7:14]) if len(parts) > 7 else None
+            helm = _helm_from_parts(parts, 7)
         except ValueError:
             return None
         p = AeqdParams(lat0, lon0, fe, fn, a, e2, helm)
@@ -2006,7 +2025,7 @@ def _hom_of(s: str) -> HomParams | None:
             parts = s.split(":")
             a, e2, latc, lonc, alphac, gammac, k0, ec, nc = (
                 float(v) for v in parts[1:10])
-            helm = tuple(float(v) for v in parts[10:17]) if len(parts) > 10 else None
+            helm = _helm_from_parts(parts, 10)
         except ValueError:
             return None
         p = HomParams(a, e2, latc, lonc, alphac, gammac, k0, ec, nc, helm)
@@ -2023,7 +2042,7 @@ def _etm_of(s: str) -> EtmParams | None:
         try:
             parts = s.split(":")
             a, e2, k0, lat0, lon0, fe, fn = (float(v) for v in parts[1:8])
-            helm = tuple(float(v) for v in parts[8:15]) if len(parts) > 8 else None
+            helm = _helm_from_parts(parts, 8)
         except ValueError:
             return None
         p = EtmParams(a, e2, k0, lat0, lon0, fe, fn, helm)
@@ -2040,7 +2059,7 @@ def _swiss_of(s: str) -> SwissParams | None:
         try:
             parts = s.split(":")
             a, e2, lat0, lon0, fe, fn = (float(v) for v in parts[1:7])
-            helm = tuple(float(v) for v in parts[7:14]) if len(parts) > 7 else None
+            helm = _helm_from_parts(parts, 7)
         except ValueError:
             return None
         p = SwissParams(a, e2, lat0, lon0, fe, fn, helm)

@@ -224,8 +224,10 @@ def _dbf_records(dbf: bytes) -> list[dict]:
                 else:
                     vals[name] = int(raw)
             elif ftype == "L":
-                vals[name] = (True if raw in "TtYy" else
-                              False if raw in "FfNn" else None)
+                # NB set membership, not substring: '' (blank logical)
+                # must stay None, and `'' in "TtYy"` is always True
+                vals[name] = (True if raw in ("T", "t", "Y", "y") else
+                              False if raw in ("F", "f", "N", "n") else None)
             else:                                      # C, D, anything else
                 vals[name] = raw
         out.append(vals)
@@ -493,11 +495,20 @@ def read_features(spark, paths, srs: str | None = None, view=None,
                 for p in b["path"]:
                     rows, f_srs = _parse_one(p, layer=layer)
                     if rows:
-                        # 40-bit path hash << 20: globally-unique fids
-                        # that still fit the signed int64 column
+                        # 40-bit path hash << 22: globally-unique fids
+                        # that still fit the signed int64 column; per-file
+                        # fids must stay below the 22-bit slot or they
+                        # would bleed into another file's hash space
                         base = (int.from_bytes(
                             __import__("hashlib").md5(p.encode()).digest()[:5],
-                            "big") << 20)
+                            "big") << 22)
+                        too_big = [fid for fid, _w, _pr in rows
+                                   if not 0 <= fid < (1 << 22)]
+                        if too_big:
+                            raise ValueError(
+                                f"{p}: feature id {too_big[0]} exceeds the "
+                                f"22-bit per-file fid slot of multi-file "
+                                f"ingest; ingest this file on its own")
                         yield pd.DataFrame(
                             [(base + fid, w, pr) for fid, w, pr in rows],
                             columns=["fid", "wkt", "props"])

@@ -126,3 +126,25 @@ def test_approx_quantile_reducers(spark):
     # stride; 3.0 bounds the largest adjacent gap at these params)
     assert (abs(got["B1_approx_median"] - got["B1_median"]) <= 3.0).all()
     assert (abs(got["B1_approx_Q1"] - got["B1_Q1"]) <= 3.0).all()
+
+
+def test_subsecond_nearest_and_tolerance(spark):
+    """Fractional-second gaps (round-5 review finding #3): 'nearest' must
+    pick the truly nearer side and tolerance must apply at sub-second
+    resolution (unix_timestamp truncation would get both wrong)."""
+    base = pd.Timestamp("2020-01-01")
+    left = pd.DataFrame({"k": ["a"], "ts": [base + pd.Timedelta("900ms")],
+                         "lv": [0]})
+    right = pd.DataFrame({
+        "k": ["a", "a"],
+        "ts": [base, base + pd.Timedelta("1s")],
+        "rv": [10, 20],
+    })
+    got = _spark_asof(spark, left, right, direction="nearest")
+    assert got["rv_r"].tolist() == [20]      # forward gap 0.1s < backward 0.9s
+    got_t = _spark_asof(spark, left, right, direction="backward",
+                        tolerance_s=0.5)
+    assert got_t["rv_r"].isna().all()        # 0.9s gap exceeds 0.5s
+    got_t2 = _spark_asof(spark, left, right, direction="nearest",
+                         tolerance_s=0.5)
+    assert got_t2["rv_r"].tolist() == [20]

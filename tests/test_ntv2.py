@@ -183,3 +183,35 @@ def test_nadgrids_dynamic_key(gsb):
     lon2, lat2 = _srs.points_to_wgs84(x, y, key)
     assert np.allclose(lon2, lon, atol=1e-9)
     assert np.allclose(lat2, lat, atol=1e-9)
+
+
+def test_nadgrids_key_resolves_in_fresh_process(gsb):
+    """Spark executors re-resolve SRS KEY STRINGS in fresh Python workers
+    (operators/build.py warps call grid_to_wgs84(view.srs)); the ntv2
+    dynamic-key suffix must round-trip through a process that never saw
+    the original proj4 string (round-5 review finding #1)."""
+    import subprocess
+    import sys
+
+    from gdalcubes_cpp_spark import srs as _srs
+
+    proj = (f"+proj=tmerc +lat_0=0 +lon_0=-75 +k=0.9996 +x_0=500000 "
+            f"+y_0=0 +ellps=clrk66 +nadgrids={gsb} +units=m")
+    key = _srs.normalize(proj)
+    lon = np.array([-75.3])
+    lat = np.array([45.4])
+    x, y = _srs.from_wgs84(lon, lat, key)
+    code = (
+        "import sys, numpy as np\n"
+        "from gdalcubes_cpp_spark import srs\n"
+        "key = sys.argv[1]\n"
+        "lon, lat = srs.points_to_wgs84(np.array([float(sys.argv[2])]),"
+        " np.array([float(sys.argv[3])]), key)\n"
+        "print(repr(float(lon[0])), repr(float(lat[0])))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, key, repr(float(x[0])), repr(float(y[0]))],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert out.returncode == 0, out.stderr[-800:]
+    flon, flat = (float(v) for v in out.stdout.split())
+    assert abs(flon - lon[0]) < 5e-9 and abs(flat - lat[0]) < 5e-9

@@ -116,11 +116,20 @@ def test_riff_refusals():
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
     with pytest.raises(ValueError, match="RIFF/AVI"):
         decode_avi_mjpeg(b"\x00" * 32)
-    # an AVI with headers but zero frames
-    empty = encode_avi_mjpeg(_frames(n=1), fps=10)
-    cut = empty[:empty.find(b"00dc")]
+    # an AVI with headers but an EMPTY movi list (well-formed, 0 frames):
+    # rebuild = original hdrl LIST + empty movi, idx1 dropped
+    from gdalcubes_cpp_spark.sources.riff import _list
+    one = encode_avi_mjpeg(_frames(n=1), fps=10)
+    hdrl_at = one.find(b"LIST", 12)
+    hdrl_len = struct.unpack_from("<I", one, hdrl_at + 4)[0]
+    hdrl = one[hdrl_at:hdrl_at + 8 + hdrl_len]
+    body = hdrl + _list(b"movi", b"")
+    empty = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
     with pytest.raises(ValueError, match="no video frames"):
-        decode_avi_mjpeg(cut)
+        decode_avi_mjpeg(empty)
+    # a TRUNCATED file refuses instead of decoding fewer frames
+    with pytest.raises(ValueError, match="truncated RIFF"):
+        decode_avi_mjpeg(one[:len(one) - 10])
     # truncated JPEG inside a frame chunk surfaces as ValueError
     b = bytearray(encode_avi_mjpeg(_frames(n=1), fps=10))
     first = bytes(b).find(b"00dc")
