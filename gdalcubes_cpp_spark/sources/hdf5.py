@@ -671,27 +671,34 @@ def _symbol_table(w: _Writer, names: list):
     w.add("heap", 32 + len(hd), heap_emit)
 
     snames = sorted(names)
-    if len(snames) > 64:
-        raise ValueError("more than 64 root links needs a multi-SNOD writer")
+    # SNOD capacity = 2 * group-leaf K (our superblock writes K=32 ->
+    # 64 symbols); wider groups split across multiple SNODs under one
+    # B-tree node (up to 2 * internal K = 32 children -> 2048 links)
+    groups = [snames[i:i + 64] for i in range(0, len(snames), 64)]
+    if len(groups) > 32:
+        raise ValueError("more than 2048 root links needs a deeper B-tree")
 
     def btree_emit(a):
-        b = b"TREE" + bytes([0, 0]) + struct.pack("<H", 1)
+        b = b"TREE" + bytes([0, 0]) + struct.pack("<H", len(groups))
         b += struct.pack("<QQ", UNDEF, UNDEF)
         b += struct.pack("<Q", 0)                     # key 0: empty name
-        b += struct.pack("<Q", a["snod"])
-        b += struct.pack("<Q", offsets[snames[-1]])   # key 1: last name
+        for gi, grp in enumerate(groups):
+            b += struct.pack("<Q", a[f"snod{gi}"])
+            b += struct.pack("<Q", offsets[grp[-1]])  # key i+1: child max
         return b
 
-    w.add("btree", 24 + 24, btree_emit)
+    w.add("btree", 24 + 8 + 16 * len(groups), btree_emit)
 
-    def snod_emit(a):
-        b = b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(snames))
-        for n in snames:
+    def snod_emit(a, grp):
+        b = b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(grp))
+        for n in grp:
             b += struct.pack("<QQ", offsets[n], a[f"oh:{n}"])
             b += struct.pack("<II", 0, 0) + b"\x00" * 16
         return b
 
-    w.add("snod", 8 + 40 * len(snames), snod_emit)
+    for gi, grp in enumerate(groups):
+        w.add(f"snod{gi}", 8 + 40 * len(grp),
+              lambda a, grp=grp: snod_emit(a, grp))
 
 
 # =====================================================================

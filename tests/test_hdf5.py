@@ -452,3 +452,36 @@ def test_foreign_ascending_y_axis(spark, tmp_path):
     # source row 0 is the BOTTOM (y=0.5): it must land at iy = ny-1
     assert np.array_equal(got[ny - 1], band[0, 0])
     assert np.array_equal(got[0], band[0, ny - 1])
+
+
+def test_many_root_links_multi_snod(spark, tmp_path):
+    """> 64 root links split across multiple SNODs under one group
+    B-tree node — a 100-band cube must export and re-read (the single-
+    SNOD writer refused beyond 64 links)."""
+    rng = np.random.RandomState(2)
+    ds = {f"v{i:03d}": {"data": (rng.rand(3, 4) * 10).astype("<f8")}
+          for i in range(100)}
+    h = read_hdf5(write_hdf5(ds, {"n": 100}))
+    assert len(h["datasets"]) == 100
+    for k, spec in ds.items():
+        assert np.allclose(h["datasets"][k]["data"], spec["data"])
+    # end-to-end: a wide cube through the NC4 container
+    from gdalcubes_cpp_spark.sources.collection import formula_cube
+    from gdalcubes_cpp_spark.sources.hdf5 import write_netcdf4
+    from gdalcubes_cpp_spark.sources.netcdf3 import read_netcdf_cube
+    from gdalcubes_cpp_spark.view import CubeView
+
+    v = CubeView.create(left=0.0, right=4.0, bottom=0.0, top=3.0, nx=4,
+                        ny=3, t0="2020-01-01", nt=2, dt="P1D",
+                        chunk_size=(2, 3, 4))
+    cube = formula_cube(spark, v, {
+        f"B{i:02d}": f"CAST(it + iy*2 + ix + {i} AS DOUBLE)"
+        for i in range(70)})
+    p = str(tmp_path / "wide.nc")
+    write_netcdf4(cube, p, deflate=1)
+    back = read_netcdf_cube(spark, p)
+    assert len(back.bands) == 70
+    a, b = back.collect_dense(), cube.collect_dense()
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    m = np.isfinite(b)
+    assert (a[m] == b[m]).all()
