@@ -1,11 +1,15 @@
 """Multimodal (image/audio/video) column operators: binary payloads with
 typed metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
 
-Image decode/resize/stats are REAL (numpy PNG/lossy codec). Audio decode and
-video frame-sampling are STUBS (no libsndfile/ffmpeg in this container):
-the Spark-side plumbing — schema, batch iteration, UDF signature — is real
-and tested; the inner decode raises NotImplementedError unless the payload
-uses the deterministic fake container produced by fake_audio()/fake_video().
+Image decode/resize/stats are REAL (from-spec numpy PNG/JPEG/JP2 codecs in
+..codecs / ..sources.jpegbase). Audio and video are REAL too since r5:
+decode_audio parses RIFF/WAVE PCM (8/16/24/32-bit + float) and
+sample_frames/video_stats walk MJPEG-AVI containers via the same JPEG
+decoder (..sources.riff). Production swap policy: on a real cluster these
+pure-python codecs are replaced by libjpeg-turbo/libsndfile/ffmpeg bindings
+behind the same UDF signatures — the Spark-side plumbing (schema, Arrow
+batch iteration, partitioning) is the part this repo pins with tests.
+Unknown containers refuse with ValueError, never garbage pixels.
 """
 
 from __future__ import annotations

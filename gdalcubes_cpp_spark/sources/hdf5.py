@@ -1084,7 +1084,10 @@ def _read_dataset(r: _R, msgs):
         if fill is not None and len(fill) == itemsize:
             fv = np.frombuffer(fill, npdt)[0]
         else:
-            fv = np.nan if npdt.kind == "f" else 0
+            # libhdf5's default fill value is 0 for ALL dtypes (H5P default);
+            # a foreign float file with unallocated chunks and no explicit
+            # fill-value message must read 0.0, not NaN, to match h5py.
+            fv = 0
         arr = np.full(full, fv, dtype=npdt)
         if baddr != UNDEF:
             for offs, nbytes, fmask, caddr in _walk_chunk_btree(
@@ -1194,12 +1197,16 @@ def read_hdf5(src) -> dict:
     out = {"attrs": {}, "datasets": {}}
 
     def visit(addr: int, prefix: str, into_attrs: dict, seen: set):
-        if addr in seen:
-            raise ValueError("group cycle")
-        seen.add(addr)
         msgs = _parse_object(r, addr)
         is_group = any(m[0] in (0x0011, 0x0002, 0x0006) for m in msgs)
         has_layout = any(m[0] == 0x0008 for m in msgs)
+        # Only GROUP revisits are cycles. A dataset hard-linked under two
+        # names (legal per spec, e.g. a shared dimension scale linked from
+        # two groups) is emitted under each link path.
+        if not has_layout:
+            if addr in seen:
+                raise ValueError("group cycle")
+            seen.add(addr)
         for mtype, body in msgs:
             if mtype == 0x0015:
                 _check_attr_info(body)

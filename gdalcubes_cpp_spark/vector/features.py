@@ -405,11 +405,17 @@ def gpkg_rows(path: str, layer: str | None = None) -> tuple[list[tuple], str | N
             if not gcs:
                 raise ValueError(f"no GeoPackage layer {layer!r}")
         tname, gcol, srs_id = gcs[0]
-        cols = [r[1] for r in cur.execute(f'PRAGMA table_info("{tname}")')]
+        # Identifiers come from gpkg_geometry_columns of an UNTRUSTED file;
+        # escape embedded double quotes so a crafted name cannot break out
+        # of the quoted identifier and inject SQL into this sqlite session.
+        def qid(name):
+            return '"' + str(name).replace('"', '""') + '"'
+        cols = [r[1] for r in cur.execute(f"PRAGMA table_info({qid(tname)})")]
         attr_cols = [c for c in cols if c not in (gcol, "fid")]
-        sel = ", ".join(f'"{c}"' for c in ["fid", gcol] + attr_cols)
+        sel = ", ".join(qid(c) for c in ["fid", gcol] + attr_cols)
         rows = []
-        for rec in cur.execute(f'SELECT {sel} FROM "{tname}" ORDER BY fid'):
+        for rec in cur.execute(
+                f"SELECT {sel} FROM {qid(tname)} ORDER BY fid"):
             fid, blob = rec[0], rec[1]
             if blob is None:
                 continue

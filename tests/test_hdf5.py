@@ -485,3 +485,64 @@ def test_many_root_links_multi_snod(spark, tmp_path):
     assert np.array_equal(np.isnan(a), np.isnan(b))
     m = np.isfinite(b)
     assert (a[m] == b[m]).all()
+
+
+def test_hard_linked_dataset_two_names():
+    """One object linked under two names is legal per the HDF5 spec (e.g. a
+    shared dimension scale linked from two groups) and must NOT raise the
+    group-cycle guard; the dataset is emitted under each link path."""
+    blob = bytearray(write_hdf5(
+        {"a": {"data": np.arange(6, dtype="<f8")},
+         "b": {"data": np.arange(6, dtype="<f8") * 2}}, libver="v0"))
+    pos = bytes(blob).find(b"SNOD")
+    assert pos != -1
+    nsym = struct.unpack_from("<H", blob, pos + 6)[0]
+    assert nsym == 2
+    # entry layout: 8B name-offset + 8B OH address + 24B cache scratch
+    a_addr = struct.unpack_from("<Q", blob, pos + 8 + 8)[0]
+    struct.pack_into("<Q", blob, pos + 8 + 40 + 8, a_addr)  # link b -> a's OH
+    h = read_hdf5(bytes(blob))
+    assert set(h["datasets"]) == {"a", "b"}
+    assert np.array_equal(h["datasets"]["a"]["data"],
+                          h["datasets"]["b"]["data"])
+
+
+def test_missing_fill_value_defaults_to_zero():
+    """libhdf5's default fill value is 0 for every dtype; a float chunked
+    dataset with unallocated chunks and no fill-value message reads 0.0
+    (h5py parity), never NaN."""
+    data = np.arange(16, dtype="<f8").reshape(4, 4)
+    blob = bytearray(write_hdf5(
+        {"d": {"data": data, "chunks": (2, 2)}}, libver="v0"))
+    # strip every fill-value message (type 0x0005) from d's object header by
+    # retyping it NIL (0x0000) so the reader sees "no fill value defined";
+    # find d's header via the SNOD
+    pos = bytes(blob).find(b"SNOD")
+    d_addr = struct.unpack_from("<Q", blob, pos + 8 + 8)[0]
+    # OH v1: ver(1) res(1) nmsg(2) refcnt(4) size(4) pad(4) then messages
+    mp = d_addr + 16
+    nmsg = struct.unpack_from("<H", blob, d_addr + 2)[0]
+    killed = 0
+    for _ in range(nmsg):
+        mtype, msize = struct.unpack_from("<HH", blob, mp)
+        if mtype == 0x0005:
+            struct.pack_into("<H", blob, mp, 0x0000)  # NIL
+            killed += 1
+        mp += 8 + msize
+    assert killed >= 1
+    # drop the allocated chunks: point the chunk B-tree root at UNDEF
+    from gdalcubes_cpp_spark.sources.hdf5 import UNDEF
+    layout_found = False
+    mp = d_addr + 16
+    for _ in range(nmsg):
+        mtype, msize = struct.unpack_from("<HH", blob, mp)
+        if mtype == 0x0008:  # layout v3 chunked: ver(1) cls(1) addr(8)
+            assert blob[mp + 8] == 3 and blob[mp + 9] == 2
+            struct.pack_into("<Q", blob, mp + 8 + 3, UNDEF)
+            layout_found = True
+        mp += 8 + msize
+    assert layout_found
+    h = read_hdf5(bytes(blob))
+    out = h["datasets"]["d"]["data"]
+    assert out.shape == (4, 4)
+    assert (out == 0.0).all() and not np.isnan(out).any()

@@ -289,3 +289,37 @@ def test_read_features_gpkg(spark, tmp_path):
     assert got == want and want
     with pytest.raises(ValueError, match="no GeoPackage layer"):
         read_features(spark, p, layer="nope")
+
+
+def test_gpkg_quoted_identifiers_no_injection(tmp_path):
+    """Table/column names come from an UNTRUSTED file's metadata table; a
+    name embedding a double quote is a legal sqlite identifier and must be
+    read via proper escaping, not break out of the quoted identifier."""
+    import sqlite3
+
+    from gdalcubes_cpp_spark.vector.features import gpkg_rows
+    from gdalcubes_cpp_spark.vector.gpkg import GPKG_APP_ID, gpkg_geom_blob
+
+    p = str(tmp_path / "evil.gpkg")
+    con = sqlite3.connect(p)
+    cur = con.cursor()
+    cur.execute(f"PRAGMA application_id = {GPKG_APP_ID}")
+    cur.execute("CREATE TABLE gpkg_geometry_columns (table_name TEXT, "
+                "column_name TEXT, geometry_type_name TEXT, srs_id INTEGER, "
+                "z TINYINT, m TINYINT)")
+    tname = 'zo"nes'
+    cur.execute("INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,?,?)",
+                (tname, "geom", "GEOMETRY", 4326, 0, 0))
+    cur.execute('CREATE TABLE "zo""nes" (fid INTEGER PRIMARY KEY, '
+                'geom BLOB, "na""me" TEXT)')
+    cur.execute('INSERT INTO "zo""nes" VALUES (?,?,?)',
+                (7, gpkg_geom_blob("POINT (1.0 2.0)"), "ok"))
+    con.commit()
+    con.close()
+
+    rows, srs = gpkg_rows(p)
+    assert srs == "EPSG:4326"
+    assert len(rows) == 1
+    fid, wkt, props = rows[0]
+    assert fid == 7 and wkt.startswith("POINT")
+    assert json.loads(props) == {'na"me': "ok"}
