@@ -93,6 +93,13 @@ def images_pipeline(spark, n_images: int, path: str | None = None,
         imgs = images_df(spark, n_images)
     else:
         imgs = spark.read.parquet(path)
+    # An explicit st_join method with strategy='auto' would silently take
+    # the cell_long path (mean is a long-agg) and never run st_join at all
+    # — the r5 per-strategy scaling table measured the identical plan twice
+    # because of exactly that. Route to the join-based strategy so method=
+    # is actually exercised.
+    if method != "auto" and strategy == "auto":
+        strategy = "chunk_kernel"
     cube = build_cube(imgs, v, bands=("B1", "B2"), strategy=strategy,
                       method=method)
     out = cube.reduce_time([("mean", "B1"), ("count", "B1")])

@@ -174,23 +174,153 @@ def hex_steps(lon_expr: str, lat_expr: str, res: int, pz: str = "_hx_",
 # ---------------------------------------------------------------------------
 
 
+def _let(col, fn):
+    """Bind ``col`` once (higher-order-function lambda variable) so ``fn``
+    may reference it repeatedly without duplicating its expression subtree.
+    The previous withColumn-per-step chain let CollapseProject inline every
+    intermediate into each of its uses — combinatorial tree growth that
+    pushed whole-stage codegen past janino's 64 KB method limit when the
+    owner filter landed inside the st_join broadcast stage."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def _cea_xy(lon, lat):
+    """lon/lat degrees -> EASE-Grid 2.0 meters as a struct(x, y) Column —
+    operation-for-operation identical to forward_steps (the DuckDB mirror),
+    so values stay bit-compatible with the oracled SQL chain."""
+    p = _P6933
+    e, k0, _qp, _ = _cea_consts(p)
+    L = F.lit
+
+    def f1(v):
+        sphi = F.sin(v.lat * L(_RAD))
+
+        def f2(w):
+            es = L(e) * w.sphi
+
+            def f3(u):
+                qs = L(1.0 - p.e2) * (
+                    u.sphi / (L(1.0) - L(p.e2) * (u.sphi * u.sphi))
+                    - L(1.0 / (2.0 * e))
+                    * F.log((L(1.0) - u.es) / (L(1.0) + u.es)))
+                x = L(p.fe) + L(p.a * k0) * ((u.lon - L(p.lon0)) * L(_RAD))
+                y = L(p.fn) + (L(p.a) * qs) / L(2.0 * k0)
+                return F.struct(x.alias("x"), y.alias("y"))
+
+            return _let(F.struct(w.lon.alias("lon"), w.sphi.alias("sphi"),
+                                 es.alias("es")), f3)
+
+        return _let(F.struct(v.lon.alias("lon"), sphi.alias("sphi")), f2)
+
+    return _let(F.struct(lon.alias("lon"), lat.alias("lat")), f1)
+
+
+def _plane_axial(x, y, res: int):
+    """EASE meters -> cube-rounded integer axial struct(cq, cr) at ``res``
+    (mirrors plane_steps op-for-op; *,+,-,floor,abs only — bit-exact)."""
+    s, c, n = res_params(res)
+    L = F.lit
+
+    def f1(v):
+        xr = v.x * L(c) + v.y * L(n)
+        yr = v.y * L(c) - v.x * L(n)
+
+        def f2(w):
+            qf = (L(SQRT3 / 3.0) * w.xr - L(1.0 / 3.0) * w.yr) / L(s)
+            rf = (L(2.0 / 3.0) * w.yr) / L(s)
+
+            def f3(u):
+                sf = (-u.qf) - u.rf
+
+                def f4(t):
+                    iq = F.floor(t.qf + L(0.5))
+                    ir = F.floor(t.rf + L(0.5))
+                    is_ = F.floor(t.sf + L(0.5))
+
+                    def f5(b):
+                        dq = F.abs(b.iq.cast("double") - b.qf)
+                        dr = F.abs(b.ir.cast("double") - b.rf)
+                        ds = F.abs(b["is"].cast("double") - b.sf)
+
+                        def f6(d):
+                            maj_q = (d.dq > d.dr) & (d.dq > d.ds)
+                            cq = F.when(maj_q, (L(0) - d.ir) - d["is"]) \
+                                .otherwise(d.iq)
+                            cr = F.when((~maj_q) & (d.dr > d.ds),
+                                        (L(0) - d.iq) - d["is"]) \
+                                .otherwise(d.ir)
+                            return F.struct(cq.alias("cq"), cr.alias("cr"))
+
+                        return _let(F.struct(
+                            b.iq.alias("iq"), b.ir.alias("ir"),
+                            b["is"].alias("is"), dq.alias("dq"),
+                            dr.alias("dr"), ds.alias("ds")), f6)
+
+                    return _let(F.struct(
+                        iq.alias("iq"), ir.alias("ir"), is_.alias("is"),
+                        t.qf.alias("qf"), t.rf.alias("rf"),
+                        t.sf.alias("sf")), f5)
+
+                return _let(F.struct(u.qf.alias("qf"), u.rf.alias("rf"),
+                                     sf.alias("sf")), f4)
+
+            return _let(F.struct(qf.alias("qf"), rf.alias("rf")), f3)
+
+        return _let(F.struct(xr.alias("xr"), yr.alias("yr")), f2)
+
+    return _let(F.struct(x.alias("x"), y.alias("y")), f1)
+
+
+def _pack_col(res: int, cq, cr):
+    return (F.lit(res).cast("long") * F.lit(_F_RES)
+            + (cq + F.lit(OFF)) * F.lit(_F_Q) + (cr + F.lit(OFF)))
+
+
+def hex_cell_cols(lon, lat, res: int, parent: bool = False):
+    """struct(cell[, parent]) for lon/lat degree Columns at ``res`` — the
+    let-bound native-expression twin of the hex_steps SQL chain (values
+    bit-identical; tree size linear in the step count)."""
+    L = F.lit
+
+    def body(v):
+        def with_ax(a):
+            cell = _pack_col(res, a.cq, a.cr)
+            if not parent:
+                return F.struct(cell.alias("cell"))
+            s, c, n = res_params(res)
+            qd = a.cq.cast("double")
+            rd = a.cr.cast("double")
+            xc = L(s) * (L(SQRT3) * (qd + rd * L(0.5)))
+            yc = L(s) * (L(1.5) * rd)
+            px = xc * L(c) - yc * L(n)
+            py = xc * L(n) + yc * L(c)
+
+            def with_p(pp):
+                pcell = _let(_plane_axial(pp.px, pp.py, res - 1),
+                             lambda b: _pack_col(res - 1, b.cq, b.cr))
+                return F.struct(cell.alias("cell"), pcell.alias("parent"))
+
+            return _let(F.struct(px.alias("px"), py.alias("py")), with_p)
+
+        return _let(_plane_axial(v.x, v.y, res), with_ax)
+
+    return _let(_cea_xy(lon, lat), body)
+
+
 def hex_cells(df: DataFrame, lon: str = "lon", lat: str = "lat",
               res: int = 4, cell_col: str = "hex_cell",
               parent_col: str | None = "hex_parent") -> DataFrame:
     """Attach the packed hex cell id (and its aperture-7 parent) as native
-    column expressions — one F.expr per chain step so whole-stage codegen
-    sees small expressions and shares the intermediates."""
+    let-bound column expressions (see _let for why not withColumn steps)."""
     if parent_col is not None and res == 0:
         raise ValueError("res-0 cells have no parent; pass parent_col=None")
-    pz = "_hx_"
-    steps = hex_steps(lon, lat, res, pz, parent=parent_col is not None)
-    out = df
-    for name, expr in steps:
-        out = out.withColumn(name, F.expr(expr))
-    out = out.withColumn(cell_col, F.col(f"{pz}cell"))
-    if parent_col is not None and res > 0:
-        out = out.withColumn(parent_col, F.col(f"{pz}p_cell"))
-    return out.drop(*[name for name, _ in steps])
+    st = hex_cell_cols(F.col(lon), F.col(lat), res,
+                       parent=parent_col is not None)
+    out = df.withColumn("_hx_struct", st).withColumn(
+        cell_col, F.col("_hx_struct.cell"))
+    if parent_col is not None:
+        out = out.withColumn(parent_col, F.col("_hx_struct.parent"))
+    return out.drop("_hx_struct")
 
 
 def hex_duckdb_sql(src_sql: str, keep_cols: str, lon_expr: str,
