@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     # round-5 surfaces: nc4 container roundtrip, 3-modality codec union,
     # 3-source vector ingest (extract_geom above now covers it)
     "netcdf_roundtrip", "images_multimodal", "events_asof",
+    # per-member walls for the grown suites (r5 VERDICT #8): the three
+    # extract_geom sources and the three multimodal arms time separately
+    # so window diffs localize member growth vs drift
+    "extract_geom_wkt", "extract_geom_geojson", "extract_geom_shp",
+    "images_mm_image", "images_mm_audio", "images_mm_video",
 ]
 
 
@@ -165,6 +170,16 @@ def main() -> None:
     warmup(spark)
     path = materialize_images(spark, N_IMAGES)
 
+    # decode-member fixtures (parquet synth tables + driver-side encoded
+    # payload memos) build HERE, outside the timed region, so member walls
+    # measure scan->join->decode->aggregate, not pure-python ENCODE
+    # (r5 VERDICT #1: fixture cost made the decode trio unattributable)
+    from gdalcubes_cpp_spark.benchqueries import prepare_fixtures
+
+    t_fix = time.time()
+    prepare_fixtures(spark)
+    fixture_prep_s = round(time.time() - t_fix, 3)
+
     timings: dict = {}
     t_suite = time.time()
 
@@ -196,23 +211,39 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = time.time() - t_suite
-    print(
-        json.dumps(
-            {
-                "metric": "operator-suite wall time (flagship images/sec in images_per_sec)",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "images_per_sec": round(N_IMAGES / pipeline_s, 1),
-                "images_per_sec_codec": round(N_CODEC / codec_s, 1),
-                "n_images": N_IMAGES,
-                "n_images_codec": N_CODEC,
-                "cpus": CPUS,
-                "pipeline_rows": rows,
-            }
-        )
-    )
+    common = {
+        "metric": "operator-suite wall time (flagship images/sec in images_per_sec)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "images_per_sec": round(N_IMAGES / pipeline_s, 1),
+        "images_per_sec_codec": round(N_CODEC / codec_s, 1),
+        "n_images": N_IMAGES,
+        "n_images_codec": N_CODEC,
+        "cpus": CPUS,
+        "pipeline_rows": rows,
+        "fixture_prep_s": fixture_prep_s,
+    }
+    # Full per-member walls go to a FILE: the driver records only the last
+    # 2000 chars of stdout, and the ~80-member dict overflowed that window
+    # every round (BENCH_r05 'parsed' was null). The printed ONE JSON line
+    # keeps the headline members + a pointer to the full table.
+    full = dict(common, queries=timings)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "bench_full.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=2)
+    headline = [
+        "images_pipeline", "images_pipeline_codec", "cube_average_decode",
+        "cube_real_decode", "simple_cube_decode", "cube_jpegbase_decode",
+        "cube_jp2_decode", "format_ingest", "stjoin_rows", "cube_mean",
+        "doc_dedup_clusters", "s2_knn", "ann_ivf_topk", "events_sessionize",
+    ]
+    compact = dict(common,
+                   queries={k: timings[k] for k in headline if k in timings},
+                   queries_full="BENCH/bench_full.json")
+    print(json.dumps(compact))
     spark.stop()
 
 

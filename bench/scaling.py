@@ -74,8 +74,11 @@ def _cooldown(limit: float = 3.0, max_wait: int = 360) -> float:
 
 # st_join strategies to evidence separately (r4 VERDICT #9): the cell
 # strategies recommended at 100 TB, where neither side broadcasts. One
-# cooled-down (lo, hi) pair each at a reduced N (their cover UDF costs
-# more per image; the auto flagship above carries the median-of-5 story).
+# cooled-down (lo, hi) pair each at a reduced N (the st_join+chunk_kernel
+# pipeline costs more per image than the flagship's cell_long plan; the
+# auto flagship above carries the median-of-5 story). method= routes to
+# strategy='chunk_kernel' inside bench.images_pipeline so st_join really
+# runs (r5 ADVICE: under strategy='auto' the method knob was a no-op).
 STRATEGIES = ("s2", "hex")
 N_STRAT = int(os.environ.get("SPARK_GRAFT_SCALING_STRAT_IMAGES", "1600000"))
 
@@ -162,6 +165,26 @@ def main() -> None:
         "rows_lo": trials[0]["rows"], "rows_hi": trials[0]["rows"],
         "rows_equal": all(tr["rows_equal"] for tr in trials),
     }
+    write_outputs(result, path_strat)
+
+
+def strategies_only() -> None:
+    """Refresh ONLY the per-strategy table: keep the prior scaling.json's
+    flagship trials (measured on identical flagship code) and rerun the
+    cooled s2/hex (lo, hi) pairs, then rewrite scaling.json + BASELINE.md."""
+    sys.path.insert(0, REPO)
+    from gdalcubes_cpp_spark.session import get_spark
+    import bench
+
+    with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+        result = json.load(f)
+    spark = get_spark(app="scaling-prep", cores=HI)
+    path_strat = bench.materialize_images(spark, N_STRAT)
+    spark.stop()
+    write_outputs(result, path_strat)
+
+
+def write_outputs(result: dict, path_strat: str) -> None:
     result["strategies"] = run_strategies(path_strat)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
@@ -198,9 +221,14 @@ Output row count identical at both levels: {result['rows_equal']}
 
 ### Per-join-strategy scaling (the 100 TB cell strategies)
 
-Same probe, one cooled-down (lo, hi) pair per st_join method at
-{N_STRAT:,} images (the flagship's 'auto' above carries the
-median-of-{TRIALS} evidence):
+One cooled-down (lo, hi) pair per st_join method at {N_STRAT:,} images.
+Unlike the flagship's 'auto' plan (cell_long: decode-at-scan, no explicit
+join), these rows run the st_join + chunk-kernel pipeline, so the
+requested cover/join method is actually on the measured path — walls are
+therefore NOT comparable to the flagship table, only lo-vs-hi within a
+row. (The r5 table accidentally measured the cell_long plan twice because
+method= was ignored under strategy='auto'; bench.images_pipeline now
+routes an explicit method to the join strategy.)
 
 | method | local[{LO}] wall s | local[{HI}] wall s | efficiency | rows equal |
 |---|---|---|---|---|
@@ -266,4 +294,7 @@ BENCH/quiet_r5.json / BENCH_r05.json.
 
 
 if __name__ == "__main__":
-    main()
+    if "--strategies-only" in sys.argv:
+        strategies_only()
+    else:
+        main()

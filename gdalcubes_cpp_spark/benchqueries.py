@@ -34,6 +34,38 @@ from .grid import ChunkGrid
 from .view import CubeView
 
 # ---------------------------------------------------------------------------
+# fixture memo: driver-side encoded payloads built ONCE per process
+# ---------------------------------------------------------------------------
+
+# r5 VERDICT #1: the decode members paid their fixture ENCODE (pure-python
+# PNG/JPEG/JP2) inside the timed region, so member walls were
+# unattributable. Driver-side byte fixtures memoize here; distributed synth
+# tables materialize to parquet via synth.images_table. bench.py prewarms
+# both through prepare_fixtures() before its timed loop.
+_FIXTURE_MEMO: dict = {}
+
+
+def _fixture(key: str, build):
+    if key not in _FIXTURE_MEMO:
+        _FIXTURE_MEMO[key] = build()
+    return _FIXTURE_MEMO[key]
+
+
+def prepare_fixtures(spark) -> None:
+    """Build every decode-member fixture outside any timed region: parquet
+    synth tables + driver-side encoded payload memos."""
+    from .synth import images_table
+
+    for n in (300, 400):
+        images_table(spark, n)
+    _simple_cube_records()
+    _jp2_rows()
+    _jpegbase_rows()
+    _mm_audio_pdf()
+    _mm_video_pdf()
+
+
+# ---------------------------------------------------------------------------
 # fixed views (constants shared by Spark code and SQL templates)
 # ---------------------------------------------------------------------------
 
@@ -612,20 +644,42 @@ def extract_geom(spark, sf_dir):
     any OGR datasource (src/extract_geom.cpp:33-218); read_features is the
     OGR-analog (vector/features.py), and all three must produce identical
     rows."""
-    import tempfile
+    return (_extract_geom_wkt(spark, sf_dir)
+            .unionAll(_extract_geom_geojson(spark, sf_dir))
+            .unionAll(_extract_geom_shp(spark, sf_dir)))
 
-    from .vector.features import read_features, write_geojson, write_shp
+
+@q("extract_geom_wkt", None)  # bench-only arm (suite above is the oracle)
+def _extract_geom_wkt(spark, sf_dir):
     from .vector.queries import extract_geom as eg
 
     cube = _formula_cube(spark)
-    a = eg(cube, _rects_df(spark)).select(F.lit("wkt").alias("source"), "*")
+    return eg(cube, _rects_df(spark)).select(F.lit("wkt").alias("source"), "*")
 
+
+@q("extract_geom_geojson", None)  # bench-only arm
+def _extract_geom_geojson(spark, sf_dir):
+    import tempfile
+
+    from .vector.features import read_features, write_geojson
+    from .vector.queries import extract_geom as eg
+
+    cube = _formula_cube(spark)
     gj = tempfile.mktemp(suffix=".geojson", prefix="gcs_")
     write_geojson(gj, [(fid, w, {}) for fid, w in
                        ((r["fid"], r["wkt"]) for r in _rects_df(spark).collect())])
-    b = eg(cube, read_features(spark, gj, view=cube.view)).select(
+    return eg(cube, read_features(spark, gj, view=cube.view)).select(
         F.lit("geojson").alias("source"), "*")
 
+
+@q("extract_geom_shp", None)  # bench-only arm
+def _extract_geom_shp(spark, sf_dir):
+    import tempfile
+
+    from .vector.features import read_features, write_shp
+    from .vector.queries import extract_geom as eg
+
+    cube = _formula_cube(spark)
     base = tempfile.mktemp(prefix="gcs_shp_")
     rows = sorted((r["fid"], r["wkt"]) for r in _rects_df(spark).collect())
     write_shp(base, [w for _fid, w in rows],
@@ -635,8 +689,7 @@ def extract_geom(spark, sf_dir):
     feats = feats.select(
         F.get_json_object("props", "$.orig_fid").cast("long").alias("fid"),
         "wkt")
-    c = eg(cube, feats).select(F.lit("shp").alias("source"), "*")
-    return a.unionAll(b).unionAll(c)
+    return eg(cube, feats).select(F.lit("shp").alias("source"), "*")
 
 
 @q(
@@ -2250,14 +2303,14 @@ def cube_average_decode(spark, sf_dir):
     images; per-method exactness is pytest-gated vs the numpy oracle
     (tests/test_resampling.py) — no SQL engine can replay a PNG codec."""
     from .operators.build import build_cube
-    from .synth import images_df
+    from .synth import images_table
 
     v = CubeView.create(
         left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=16, ny=16,
         t0="2020-01-01", t1="2020-12-31", dt="P2M",
         aggregation="mean", resampling="average", chunk_size=(3, 8, 8),
     )
-    imgs = images_df(spark, 300)
+    imgs = images_table(spark, 300)
     cube = build_cube(imgs, v, bands=("B1", "B2"))
     return cube.reduce_time([("mean", "B1"), ("count", "B1"), ("max", "B2")]).df
 
@@ -2269,14 +2322,14 @@ def cube_real_decode(spark, sf_dir):
     Pixel exactness vs the numpy oracle is pytest-gated
     (tests/test_stjoin_build.py); no SQL engine can replay a PNG codec."""
     from .operators.build import build_cube
-    from .synth import images_df
+    from .synth import images_table
 
     v = CubeView.create(
         left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=40, ny=40,
         t0="2020-01-01", t1="2020-12-31", dt="P1M",
         aggregation="mean", resampling="near", chunk_size=(8, 20, 20),
     )
-    imgs = images_df(spark, 400)
+    imgs = images_table(spark, 400)
     cube = build_cube(imgs, v, bands=("B1", "B2"))
     return cube.reduce_time([("mean", "B1"), ("count", "B1"), ("max", "B2")]).df
 
@@ -2670,16 +2723,70 @@ def simple_cube_decode(spark, sf_dir):
     """simple_cube (src/simple_cube.h:50-54): cube from a flat record list
     without a collection format; real PNG decode (pytest-gated values)."""
     from .sources.collection import simple_cube
-    from .synth import images_pdf
 
-    pdf = images_pdf(60)
-    records = pdf.to_dict("records")
+    records = _simple_cube_records()
     v = CubeView.create(
         left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=20, ny=20,
         t0="2020-01-01", t1="2020-12-31", dt="P3M",
         aggregation="mean", resampling="near", chunk_size=(2, 10, 10),
     )
     return simple_cube(spark, records, v).df
+
+
+def _simple_cube_records():
+    from .synth import images_pdf
+
+    return _fixture("simple_cube_records",
+                    lambda: images_pdf(60).to_dict("records"))
+
+
+def _jp2_rows():
+    import numpy as np
+
+    from .sources.jpeg2000 import encode_jp2
+
+    def build():
+        r = np.arange(40)[:, None]
+        c = np.arange(40)[None, :]
+        rows = []
+        for k, ts in ((0, "2020-02-10"), (1, "2020-05-20")):
+            plane = ((r * 31 + c * 17 + k * 1000) % 4999).astype(np.uint16)
+            # footprint offset half a source pixel so every cell center
+            # falls mid-pixel (fx = 1.5 + 2k): near-gather = pixel
+            # (2i+1, 2j+1), no boundary ulp sensitivity.
+            # multi-layer + RLCP + SOP/EPH: the external-encoder stream
+            # shape (Kakadu production settings) — still bit-exact lossless
+            rows.append((
+                f"jp2_{k}", bytearray(encode_jp2(plane, levels=3, nlayers=3,
+                                                 prog="RLCP", sop=True,
+                                                 eph=True)), 40, 40,
+                "jp2", ts, -12.05, -8.05, 18.05, 22.05,
+            ))
+        return rows
+
+    return _fixture("jp2_rows", build)
+
+
+def _jpegbase_rows():
+    from .codecs import encode_jpeg
+    from .synth import make_pixels
+
+    def build():
+        rows = []
+        for k, (ts, kw) in enumerate((
+            ("2020-02-10", {}),
+            ("2020-05-20", {"restart_interval": 3}),
+            ("2020-08-15", {"quality": 85}),
+            ("2020-11-10", {"progressive": True}),
+        )):
+            img = make_pixels(7000 + k, 48, 48)
+            rows.append((
+                f"jpg_{k}", bytearray(encode_jpeg(img, **kw)), 48, 48,
+                "jpeg", ts, -12.05, -8.05, 18.05, 22.05,
+            ))
+        return rows
+
+    return _fixture("jpegbase_rows", build)
 
 
 @q("cube_jp2_decode", None)  # rows-only member: real JPEG 2000 decode path
@@ -2690,29 +2797,10 @@ def cube_jp2_decode(spark, sf_dir):
     codecs.decode's magic dispatch like every other codec. Pixel
     exactness is pytest-gated (tests/test_jpeg2000.py); no SQL engine
     can replay an EBCOT decoder."""
-    import numpy as np
-
     from .operators.build import build_cube
-    from .sources.jpeg2000 import encode_jp2
 
-    r = np.arange(40)[:, None]
-    c = np.arange(40)[None, :]
-    rows = []
-    for k, ts in ((0, "2020-02-10"), (1, "2020-05-20")):
-        plane = ((r * 31 + c * 17 + k * 1000) % 4999).astype(np.uint16)
-        # footprint offset half a source pixel so every cell center falls
-        # mid-pixel (fx = 1.5 + 2k): near-gather = pixel (2i+1, 2j+1), no
-        # boundary ulp sensitivity
-        # multi-layer + RLCP + SOP/EPH: the external-encoder stream shape
-        # (Kakadu production settings) — still bit-exact lossless
-        rows.append((
-            f"jp2_{k}", bytearray(encode_jp2(plane, levels=3, nlayers=3,
-                                             prog="RLCP", sop=True,
-                                             eph=True)), 40, 40,
-            "jp2", ts, -12.05, -8.05, 18.05, 22.05,
-        ))
     images = spark.createDataFrame(
-        rows,
+        _jp2_rows(),
         "image_id string, bytes binary, w int, h int, fmt string, "
         "ts string, left double, right double, bottom double, top double",
     ).withColumn("ts", F.to_timestamp("ts"))
@@ -2734,26 +2822,10 @@ def cube_jpegbase_decode(spark, sf_dir):
     pytest-gated against the numpy oracle decoding the same bytes
     (tests/test_jpegbase.py); lossy values are codec-defined, so no SQL
     engine can replay them."""
-    import numpy as np
-
-    from .codecs import encode_jpeg
     from .operators.build import build_cube
-    from .synth import make_pixels
 
-    rows = []
-    for k, (ts, kw) in enumerate((
-        ("2020-02-10", {}),
-        ("2020-05-20", {"restart_interval": 3}),
-        ("2020-08-15", {"quality": 85}),
-        ("2020-11-10", {"progressive": True}),
-    )):
-        img = make_pixels(7000 + k, 48, 48)
-        rows.append((
-            f"jpg_{k}", bytearray(encode_jpeg(img, **kw)), 48, 48,
-            "jpeg", ts, -12.05, -8.05, 18.05, 22.05,
-        ))
     images = spark.createDataFrame(
-        rows,
+        _jpegbase_rows(),
         "image_id string, bytes binary, w int, h int, fmt string, "
         "ts string, left double, right double, bottom double, top double",
     ).withColumn("ts", F.to_timestamp("ts"))
@@ -3070,14 +3142,14 @@ def cube_mask_band_decode(spark, sf_dir):
     2-channel images: channel 1 doubles as the mask (values 0-9 masked) —
     pixel exactness pytest-gated (test_band_mask_scl_pattern)."""
     from .operators.build import BandMask, build_cube
-    from .synth import images_df
+    from .synth import images_table
 
     v = CubeView.create(
         left=-12.0, right=-8.0, bottom=18.0, top=22.0, nx=40, ny=40,
         t0="2020-01-01", t1="2020-12-31", dt="P2M",
         aggregation="mean", resampling="near", chunk_size=(3, 20, 20),
     )
-    imgs = images_df(spark, 300)
+    imgs = images_table(spark, 300)
     cube = build_cube(imgs, v, bands=("B1",), mask=BandMask(channel=1, vmin=0, vmax=9))
     return cube.reduce_time([("mean", "B1"), ("count", "B1")]).df
 
@@ -3095,6 +3167,8 @@ WHERE B1 IS NOT NULL OR B2 IS NOT NULL
 SELECT 'cdf1' AS container, sub.* FROM ({_NC_RT_SQL}) sub
 UNION ALL
 SELECT 'nc4' AS container, sub.* FROM ({_NC_RT_SQL}) sub
+UNION ALL
+SELECT 'dense' AS container, sub.* FROM ({_NC_RT_SQL}) sub
 """,
 )
 def netcdf_roundtrip(spark, sf_dir):
@@ -3103,7 +3177,10 @@ def netcdf_roundtrip(spark, sf_dir):
     netCDF-4/HDF5 (NC_NETCDF4 with chunked shuffle+deflate band variables,
     nc_def_var_deflate src/cube.cpp:1011) — each written and re-read by
     the pure-python spec implementations (sources/netcdf3.py,
-    sources/hdf5.py), values byte-exact through either container."""
+    sources/hdf5.py), values byte-exact through either container. The
+    third arm re-reads an HDF5 container using DENSE storage (fractal
+    heap + v2 B-tree link/attribute indexes, the libver-latest layout
+    h5py/netcdf-c grow into) — r5 VERDICT #2."""
     import tempfile
 
     from .sources.hdf5 import write_netcdf4
@@ -3118,7 +3195,11 @@ def netcdf_roundtrip(spark, sf_dir):
     write_netcdf4(cube, p4, deflate=2, shuffle=True)
     b = read_netcdf_cube(spark, p4).df.select(
         F.lit("nc4").alias("container"), "*")
-    return a.unionAll(b)
+    pd_ = tempfile.mktemp(suffix=".nc", prefix="gcs_dense_")
+    write_netcdf4(cube, pd_, deflate=2, shuffle=True, dense=True)
+    c = read_netcdf_cube(spark, pd_).df.select(
+        F.lit("dense").alias("container"), "*")
+    return a.unionAll(b).unionAll(c)
 
 
 _GTIFF_RT_SQL = f"""
@@ -3274,15 +3355,59 @@ def images_multimodal(spark, sf_dir):
     regression fails the driver run instead of still returning rows.
     Pixel exactness is additionally pytest-gated
     (test_image_stats_and_thumbnails, test_audio_video_real_codecs)."""
+    return (_images_mm_image(spark, sf_dir)
+            .unionAll(_images_mm_audio(spark, sf_dir))
+            .unionAll(_images_mm_video(spark, sf_dir)))
+
+
+def _mm_audio_pdf():
     import numpy as np
     import pandas as pd
 
-    from .functions.image import (_synth_frame, audio_stats, fake_audio,
-                                  fake_video, image_stats, video_stats)
-    from .synth import images_df
+    from .functions.image import fake_audio
 
-    imgs = images_df(spark, 400)
-    a = image_stats(imgs).select(
+    def _sig(seed, n=1024):
+        t = np.arange(n)
+        return (np.sin(t * (1 + seed % 17) * 0.01) * 10000).astype(np.int16)
+
+    def build():
+        seeds = list(range(40))
+        return pd.DataFrame({
+            "id": seeds,
+            "payload": [fake_audio(s) for s in seeds],
+            "want_rms": [float(np.sqrt(np.mean(
+                _sig(s).astype(np.float64) ** 2))) for s in seeds],
+        })
+
+    return _fixture("mm_audio_pdf", build)
+
+
+def _mm_video_pdf():
+    import numpy as np
+    import pandas as pd
+
+    from .functions.image import _synth_frame, fake_video
+
+    def build():
+        seeds = list(range(20))
+        return pd.DataFrame({
+            "id": seeds,
+            "payload": [fake_video(s, n_frames=6, h=16, w=16) for s in seeds],
+            "want_lum": [float(np.stack([_synth_frame(s, f, 16, 16)
+                                         for f in range(6)]).astype(float)
+                               .mean()) for s in seeds],
+        })
+
+    return _fixture("mm_video_pdf", build)
+
+
+@q("images_mm_image", None)  # bench-only arm of images_multimodal
+def _images_mm_image(spark, sf_dir):
+    from .functions.image import image_stats
+    from .synth import images_table
+
+    imgs = images_table(spark, 400)
+    return image_stats(imgs).select(
         F.lit("image").alias("kind"), F.col("image_id").alias("id"),
         F.col("w").cast("long").alias("d1"), F.col("h").cast("long").alias("d2"),
         F.col("channels").cast("long").alias("d3"),
@@ -3290,18 +3415,13 @@ def images_multimodal(spark, sf_dir):
         F.col("phash").cast("string").alias("sig"),
     )
 
-    def _sig(seed, n=1024):
-        t = np.arange(n)
-        return (np.sin(t * (1 + seed % 17) * 0.01) * 10000).astype(np.int16)
 
-    seeds = list(range(40))
-    audio = spark.createDataFrame(pd.DataFrame({
-        "id": seeds,
-        "payload": [fake_audio(s) for s in seeds],
-        "want_rms": [float(np.sqrt(np.mean(_sig(s).astype(np.float64) ** 2)))
-                     for s in seeds],
-    }))
-    b = (audio_stats(audio.select("id", "payload"))
+@q("images_mm_audio", None)  # bench-only arm
+def _images_mm_audio(spark, sf_dir):
+    from .functions.image import audio_stats
+
+    audio = spark.createDataFrame(_mm_audio_pdf())
+    return (audio_stats(audio.select("id", "payload"))
          .join(audio.select("id", "want_rms"), "id")
          .withColumn("_chk", F.assert_true(
              F.abs(F.col("rms") - F.col("want_rms")) < F.lit(1e-9),
@@ -3314,14 +3434,14 @@ def images_multimodal(spark, sf_dir):
                  (F.lit(1) + F.coalesce(F.col("_chk").cast("long"),
                                         F.lit(0))).alias("d3"),
                  F.round("rms", 6).alias("v_r"), F.lit("").alias("sig")))
-    vid = spark.createDataFrame(pd.DataFrame({
-        "id": seeds[:20],
-        "payload": [fake_video(s, n_frames=6, h=16, w=16) for s in seeds[:20]],
-        "want_lum": [float(np.stack([_synth_frame(s, f, 16, 16)
-                                     for f in range(6)]).astype(float).mean())
-                     for s in seeds[:20]],
-    }))
-    c = (video_stats(vid.select("id", "payload"))
+
+
+@q("images_mm_video", None)  # bench-only arm
+def _images_mm_video(spark, sf_dir):
+    from .functions.image import video_stats
+
+    vid = spark.createDataFrame(_mm_video_pdf())
+    return (video_stats(vid.select("id", "payload"))
          .join(vid.select("id", "want_lum"), "id")
          .withColumn("_chk", F.assert_true(
              F.abs(F.col("mean_lum") - F.col("want_lum")) < F.lit(2.0),
@@ -3332,7 +3452,6 @@ def images_multimodal(spark, sf_dir):
                  (F.col("w").cast("long")
                   + F.coalesce(F.col("_chk").cast("long"), F.lit(0))).alias("d3"),
                  F.round("mean_lum", 6).alias("v_r"), F.lit("").alias("sig")))
-    return a.unionAll(b).unionAll(c)
 
 
 # ---------------------------------------------------------------------------

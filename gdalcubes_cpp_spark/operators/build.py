@@ -457,12 +457,24 @@ def warp_plane_agg(
 
 
 class _Agg:
-    """init/update/finalize over (nb, nt, ny, nx) with one image at a time."""
+    """init/touch/update/finalize over (nb, nt, ny, nx), one image at a
+    time. ``update(img, it, ys, xs)`` receives only the image's covered
+    WINDOW (img: (nb, wy, wx); ys/xs: the window's slices in the chunk
+    plane): per-image cost is O(footprint area), not O(chunk area) — with
+    the hotspot-skewed collection, full-plane updates made the hot chunk's
+    kernel task scan ~the whole chunk per tiny image and that single task
+    floored wall clock at every parallelism level. ``touch(it)`` fires for
+    EVERY image assigned to the slot, covered cells or not — the semantics
+    that are plane-wide per image (count_images' +1, count_values' and
+    AGG_NONE's plane flip) live there, so empty-window images still count."""
 
     def __init__(self, shape):
         self.shape = shape
 
-    def update(self, img: np.ndarray, it: int):  # img: (nb, ny, nx)
+    def touch(self, it: int):
+        pass
+
+    def update(self, img: np.ndarray, it: int, ys: slice, xs: slice):
         raise NotImplementedError
 
     def finalize(self) -> np.ndarray:
@@ -475,10 +487,10 @@ class _AggMean(_Agg):
         self.sum = np.zeros(shape)
         self.cnt = np.zeros(shape, dtype=np.int64)
 
-    def update(self, img, it):
+    def update(self, img, it, ys, xs):
         m = ~np.isnan(img)
-        self.sum[:, it][m] += img[m]
-        self.cnt[:, it][m] += 1
+        self.sum[:, it, ys, xs][m] += img[m]
+        self.cnt[:, it, ys, xs][m] += 1
 
     def finalize(self):
         with np.errstate(invalid="ignore"):
@@ -492,8 +504,8 @@ class _AggMinMax(_Agg):
         self.acc = np.full(shape, np.nan)
         self.fn = fn
 
-    def update(self, img, it):
-        self.acc[:, it] = self.fn(self.acc[:, it], img)
+    def update(self, img, it, ys, xs):
+        self.acc[:, it, ys, xs] = self.fn(self.acc[:, it, ys, xs], img)
 
     def finalize(self):
         return self.acc
@@ -505,25 +517,31 @@ class _AggFirstLast(_Agg):
         self.acc = np.full(shape, np.nan)
         self.first = first
 
-    def update(self, img, it):
+    def update(self, img, it, ys, xs):
+        win = self.acc[:, it, ys, xs]
         if self.first:
-            take = np.isnan(self.acc[:, it]) & ~np.isnan(img)
+            take = np.isnan(win) & ~np.isnan(img)
         else:
             take = ~np.isnan(img)
-        self.acc[:, it][take] = img[take]
+        win[take] = img[take]
 
     def finalize(self):
         return self.acc
 
 
 class _AggNone(_AggFirstLast):
-    """AGG_NONE: plain overwrite copy (src/image_collection_cube.cpp:294-306)."""
+    """AGG_NONE: plain overwrite copy (src/image_collection_cube.cpp:294-306)
+    — overwrite is PLANE-wide incl. NaN outside the footprint, so the flip
+    to all-NaN happens in touch() for every slot image."""
 
     def __init__(self, shape):
         super().__init__(shape, first=False)
 
-    def update(self, img, it):
-        self.acc[:, it] = img  # overwrite incl. NaN
+    def touch(self, it):
+        self.acc[:, it] = np.nan
+
+    def update(self, img, it, ys, xs):
+        self.acc[:, it, ys, xs] = img  # overwrite incl. NaN in the window
 
 
 class _AggCountValues(_Agg):
@@ -533,51 +551,67 @@ class _AggCountValues(_Agg):
 
     def __init__(self, shape):
         super().__init__(shape)
-        self.cnt = np.full(shape, np.nan)
+        self.cnt = np.zeros(shape)
+        self.hit = np.zeros(shape[1], dtype=bool)
 
-    def update(self, img, it):
-        sl = self.cnt[:, it]
-        sl[np.isnan(sl)] = 0.0
-        sl += ~np.isnan(img)
+    def touch(self, it):
+        self.hit[it] = True
+
+    def update(self, img, it, ys, xs):
+        self.cnt[:, it, ys, xs] += ~np.isnan(img)
 
     def finalize(self):
-        return self.cnt
+        out = self.cnt.copy()
+        out[:, ~self.hit] = np.nan
+        return out
 
 
 class _AggCountImages(_Agg):
     """counts ALL images hitting the time slot, NaN pixels included; same
-    plane-flip-to-0 rule (src/image_collection_cube.cpp:203-224)."""
+    plane-flip-to-0 rule (src/image_collection_cube.cpp:203-224) — a
+    plane-wide CONSTANT per slot, so the whole update is one scalar."""
 
     def __init__(self, shape):
         super().__init__(shape)
-        self.cnt = np.full(shape, np.nan)
+        self.n = np.zeros(shape[1], dtype=np.int64)
 
-    def update(self, img, it):
-        sl = self.cnt[:, it]
-        sl[np.isnan(sl)] = 0.0
-        sl += 1
+    def touch(self, it):
+        self.n[it] += 1
+
+    def update(self, img, it, ys, xs):
+        pass
 
     def finalize(self):
-        return self.cnt
+        out = np.empty(self.shape)
+        for it, n in enumerate(self.n):
+            out[:, it] = float(n) if n else np.nan
+        return out
 
 
 class _AggMedian(_Agg):
     """per-cell value buckets, exact median, avg-of-two-middles for even n
-    (src/image_collection_cube.cpp:112-152)."""
+    (src/image_collection_cube.cpp:112-152). Windows are buffered sparse
+    and re-expanded per slot at finalize."""
 
     def __init__(self, shape):
         super().__init__(shape)
         self.buf: list = [[] for _ in range(shape[1])]  # per time slot
 
-    def update(self, img, it):
-        self.buf[it].append(img.copy())
+    def update(self, img, it, ys, xs):
+        self.buf[it].append((img.copy(), ys, xs))
 
     def finalize(self):
+        nb, _nt, ny, nx = self.shape
         out = np.full(self.shape, np.nan)
         for it, stack in enumerate(self.buf):
             if stack:
+                planes = []
+                for img, ys, xs in stack:
+                    p = np.full((nb, ny, nx), np.nan)
+                    p[:, ys, xs] = img
+                    planes.append(p)
                 with np.errstate(all="ignore"):
-                    out[:, it] = np.nanmedian(np.stack(stack), axis=0)
+                    out[:, it] = np.nanmedian(np.stack(planes), axis=0)
         return out
 
 
@@ -589,10 +623,10 @@ class _AggSumCount(_Agg):
         self.sum = np.zeros(shape)
         self.cnt = np.zeros(shape)
 
-    def update(self, img, it):
+    def update(self, img, it, ys, xs):
         m = ~np.isnan(img)
-        self.sum[:, it][m] += img[m]
-        self.cnt[:, it][m] += 1
+        self.sum[:, it, ys, xs][m] += img[m]
+        self.cnt[:, it, ys, xs][m] += 1
 
     def finalize(self):
         # (2*nb, nt, ny, nx): [b1_sum..bn_sum, b1_cnt..bn_cnt]
@@ -728,28 +762,32 @@ def build_cells(
             if file_mask and a_mv is not None and mask.test_scalar(a_mv[k]):
                 continue  # constant mask plane masks the whole footprint
             img_bounds = (a_l[k], a_r[k], a_b[k], a_t[k])
-            planes = np.full((nb, ny_c, nx_c), np.nan)
+            # plane-wide-per-image semantics (count_images' +1, the plane
+            # flips of count_values/AGG_NONE) fire for EVERY slot image
+            agg.touch(itl)
+            sub = None
             if separable:
-                # restrict work to the footprint's cell sub-window: cells
-                # with centers outside [left,right)x(bottom,top] can never
-                # receive a value, so touching the full chunk plane per
-                # image is O(chunk_area) waste (the reference crops the VRT
-                # the same way, src/image_collection_cube.cpp:456-470)
+                # restrict ALL work to the footprint's cell sub-window:
+                # cells with centers outside [left,right)x(bottom,top] can
+                # never receive a value, so touching the full chunk plane
+                # per image is O(chunk_area) waste (the reference crops the
+                # VRT the same way, src/image_collection_cube.cpp:456-470)
                 jx = np.nonzero((xs >= a_l[k]) & (xs < a_r[k]))[0]
                 jy = np.nonzero((ys > a_b[k]) & (ys <= a_t[k]))[0]
                 if len(jx) and len(jy):
                     y0, y1 = jy[0], jy[-1] + 1
                     x0, x1 = jx[0], jx[-1] + 1
+                    sub = np.full((nb, y1 - y0, x1 - x0), np.nan)
                     if value_fn is not None:
                         # 'near'-coverage of a constant plane reduces to the
                         # covered cell rectangle — no raster math
                         vals = value_fn(a_id[k])
                         for b in range(nb):
-                            planes[b, y0:y1, x0:x1] = vals[b]
+                            sub[b] = vals[b]
                     else:
                         raw = decode_fn(a_bytes[k], a_fmt[k])
                         for b in range(nb):
-                            planes[b, y0:y1, x0:x1] = warp_plane(
+                            sub[b] = warp_plane(
                                 raw[:, :, b], img_bounds,
                                 xs[x0:x1], ys[y0:y1], resampling,
                                 **(
@@ -765,13 +803,13 @@ def build_cells(
                                     mraw[:, :, mask.channel], img_bounds,
                                     xs[x0:x1], ys[y0:y1], "near",
                                 )
-                                planes[:, y0:y1, x0:x1][:, mask.test(mp)] = np.nan
+                                sub[:, mask.test(mp)] = np.nan
                         elif isinstance(mask, BandMask):
                             mp = warp_plane(
                                 raw[:, :, mask.channel], img_bounds,
                                 xs[x0:x1], ys[y0:y1], "near",
                             )
-                            planes[:, y0:y1, x0:x1][:, mask.test(mp)] = np.nan
+                            sub[:, mask.test(mp)] = np.nan
             else:
                 # non-separable view SRS: 2-D membership mask, then a 2-D
                 # gather restricted to the mask's bounding window
@@ -780,21 +818,20 @@ def build_cells(
                     myy, mxx = np.nonzero(m2)
                     y0, y1 = myy.min(), myy.max() + 1
                     x0, x1 = mxx.min(), mxx.max() + 1
+                    wm = m2[y0:y1, x0:x1]
+                    sub = np.full((nb, y1 - y0, x1 - x0), np.nan)
                     if value_fn is not None:
                         vals = value_fn(a_id[k])
                         for b in range(nb):
-                            planes[b][m2] = vals[b]
+                            sub[b][wm] = vals[b]
                     else:
                         raw = decode_fn(a_bytes[k], a_fmt[k])
-                        sub = np.full((y1 - y0, x1 - x0), np.nan)
                         for b in range(nb):
-                            sub[:] = warp_plane(
+                            warped = warp_plane(
                                 raw[:, :, b], img_bounds,
                                 LON[y0:y1, x0:x1], LAT[y0:y1, x0:x1], resampling,
                             )
-                            win = planes[b, y0:y1, x0:x1]
-                            wm = m2[y0:y1, x0:x1]
-                            win[wm] = sub[wm]
+                            sub[b][wm] = warped[wm]
                         if file_mask:
                             if a_mb is not None and a_mb[k] is not None:
                                 mraw = (mask.decode_fn or default_decode)(a_mb[k], a_mf[k])
@@ -802,17 +839,18 @@ def build_cells(
                                     mraw[:, :, mask.channel], img_bounds,
                                     LON[y0:y1, x0:x1], LAT[y0:y1, x0:x1], "near",
                                 )
-                                planes[:, y0:y1, x0:x1][:, mask.test(mp)] = np.nan
+                                sub[:, mask.test(mp)] = np.nan
                         elif isinstance(mask, BandMask):
                             mp = warp_plane(
                                 raw[:, :, mask.channel], img_bounds,
                                 LON[y0:y1, x0:x1], LAT[y0:y1, x0:x1], "near",
                             )
-                            planes[:, y0:y1, x0:x1][:, mask.test(mp)] = np.nan
-            if mask is not None and not isinstance(mask, BandMask):
-                m = mask.apply(planes)
-                planes[:, m] = np.nan
-            agg.update(planes, itl)
+                            sub[:, mask.test(mp)] = np.nan
+            if sub is not None:
+                if mask is not None and not isinstance(mask, BandMask):
+                    m = mask.apply(sub)
+                    sub[:, m] = np.nan
+                agg.update(sub, itl, slice(y0, y1), slice(x0, x1))
 
         cube = agg.finalize()  # (len(out_bands), nt_c, ny_c, nx_c)
         keep = ~np.isnan(cube).all(axis=0)

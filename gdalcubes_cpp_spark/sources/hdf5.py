@@ -19,8 +19,10 @@ reader (``read_hdf5`` / ``read_netcdf4``):
   - object headers v1 and v2 (OHDR, with Jenkins lookup3 checksums) +
     continuation blocks
   - groups stored as v1 symbol tables (B-tree v1 type 0 + local heap +
-    SNOD) and as v2 compact link messages; dense (fractal-heap) storage
-    is refused with a clear error
+    SNOD), as v2 compact link messages, and as DENSE storage (fractal
+    heap §III.F + v2 B-tree name index §III.A.2) — likewise dense
+    attribute storage; managed + tiny heap objects, any B-tree depth
+    (huge heap objects and multi-level indirect heap blocks refused)
   - messages: dataspace v1/v2, datatype (fixed-point, float, string,
     reference, vlen), fill value v1-3, data layout v3
     (compact/contiguous/chunked), filter pipeline v1/v2 (deflate id 1,
@@ -579,10 +581,17 @@ def _oh_v2(msgs, w: _Writer, name: str):
 
 
 def write_hdf5(datasets: dict, root_attrs: dict | None = None,
-               libver: str = "v0") -> bytes:
+               libver: str = "v0", dense: bool = False) -> bytes:
     """Serialize ``{name: {"data": ndarray|str, "attrs": {...},
     "chunks": tuple?, "deflate": int?, "shuffle": bool?,
-    "fillvalue": scalar?}}`` plus root attributes into HDF5 bytes."""
+    "fillvalue": scalar?}}`` plus root attributes into HDF5 bytes.
+
+    ``dense=True`` (libver 'latest' only) stores root links AND every
+    dataset's attributes in DENSE storage — fractal heap + v2 B-tree name
+    index, the libver-latest layout libhdf5 switches to past its compact
+    thresholds."""
+    if dense and libver != "latest":
+        raise ValueError("dense storage requires libver='latest'")
     w = _Writer(libver)
     gheap = _GHeap()
     root_attrs = root_attrs or {}
@@ -592,6 +601,9 @@ def write_hdf5(datasets: dict, root_attrs: dict | None = None,
     if libver == "v0":
         w.add("sb", 96, lambda a: _superblock_v0(a))
         root_msgs = [_stab_msg(w)]
+    elif dense:
+        w.add("sb", 48, lambda a: _superblock_v2(a))
+        root_msgs = [_dense_root_linkinfo(w, names), _groupinfo_msg()]
     else:
         w.add("sb", 48, lambda a: _superblock_v2(a))
         root_msgs = [_linkinfo_msg(), _groupinfo_msg()]
@@ -606,6 +618,11 @@ def write_hdf5(datasets: dict, root_attrs: dict | None = None,
 
     for n in names:
         msgs = _dataset_messages(n, datasets[n], w, gheap, ds_ver)
+        if dense:
+            attr_t = [m for m in msgs if m[0] == "attr"]
+            msgs = [m for m in msgs if m[0] != "attr"]
+            if attr_t:
+                msgs.append(_dense_attrinfo(w, f"attrs:{n}", attr_t))
         (_oh_v1 if libver == "v0" else _oh_v2)(msgs, w, n)
 
     w.add("gheap", gheap.size(), lambda a: gheap.emit())
@@ -652,6 +669,154 @@ def _link_msg(w: _Writer, name: str):
                 + struct.pack("<Q", a[f"oh:{name}"]))
 
     return (0x0006, emit, body_len)
+
+
+# ---------------------------------------------------------------------------
+# dense storage, write side: one FRHP + root direct block per index, plus a
+# single-leaf (or refused-larger) v2 B-tree name index — the minimal
+# spec-valid shape; the READER handles the general multi-block/deep form.
+# ---------------------------------------------------------------------------
+
+_FRHP_SIZE = 146          # fixed with 8-byte offsets/lengths, no filters
+_BTHD_SIZE = 38
+
+
+def _w_fractal_heap(w: _Writer, tag: str, objs: list) -> list:
+    """Register ``fheap:{tag}`` (FRHP) + ``fhdb:{tag}`` (one root direct
+    block) holding ``objs`` = [(size, emit(addr_of) -> bytes)]. Returns the
+    7-byte managed heap ids (flag byte + 4-byte offset + 2-byte length:
+    Maximum Heap Size 32 bits, Maximum Direct Block Size 64 KiB)."""
+    OFF_SZ, LEN_SZ = 4, 2
+    hdr = 4 + 1 + 8 + OFF_SZ                   # FHDB prefix, unchecksummed
+    offs, pos = [], hdr
+    for sz, _e in objs:
+        offs.append(pos)
+        pos += sz
+    block = 1 << max(12, (pos - 1).bit_length())
+    if block > 65536:
+        raise ValueError("dense index exceeds one direct block (64 KiB)")
+    ids = [bytes([0]) + o.to_bytes(OFF_SZ, "little")
+           + s.to_bytes(LEN_SZ, "little") for o, (s, _e) in zip(offs, objs)]
+
+    def frhp_emit(a):
+        b = b"FRHP" + bytes([0])
+        b += struct.pack("<HHB", 1 + OFF_SZ + LEN_SZ, 0, 0)
+        b += struct.pack("<I", 4096)                 # max managed obj size
+        b += struct.pack("<QQ", 0, UNDEF)            # next huge id, huge bt
+        b += struct.pack("<QQ", block - pos, UNDEF)  # free space, fs mgr
+        b += struct.pack("<QQ", block, block)        # managed, allocated
+        b += struct.pack("<QQ", pos, len(objs))      # iterator off, n objs
+        b += struct.pack("<QQQQ", 0, 0, 0, 0)        # huge/tiny size+count
+        b += struct.pack("<H", 4)                    # doubling-table width
+        b += struct.pack("<QQ", block, 65536)        # start size, max direct
+        b += struct.pack("<HH", 32, 1)               # max heap bits, start rows
+        b += struct.pack("<QH", a[f"fhdb:{tag}"], 0)  # root block, DIRECT
+        return b + struct.pack("<I", jenkins_lookup3(b))
+
+    def fhdb_emit(a):
+        b = (b"FHDB" + bytes([0]) + struct.pack("<Q", a[f"fheap:{tag}"])
+             + (0).to_bytes(OFF_SZ, "little"))
+        for sz, emit in objs:
+            ob = emit(a)
+            if len(ob) != sz:
+                raise AssertionError(f"heap object size drift in {tag}")
+            b += ob
+        return b + b"\x00" * (block - len(b))
+
+    w.add(f"fheap:{tag}", _FRHP_SIZE, frhp_emit)
+    w.add(f"fhdb:{tag}", block, fhdb_emit)
+    return ids
+
+
+def _w_btree2(w: _Writer, tag: str, btype: int, rec_size: int,
+              rec_emits: list) -> None:
+    """Register ``bthd:{tag}`` + a single ``btlf:{tag}`` leaf holding the
+    (pre-sorted) records."""
+    node_size = 2048
+    while (node_size - 10) // rec_size < len(rec_emits):
+        node_size *= 2
+    if node_size > 65536:
+        raise ValueError("dense name index exceeds one leaf node")
+
+    def bthd_emit(a):
+        b = b"BTHD" + bytes([0, btype])
+        b += struct.pack("<IHH", node_size, rec_size, 0)
+        b += bytes([100, 40])                        # split/merge percents
+        b += struct.pack("<QH", a[f"btlf:{tag}"], len(rec_emits))
+        b += struct.pack("<Q", len(rec_emits))
+        return b + struct.pack("<I", jenkins_lookup3(b))
+
+    def btlf_emit(a):
+        b = b"BTLF" + bytes([0, btype])
+        for emit in rec_emits:
+            rb = emit(a)
+            if len(rb) != rec_size:
+                raise AssertionError(f"record size drift in {tag}")
+            b += rb
+        b += struct.pack("<I", jenkins_lookup3(b))
+        return b + b"\x00" * (node_size - len(b))
+
+    w.add(f"bthd:{tag}", _BTHD_SIZE, bthd_emit)
+    w.add(f"btlf:{tag}", node_size, btlf_emit)
+
+
+def _dense_root_linkinfo(w: _Writer, names: list):
+    """Link Info message whose heap holds one hard-link message body per
+    dataset and whose type-5 B-tree indexes them by name hash."""
+    objs = []
+    for n in names:
+        nb = n.encode()
+
+        def emit(a, nb=nb, n=n):
+            return (bytes([1, 0, len(nb)]) + nb
+                    + struct.pack("<Q", a[f"oh:{n}"]))
+
+        objs.append((2 + 1 + len(nb) + 8, emit))
+    ids = _w_fractal_heap(w, "links", objs)
+    order = sorted(range(len(names)),
+                   key=lambda i: jenkins_lookup3(names[i].encode()))
+    recs = [
+        (lambda a, i=i: struct.pack(
+            "<I", jenkins_lookup3(names[i].encode())) + ids[i])
+        for i in order
+    ]
+    _w_btree2(w, "links", 5, 4 + 7, recs)
+
+    def li_emit(a):
+        return bytes([0, 0]) + struct.pack(
+            "<QQ", a["fheap:links"], a["bthd:links"])
+
+    return (0x0002, li_emit, 18)
+
+
+def _dense_attrinfo(w: _Writer, tag: str, attr_tuples: list):
+    """Attribute Info message: v3 attribute-message bodies in a fractal
+    heap, indexed by a type-8 v2 B-tree."""
+    objs, names = [], []
+    for _tag, aname, dt, ds, data_emit, dlen in attr_tuples:
+        nb = aname.encode() + b"\x00"
+
+        def emit(a, aname=aname, dt=dt, ds=ds, de=data_emit):
+            return _attr_msg_v3(aname, dt, ds, de(a))
+
+        objs.append((9 + len(nb) + len(dt) + len(ds) + dlen, emit))
+        names.append(aname)
+    ids = _w_fractal_heap(w, tag, objs)
+    order = sorted(range(len(names)),
+                   key=lambda i: jenkins_lookup3(names[i].encode()))
+    recs = [
+        (lambda a, i=i: ids[i] + b"\x00" + bytes([0])
+         + struct.pack("<I", i)
+         + struct.pack("<I", jenkins_lookup3(names[i].encode())))
+        for i in order
+    ]
+    _w_btree2(w, tag, 8, 8 + 1 + 4 + 4, recs)
+
+    def ai_emit(a):
+        return bytes([0, 0]) + struct.pack(
+            "<QQ", a[f"fheap:{tag}"], a[f"bthd:{tag}"])
+
+    return (0x0015, ai_emit, 18)
 
 
 def _symbol_table(w: _Writer, names: list):
@@ -1004,15 +1169,6 @@ def _decode_filter_pipeline(body: bytes):
     return filters
 
 
-def _check_attr_info(body: bytes) -> None:
-    """Attribute info message (0x0015): attributes moved to DENSE storage
-    (fractal heap) would otherwise be SILENTLY missing — refuse instead."""
-    flags = body[1]
-    pos = 2 + (2 if flags & 0x01 else 0)
-    (fheap,) = struct.unpack_from("<Q", body, pos)
-    if fheap != UNDEF:
-        raise NotImplementedError(
-            "dense (fractal heap) attribute storage not supported")
 
 
 def _read_dataset(r: _R, msgs):
@@ -1021,8 +1177,8 @@ def _read_dataset(r: _R, msgs):
     attrs = {}
     fill = None
     for mtype, body in msgs:
-        if mtype == 0x0015:
-            _check_attr_info(body)
+        if mtype == 0x0015:                        # dense attribute storage
+            attrs.update(dict(_dense_attrs(r, body)))
         if mtype == 0x0001:
             shape = _decode_dataspace(body)
         elif mtype == 0x0003:
@@ -1110,8 +1266,199 @@ def _read_dataset(r: _R, msgs):
     return {"shape": shape, "dtype": npdt, "data": data, "attrs": attrs}
 
 
+# ---------------------------------------------------------------------------
+# dense storage, read side: fractal heap + v2 B-tree (HDF5 File Format
+# Spec v3.0 §III.F / §III.A.2). libver='latest' writers (h5py, netcdf-c)
+# move links/attributes here once they outgrow compact object headers.
+# ---------------------------------------------------------------------------
+
+
+def _nbytes(x: int) -> int:
+    """Minimum bytes to represent x (>=1) — v2 B-tree pointer field rule."""
+    return max(1, (int(x).bit_length() + 7) // 8)
+
+
+class _FHeap:
+    """Fractal heap: managed + tiny objects; doubling-table direct blocks
+    incl. a root indirect block (multi-LEVEL indirect recursion refused —
+    that needs ~20k+ heap objects, far past any netCDF-4 link/attr load)."""
+
+    def __init__(self, r: _R, addr: int):
+        self.r = r
+        if r.buf[addr:addr + 4] != b"FRHP":
+            raise ValueError("bad fractal heap signature")
+        if r.buf[addr + 4] != 0:
+            raise NotImplementedError("fractal heap version")
+        id_len = r.u(addr + 5, 2)
+        filt_len = r.u(addr + 7, 2)
+        self.flags = r.buf[addr + 9]
+        if filt_len:
+            raise NotImplementedError("filtered fractal heap")
+        p = addr + 10 + 4 + 8 * 12           # skip obj-size cap + 12 stats
+        self.width = r.u(p, 2); p += 2
+        self.start = r.u(p, 8); p += 8
+        self.maxdir = r.u(p, 8); p += 8
+        maxheap_bits = r.u(p, 2); p += 2
+        p += 2                               # starting rows in root iblock
+        root = r.u(p, 8); p += 8
+        cur_rows = r.u(p, 2); p += 2
+        self.off_size = (maxheap_bits + 7) // 8
+        self.len_size = id_len - 1 - self.off_size
+        if not (1 <= self.off_size <= 8) or not (1 <= self.len_size <= 8):
+            raise ValueError("bad fractal heap id geometry")
+        if self.start == 0 or self.maxdir < self.start:
+            raise ValueError("bad fractal heap doubling table")
+        self.blocks: list = []               # (heap_off, size, file_addr)
+        if root == UNDEF:
+            return
+        if cur_rows == 0:                    # root IS a direct block
+            self._direct(root, self.start)
+        else:
+            self._indirect(root, cur_rows)
+
+    def _direct(self, addr: int, size: int) -> None:
+        r = self.r
+        if r.buf[addr:addr + 4] != b"FHDB":
+            raise ValueError("bad fractal heap direct block")
+        boff = r.u(addr + 4 + 1 + 8, self.off_size)
+        self.blocks.append((boff, size, addr))
+
+    def _indirect(self, addr: int, nrows: int) -> None:
+        r = self.r
+        if r.buf[addr:addr + 4] != b"FHIB":
+            raise ValueError("bad fractal heap indirect block")
+        # rows 0..max_dir_rows-1 hold direct blocks (row i size = start for
+        # i<2 else start<<(i-1)); rows past that hold indirect children
+        max_dir_rows = (self.maxdir.bit_length() - self.start.bit_length()) + 2
+        p = addr + 4 + 1 + 8 + self.off_size
+        for i in range(nrows):
+            size = self.start if i < 2 else self.start << (i - 1)
+            for _j in range(self.width):
+                child = r.u(p, 8); p += 8
+                if child == UNDEF:
+                    continue
+                if i >= max_dir_rows:
+                    raise NotImplementedError("multi-level fractal heap")
+                self._direct(child, size)
+
+    def obj(self, hid: bytes) -> bytes:
+        b0 = hid[0]
+        if (b0 >> 6) & 0x3:
+            raise NotImplementedError("fractal heap id version")
+        typ = (b0 >> 4) & 0x3
+        if typ == 2:                                       # tiny: inline
+            n = (b0 & 0x0F) + 1
+            return bytes(hid[1:1 + n])
+        if typ != 0:
+            raise NotImplementedError("huge fractal-heap objects")
+        off = int.from_bytes(hid[1:1 + self.off_size], "little")
+        ln = int.from_bytes(
+            hid[1 + self.off_size:1 + self.off_size + self.len_size],
+            "little")
+        for boff, size, faddr in self.blocks:
+            if boff <= off and off + ln <= boff + size:
+                s = faddr + (off - boff)
+                return bytes(self.r.buf[s:s + ln])
+        raise ValueError("fractal heap id outside managed blocks")
+
+
+def _btree2_records(r: _R, addr: int) -> list:
+    """Every raw record of a v2 B-tree, any depth. Node capacities (and so
+    child-pointer field widths) derive bottom-up from node/record size
+    exactly as the spec prescribes."""
+    if addr == UNDEF:
+        return []
+    if r.buf[addr:addr + 4] != b"BTHD":
+        raise ValueError("bad v2 B-tree header")
+    node_size = r.u(addr + 6, 4)
+    rec_size = r.u(addr + 10, 2)
+    depth = r.u(addr + 12, 2)
+    root = r.u(addr + 16, 8)
+    root_nrec = r.u(addr + 24, 2)
+    total = r.u(addr + 26, 8)
+    if root == UNDEF or total == 0:
+        return []
+    if rec_size == 0 or node_size < 10 + rec_size:
+        raise ValueError("bad v2 B-tree geometry")
+    max_nrec = [(node_size - 10) // rec_size]
+    tot = [max_nrec[0]]
+    for d in range(1, depth + 1):
+        ptr = 8 + _nbytes(max_nrec[d - 1]) + (_nbytes(tot[d - 1]) if d > 1
+                                              else 0)
+        cap = (node_size - 10 - ptr) // (rec_size + ptr)
+        if cap <= 0:
+            raise ValueError("bad v2 B-tree fanout")
+        max_nrec.append(cap)
+        tot.append(cap + (cap + 1) * tot[d - 1])
+    out: list = []
+    seen: set = set()
+
+    def walk(a: int, nrec: int, d: int) -> None:
+        if a in seen:
+            raise ValueError("v2 B-tree cycle")
+        seen.add(a)
+        sig = r.buf[a:a + 4]
+        p = a + 6
+        if d == 0:
+            if sig != b"BTLF":
+                raise ValueError("bad v2 B-tree leaf")
+            for _ in range(nrec):
+                out.append(bytes(r.buf[p:p + rec_size]))
+                p += rec_size
+            return
+        if sig != b"BTIN":
+            raise ValueError("bad v2 B-tree internal node")
+        recs = []
+        for _ in range(nrec):
+            recs.append(bytes(r.buf[p:p + rec_size]))
+            p += rec_size
+        n_sz = _nbytes(max_nrec[d - 1])
+        t_sz = _nbytes(tot[d - 1]) if d > 1 else 0
+        kids = []
+        for _ in range(nrec + 1):
+            ca = r.u(p, 8); p += 8
+            cn = r.u(p, n_sz); p += n_sz + t_sz
+            kids.append((ca, cn))
+        for i, (ca, cn) in enumerate(kids):
+            walk(ca, cn, d - 1)
+            if i < nrec:
+                out.append(recs[i])
+
+    walk(root, root_nrec, depth)
+    return out
+
+
+def _dense_links(r: _R, body: bytes) -> list:
+    """Link Info message (0x0002) -> [(name, oh_addr)] via the name-index
+    v2 B-tree (type 5: hash(4) + 7-byte heap id) over the link heap."""
+    flags = body[1]
+    pos = 2 + (8 if flags & 0x01 else 0)
+    fheap, nidx = struct.unpack_from("<QQ", body, pos)
+    if fheap == UNDEF:
+        return []
+    heap = _FHeap(r, fheap)
+    return [_decode_link(heap.obj(rec[4:]))
+            for rec in _btree2_records(r, nidx)]
+
+
+def _dense_attrs(r: _R, body: bytes) -> list:
+    """Attribute Info message (0x0015) -> [(name, value)] via the
+    name-index v2 B-tree (type 8: 8-byte heap id + flags(1) + creation
+    order(4) + hash(4)) over the attribute heap; heap objects are whole
+    v3 attribute-message bodies."""
+    flags = body[1]
+    pos = 2 + (2 if flags & 0x01 else 0)
+    fheap, nidx = struct.unpack_from("<QQ", body, pos)
+    if fheap == UNDEF:
+        return []
+    heap = _FHeap(r, fheap)
+    return [_decode_attr_v3(r, heap.obj(rec[:-9]))
+            for rec in _btree2_records(r, nidx)]
+
+
 def _group_links(r: _R, msgs):
-    """-> [(name, oh_addr)] from either group flavor."""
+    """-> [(name, oh_addr)] from any group flavor: v0 symbol tables,
+    compact link messages, or dense (fractal heap + v2 B-tree) storage."""
     links = []
     for mtype, body in msgs:
         if mtype == 0x0011:                                # symbol table
@@ -1120,10 +1467,7 @@ def _group_links(r: _R, msgs):
         elif mtype == 0x0006:                              # link message
             links.append(_decode_link(body))
         elif mtype == 0x0002:                              # link info
-            fheap, _nidx = struct.unpack_from("<QQ", body, 2 + (8 if body[1] & 1 else 0))
-            if fheap != UNDEF:
-                raise NotImplementedError(
-                    "dense (fractal heap) link storage not supported")
+            links.extend(_dense_links(r, body))
     return links
 
 
@@ -1208,8 +1552,9 @@ def read_hdf5(src) -> dict:
                 raise ValueError("group cycle")
             seen.add(addr)
         for mtype, body in msgs:
-            if mtype == 0x0015:
-                _check_attr_info(body)
+            if mtype == 0x0015 and (is_group or not has_layout):
+                for aname, aval in _dense_attrs(r, body):
+                    into_attrs[aname] = aval
             if mtype == 0x000C and (is_group or not has_layout):
                 name, val = _decode_attr_v3(r, body)
                 into_attrs[name] = val
@@ -1289,7 +1634,8 @@ def read_netcdf4(src) -> dict:
 
 def write_netcdf4(cube, path: str, packing: dict | None = None,
                   deflate: int = 1, shuffle: bool = True,
-                  libver: str = "v0", chunks: tuple | None = None) -> None:
+                  libver: str = "v0", chunks: tuple | None = None,
+                  dense: bool = False) -> None:
     """Export a cube as a netCDF-4 (HDF5) file in the REFERENCE's layout
     (src/cube.cpp:871-1011): dims time/y/x as dimension scales, band
     variables chunked at the cube chunk size and shuffle+deflate
@@ -1298,6 +1644,7 @@ def write_netcdf4(cube, path: str, packing: dict | None = None,
     attribute so read_netcdf_cube round-trips."""
     from .netcdf3 import _pack_plane
 
+    use_dense_storage = bool(dense)
     v = cube.view
     dense = cube.collect_dense()                           # (nb, nt, ny, nx)
     t_off = np.array([(v.datetime_at(i) - v.t0).total_seconds()
@@ -1342,6 +1689,9 @@ def write_netcdf4(cube, path: str, packing: dict | None = None,
         "Conventions": "CF-1.6", "source": "gdalcubes_cpp_spark",
         "srs": v.srs, "view": v.to_json(),
     }
-    blob = write_hdf5(datasets, gatts, libver=libver)
+    if use_dense_storage:
+        libver = "latest"
+    blob = write_hdf5(datasets, gatts, libver=libver,
+                      dense=use_dense_storage)
     with open(path, "wb") as f:
         f.write(blob)

@@ -206,3 +206,18 @@ def images_df(spark, n: int, with_bytes: bool = True, partitions: int | None = N
 def images_pdf(n: int, with_bytes: bool = True) -> pd.DataFrame:
     """Driver-side pandas version for unit tests and the numpy oracle."""
     return _gen_batch(np.arange(n, dtype=np.int64), with_bytes)
+
+
+def images_table(spark, n: int):
+    """images_df materialized ONCE to parquet and read back. Timed
+    consumers (bench members, the flagship) measure scan -> join -> decode
+    -> aggregate like production, where the input is an Iceberg table scan
+    — not the generator's pure-python PNG/lossy ENCODE cost, which made
+    the r5 decode-member walls unattributable (r5 VERDICT #1). The path
+    matches bench.materialize_images so both layers share one cache."""
+    import os
+
+    path = f"/tmp/spark_graft_bench_images_{n}.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        images_df(spark, n).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

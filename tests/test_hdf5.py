@@ -168,15 +168,16 @@ def test_corrupt_files_refused():
     struct.pack_into("<Q", bad, pos + 24 + 8 + 8 * 3, pos)  # child 0 -> itself
     with pytest.raises(ValueError, match="cycle|B-tree"):
         read_hdf5(bytes(bad))
-    # dense (fractal heap) links are refused, not mis-parsed
+    # a link-info message pointing at garbage instead of a real fractal
+    # heap refuses cleanly (bad signature), never mis-parses
     blob2 = bytearray(write_hdf5({"d": {"data": np.arange(3, dtype="<i4")}},
                                  libver="latest"))
     root = struct.unpack_from("<Q", blob2, 36)[0]
     # link info message body starts after OHDR prefix (sig+ver+flags+4) +
     # first message header (4): ver, flags, then fractal heap address
     li = root + 10 + 4
-    struct.pack_into("<Q", blob2, li + 2, 4096)   # fheap != UNDEF
-    with pytest.raises(NotImplementedError, match="dense"):
+    struct.pack_into("<Q", blob2, li + 2, 4096)   # fheap -> garbage bytes
+    with pytest.raises(ValueError, match="fractal heap"):
         read_hdf5(bytes(blob2))
     with pytest.raises(ValueError, match="not an HDF5 file"):
         read_hdf5(b"CDF\x01" + b"\x00" * 64)
@@ -195,16 +196,20 @@ def _mkcube(spark, chunk=(2, 3, 4)):
     })
 
 
-@pytest.mark.parametrize("libver", LIBVERS)
+@pytest.mark.parametrize("libver", LIBVERS + ["dense"])
 def test_netcdf4_cube_roundtrip(spark, tmp_path, libver):
     """write_netcdf4 -> read_netcdf (magic dispatch) -> read_netcdf_cube:
     the reference's NC4 export layout (chunked + shuffle + deflate,
-    src/cube.cpp:871,1004,1011) comes back cell-exact."""
+    src/cube.cpp:871,1004,1011) comes back cell-exact — including the
+    DENSE link/attribute storage variant (fractal heap + v2 B-tree)."""
     from gdalcubes_cpp_spark.sources.netcdf3 import read_netcdf, read_netcdf_cube
 
     cube = _mkcube(spark)
     path = str(tmp_path / f"cube_{libver}.nc")
-    write_netcdf4(cube, path, deflate=2, shuffle=True, libver=libver)
+    if libver == "dense":
+        write_netcdf4(cube, path, deflate=2, shuffle=True, dense=True)
+    else:
+        write_netcdf4(cube, path, deflate=2, shuffle=True, libver=libver)
     raw = open(path, "rb").read()
     assert raw[:8] == MAGIC
 
@@ -302,26 +307,19 @@ def test_fletcher32_filter():
     assert _fletcher32(b"") == 0
 
 
-def test_dense_attribute_storage_refused():
-    """An attribute-info message pointing at a fractal heap means attrs
-    went dense — must refuse, not silently drop them."""
-    blob = bytearray(write_hdf5({"a": {"data": np.arange(3, dtype="<i4")}},
-                                libver="latest"))
-    root = struct.unpack_from("<Q", blob, 36)[0]
-    # splice is complex; instead drive the checker directly
-    from gdalcubes_cpp_spark.sources.hdf5 import _check_attr_info
+def test_attr_info_undef_heap_is_compact():
+    """An attribute-info message whose heap address is UNDEF means attrs
+    stayed compact — reads as zero dense attributes, no error."""
+    from gdalcubes_cpp_spark.sources.hdf5 import _R, _dense_attrs
 
+    r = _R(b"\x00" * 64)
     ok = bytes([0, 0]) + struct.pack("<QQ", 0xFFFFFFFFFFFFFFFF,
                                      0xFFFFFFFFFFFFFFFF)
-    _check_attr_info(ok)                      # compact: fine
-    dense = bytes([0, 0]) + struct.pack("<QQ", 4096, 0xFFFFFFFFFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="dense"):
-        _check_attr_info(dense)
-    with_corder = bytes([0, 1]) + struct.pack("<HQQ", 5, 4096,
+    assert _dense_attrs(r, ok) == []
+    with_corder = bytes([0, 1]) + struct.pack("<HQQ", 5,
+                                              0xFFFFFFFFFFFFFFFF,
                                               0xFFFFFFFFFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="dense"):
-        _check_attr_info(with_corder)
-    _ = root
+    assert _dense_attrs(r, with_corder) == []
 
 
 def test_foreign_export_cf_reconstruction(spark, tmp_path):
@@ -546,3 +544,116 @@ def test_missing_fill_value_defaults_to_zero():
     out = h["datasets"]["d"]["data"]
     assert out.shape == (4, 4)
     assert (out == 0.0).all() and not np.isnan(out).any()
+
+
+def test_dense_storage_roundtrip():
+    """write_hdf5(dense=True): root links in a fractal heap + type-5 v2
+    B-tree, per-dataset attributes in type-8 indexes — read back whole."""
+    ds = {}
+    for i in range(12):
+        ds[f"v{i:02d}"] = {
+            "data": np.arange(6, dtype="<f8") * i,
+            "attrs": {f"a{j}": np.int32(j * 100 + i) for j in range(15)}}
+    ds["zc"] = {"data": np.arange(64, dtype="<f4").reshape(8, 8),
+                "chunks": (4, 4), "deflate": 2, "shuffle": True,
+                "attrs": {"units": "m"}}
+    blob = write_hdf5(ds, {"title": "dense"}, libver="latest", dense=True)
+    h = read_hdf5(blob)
+    assert set(h["datasets"]) == set(ds)
+    assert h["attrs"]["title"] == "dense"
+    for i in range(12):
+        d = h["datasets"][f"v{i:02d}"]
+        assert np.array_equal(d["data"], np.arange(6) * float(i))
+        assert d["attrs"]["a7"] == 700 + i and len(d["attrs"]) == 15
+    zc = h["datasets"]["zc"]
+    assert zc["attrs"]["units"] == "m"
+    assert np.array_equal(zc["data"],
+                          np.arange(64, dtype="<f4").reshape(8, 8))
+    with pytest.raises(ValueError, match="dense storage requires"):
+        write_hdf5(ds, libver="v0", dense=True)
+
+
+def _mk_btree2(buf, addr, node_size, rec_size, depth, root, root_nrec,
+               total, btype=5):
+    buf[addr:addr + 4] = b"BTHD"
+    buf[addr + 4] = 0
+    buf[addr + 5] = btype
+    struct.pack_into("<IHH", buf, addr + 6, node_size, rec_size, depth)
+    buf[addr + 14:addr + 16] = bytes([100, 40])
+    struct.pack_into("<QH", buf, addr + 16, root, root_nrec)
+    struct.pack_into("<Q", buf, addr + 26, total)
+
+
+def test_btree2_depth1_reader():
+    """A depth-1 v2 B-tree (BTIN over two BTLF leaves) — the shape OUR
+    writer never emits but libhdf5 does past one leaf's capacity; pointer
+    field widths follow the spec's bottom-up capacity derivation."""
+    from gdalcubes_cpp_spark.sources.hdf5 import _R, _btree2_records
+
+    buf = bytearray(1024)
+    recs = [bytes([10 + i]) * 11 for i in range(5)]
+    A, B, C, D = 0, 64, 192, 320
+    _mk_btree2(buf, A, 64, 11, 1, B, 1, 5)
+    # internal: leaf cap = (64-10)//11 = 4 -> nrec size 1 byte, no totals
+    buf[B:B + 6] = b"BTIN" + bytes([0, 5])
+    buf[B + 6:B + 17] = recs[2]
+    struct.pack_into("<QB", buf, B + 17, C, 2)
+    struct.pack_into("<QB", buf, B + 26, D, 2)
+    buf[C:C + 6] = b"BTLF" + bytes([0, 5])
+    buf[C + 6:C + 17] = recs[0]
+    buf[C + 17:C + 28] = recs[1]
+    buf[D:D + 6] = b"BTLF" + bytes([0, 5])
+    buf[D + 6:D + 17] = recs[3]
+    buf[D + 17:D + 28] = recs[4]
+    out = _btree2_records(_R(bytes(buf)), A)
+    assert out == recs                      # in-order traversal
+    # cycle: internal child pointing back at the internal node
+    bad = bytearray(buf)
+    struct.pack_into("<QB", bad, B + 17, B, 1)
+    with pytest.raises(ValueError, match="cycle|bad v2"):
+        _btree2_records(_R(bytes(bad)), A)
+
+
+def test_fractal_heap_root_indirect_reader():
+    """A root INDIRECT block with two direct children — again the shape
+    libhdf5 grows into; heap ids resolve across blocks, ids outside the
+    managed space refuse."""
+    from gdalcubes_cpp_spark.sources.hdf5 import _FHeap, _R
+
+    buf = bytearray(1024)
+    H, I, D0, D1 = 0, 160, 256, 384
+    buf[H:H + 4] = b"FRHP"
+    buf[H + 4] = 0
+    struct.pack_into("<HHB", buf, H + 5, 7, 0, 0)       # id len 7, no filt
+    struct.pack_into("<I", buf, H + 10, 4096)
+    struct.pack_into("<H", buf, H + 110, 2)              # width
+    struct.pack_into("<QQ", buf, H + 112, 64, 1 << 16)   # start, max direct
+    struct.pack_into("<HH", buf, H + 128, 32, 1)         # heap bits, rows
+    struct.pack_into("<QH", buf, H + 132, I, 1)          # root FHIB, 1 row
+    buf[I:I + 4] = b"FHIB"
+    buf[I + 4] = 0
+    struct.pack_into("<Q", buf, I + 5, H)
+    struct.pack_into("<I", buf, I + 13, 0)
+    struct.pack_into("<QQ", buf, I + 17, D0, D1)
+    for addr, boff, payload in ((D0, 0, b"alpha"), (D1, 64, b"bravo")):
+        buf[addr:addr + 4] = b"FHDB"
+        buf[addr + 4] = 0
+        struct.pack_into("<Q", buf, addr + 5, H)
+        struct.pack_into("<I", buf, addr + 13, boff)
+        buf[addr + 17:addr + 17 + len(payload)] = payload
+    fh = _FHeap(_R(bytes(buf)), H)
+    mkid = lambda off, ln: bytes([0]) + off.to_bytes(4, "little") + \
+        ln.to_bytes(2, "little")
+    assert fh.obj(mkid(17, 5)) == b"alpha"
+    assert fh.obj(mkid(64 + 17, 5)) == b"bravo"
+    with pytest.raises(ValueError, match="outside managed blocks"):
+        fh.obj(mkid(500, 5))
+    # tiny id: payload inline in the id itself
+    assert fh.obj(bytes([0x20 | 4]) + b"tiny!x") == b"tiny!"
+    with pytest.raises(NotImplementedError, match="huge"):
+        fh.obj(bytes([0x10]) + b"\x00" * 6)
+    # truncated/garbled child refuses
+    bad = bytearray(buf)
+    bad[D1:D1 + 4] = b"JUNK"
+    with pytest.raises(ValueError, match="direct block"):
+        _FHeap(_R(bytes(bad)), H)
