@@ -224,12 +224,14 @@ def sessionize_stream_tws(
     and the batch twin agree row-for-row.
 
     Requires the RocksDB state store (transformWithState's backing store;
-    set on the session here) and the ``protobuf`` package (the TWS python
-    driver worker's wire format — NOT installed in this container, so the
-    paired pytest skips unless it is importable; the
-    applyInPandasWithState engine above is the locally-verified twin).
-    Scale shape: state per key = three scalars + one timer; one exchange
-    on the key."""
+    set on the session here) and a ``google.protobuf`` runtime (the TWS
+    python worker's wire format). When the pip package is absent,
+    session.get_spark puts the vendored minimal runtime
+    (vendor/protoshim, real wire format from the public encoding spec) on
+    PYTHONPATH before the JVM starts, so this engine runs — and is
+    pytest-verified row-identical to the applyInPandasWithState twin —
+    in this container too. Scale shape: state per key = three scalars +
+    one timer; one exchange on the key."""
     try:
         import google.protobuf  # noqa: F401
     except ImportError as e:
@@ -250,11 +252,18 @@ def sessionize_stream_tws(
     gap = gap_minutes * 60 * 1_000_000  # micros, matching the batch twin
 
     def _emit(key, sessions):
+        # explicit dtypes: a zero-row emit would otherwise type the
+        # timestamp columns float64 and Arrow refuses the cast
         return pd.DataFrame({
-            "event_type": [key] * len(sessions),
-            "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
-            "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
-            "n_events": [n for _, _, n in sessions],
+            "event_type": pd.Series([key] * len(sessions), dtype=object),
+            "session_start": pd.Series(
+                [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                dtype="datetime64[us]"),
+            "session_end": pd.Series(
+                [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                dtype="datetime64[us]"),
+            "n_events": pd.Series([n for _, _, n in sessions],
+                                  dtype="int64"),
         })
 
     class SessionProcessor(StatefulProcessor):
