@@ -64,9 +64,14 @@ def main() -> None:
     names = sys.argv[1:] or list(qs)
     n_pass = n_rows_only = 0
     failures = []
+    timings: dict = {}
+    import time as _time
+
     for name in names:
         try:
+            _t0 = _time.time()
             got = qs[name](spark, SF).toPandas()
+            timings[name] = round(_time.time() - _t0, 3)
             if name not in osql:
                 print(f"{name}: rows-only, {len(got)} rows")
                 n_rows_only += 1
@@ -93,6 +98,14 @@ def main() -> None:
     print(f"\n{n_pass} oracled pass, {n_rows_only} rows-only, {len(failures)} failures")
     for f in failures:
         print("FAIL:", f)
+    tpath = __import__("os").environ.get("DRIVER_SIM_TIMINGS")
+    if tpath:
+        import json as _json
+
+        with open(tpath, "w") as fh:
+            _json.dump({"sf_dir": SF, "spark_wall_s": timings,
+                        "pass": n_pass, "rows_only": n_rows_only,
+                        "failures": len(failures)}, fh, indent=2)
     spark.stop()
     sys.exit(1 if failures else 0)
 

@@ -37,12 +37,14 @@ cores = int(sys.argv[1])
 n = int(sys.argv[2])
 path = sys.argv[3]
 method = sys.argv[5] if len(sys.argv) > 5 else "auto"
+strategy = sys.argv[6] if len(sys.argv) > 6 else "auto"
 spark = get_spark(app=f"scaling-{{cores}}", cores=cores, shuffle_partitions=max(cores, 8))
 bench.warmup(spark)
 best = None
 for _ in range(int(sys.argv[4])):
     t0 = time.time()
-    rows = bench.images_pipeline(spark, n, path=path, method=method)
+    rows = bench.images_pipeline(spark, n, path=path, method=method,
+                                 strategy=strategy)
     w = time.time() - t0
     best = w if best is None else min(best, w)
 print(json.dumps({{"cores": cores, "wall_s": best, "rows": rows}}))
@@ -51,11 +53,11 @@ spark.stop()
 
 
 def run_level(cores: int, path: str, reps: int, n: int | None = None,
-              method: str = "auto") -> dict:
+              method: str = "auto", strategy: str = "auto") -> dict:
     code = CHILD.format(repo=REPO)
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), str(n or N), path,
-         str(reps), method],
+         str(reps), method, strategy],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -87,8 +89,13 @@ def run_strategies(path: str) -> dict:
     out = {}
     for m in STRATEGIES:
         la0 = _cooldown()
-        lo = run_level(LO, path, 2, n=N_STRAT, method=m)
-        hi = run_level(HI, path, 3, n=N_STRAT, method=m)
+        # strategy='salted': the join method runs inside the full
+        # st_join + chunk-kernel pipeline with the SALTED two-phase kernel
+        # — the skew-handling plan the north_rule names for 10^12-image
+        # hotspot collections (build_cells_salted); the unsalted kernel's
+        # hottest-chunk task would otherwise bound both levels.
+        lo = run_level(LO, path, 2, n=N_STRAT, method=m, strategy="salted")
+        hi = run_level(HI, path, 3, n=N_STRAT, method=m, strategy="salted")
         ips_lo = N_STRAT / lo["wall_s"]
         ips_hi = N_STRAT / hi["wall_s"]
         eff = (ips_hi / ips_lo) / (HI / LO)
@@ -223,7 +230,8 @@ Output row count identical at both levels: {result['rows_equal']}
 
 One cooled-down (lo, hi) pair per st_join method at {N_STRAT:,} images.
 Unlike the flagship's 'auto' plan (cell_long: decode-at-scan, no explicit
-join), these rows run the st_join + chunk-kernel pipeline, so the
+join), these rows run the st_join + SALTED chunk-kernel pipeline
+(build_cells_salted, the north_rule's explicit skew handling), so the
 requested cover/join method is actually on the measured path — walls are
 therefore NOT comparable to the flagship table, only lo-vs-hi within a
 row. (The r5 table accidentally measured the cell_long plan twice because

@@ -808,6 +808,16 @@ class Cube:
         nv = dc_replace(self.view, nx=1, ny=1)
         return self._with(df, view=nv, bands=out_bands)
 
+    def stream_exec(self, cmd) -> "Cube":
+        """stream_cube: pipe each chunk to an EXTERNAL command over the
+        reference's exact binary file protocol + env contract
+        (src/stream.h:41-131, src/stream.cpp:51-158) — the literal
+        subprocess surface; the four *_udf methods above are the in-worker
+        Arrow equivalents at the same grain. See operators/streamexec.py."""
+        from .operators.streamexec import stream_exec as _se
+
+        return _se(self, cmd)
+
     # ------------------------------------------------------- materialize
 
     def write_chunks(self, path: str, mode: str = "overwrite") -> None:
