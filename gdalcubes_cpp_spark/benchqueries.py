@@ -2890,19 +2890,47 @@ def reduce_time_udf_range(spark, sf_dir):
 @q(
     "apply_pixel_udf_poly",
     f"""
-WITH cells AS ({_CELLS_F_SQL})
-SELECT it, iy, ix, 2.0 * B1 + B2 * B2 AS poly
-FROM cells WHERE B1 IS NOT NULL
+WITH cells AS ({_CELLS_F_SQL}),
+poly AS (SELECT it, iy, ix, 2.0 * B1 + B2 * B2 AS poly
+         FROM cells WHERE B1 IS NOT NULL)
+SELECT 'udf' AS arm, * FROM poly
+UNION ALL
+SELECT 'exec' AS arm, * FROM poly
 """,
 )
 def apply_pixel_udf_poly(spark, sf_dir):
-    """stream_apply_pixel analog (src/stream_apply_pixel.h:11-28): per-cell
-    band function via one mapInPandas scan — NO shuffle."""
+    """Tagged union of the two stream_apply_pixel surfaces
+    (src/stream_apply_pixel.h:11-28): arm 'udf' = in-worker Arrow UDF via
+    one mapInPandas scan (NO shuffle); arm 'exec' = stream_exec, the
+    reference's LITERAL subprocess protocol (src/stream.cpp:51-158) — each
+    chunk serialized to the binary wire format, piped through an external
+    ``python -c`` child that computes the same polynomial with the
+    read_stream_input/write_stream_output helpers, and parsed back. One
+    hash covers both paths, so a wire-format or env-contract regression
+    fails the driver gate."""
+    import os as _os
+    import sys as _sys
+
     def poly(cols):
         return {"poly": 2.0 * cols["B1"] + cols["B2"] * cols["B2"]}
 
-    c = _formula_cube(spark).apply_pixel_udf(poly, ["poly"])
-    return c.df.select(*KEY, "poly")
+    c1 = _formula_cube(spark).apply_pixel_udf(poly, ["poly"])
+    udf_arm = c1.df.select(F.lit("udf").alias("arm"), *KEY, "poly")
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    child = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from gdalcubes_cpp_spark.operators.streamexec import (\n"
+        "    read_stream_input, write_stream_output)\n"
+        "arr, meta = read_stream_input()\n"
+        "b1 = arr[meta['bands'].index('B1')]\n"
+        "b2 = arr[meta['bands'].index('B2')]\n"
+        "write_stream_output((2.0 * b1 + b2 * b2)[None, ...])\n" % repo
+    )
+    c2 = _formula_cube(spark).stream_exec([_sys.executable, "-c", child])
+    exec_arm = c2.df.select(F.lit("exec").alias("arm"), *KEY,
+                            F.col("band1").alias("poly"))
+    return udf_arm.unionByName(exec_arm)
 
 
 @q(
