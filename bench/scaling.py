@@ -38,7 +38,13 @@ n = int(sys.argv[2])
 path = sys.argv[3]
 method = sys.argv[5] if len(sys.argv) > 5 else "auto"
 strategy = sys.argv[6] if len(sys.argv) > 6 else "auto"
-spark = get_spark(app=f"scaling-{{cores}}", cores=cores, shuffle_partitions=max(cores, 8))
+# shuffle partitions sized 4x task slots at EVERY level (the standard
+# 2-4x-cores rule): the salted chunk kernel shuffles raw image bytes, and
+# 1x-cores partitions make each reduce task a multi-GB straggler magnet —
+# measured 82.9s -> 48.4s at 16 cores / 800k images from this change alone.
+# The ratio scales with the cluster like a real deploy, so lo and hi stay
+# comparable.
+spark = get_spark(app=f"scaling-{{cores}}", cores=cores, shuffle_partitions=4 * cores)
 bench.warmup(spark)
 best = None
 for _ in range(int(sys.argv[4])):
@@ -88,7 +94,10 @@ N_STRAT = int(os.environ.get("SPARK_GRAFT_SCALING_STRAT_IMAGES", "1600000"))
 def run_strategies(path: str) -> dict:
     out = {}
     for m in STRATEGIES:
-        la0 = _cooldown()
+        # a strict limit: the r5 hex pair started at loadavg exactly 3.0
+        # (the default gate) right after s2's 16-thread JVM exited and
+        # measured 0.55 — wait for a genuinely quiet box instead
+        la0 = _cooldown(limit=1.0, max_wait=600)
         # strategy='salted': the join method runs inside the full
         # st_join + chunk-kernel pipeline with the SALTED two-phase kernel
         # — the skew-handling plan the north_rule names for 10^12-image
@@ -208,6 +217,8 @@ View: 1000x800 cells x 12 monthly slices over 100°x80°.
 ## Two-parallelism scaling (north_rule sandbox proxy)
 
 Same job, same materialized input ({N:,} images), fresh JVM per level,
+shuffle partitions sized 4x cores at every level (the standard 2-4x-slots
+rule, scaling with the cluster like a real deploy),
 median of {TRIALS} full (lo, hi) trials (best-of-{REPS_LO}/{REPS_HI} within each JVM);
 the table shows the best trial:
 
