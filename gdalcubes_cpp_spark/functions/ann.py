@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from ..partition import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -41,6 +43,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force top-k by cosine against one query vector.
     One scan + a TakeOrderedAndProject — no shuffle of the full score set."""
+    emb = spread(emb)  # dot products dwarf row transfer; widen narrow scans
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -56,6 +59,7 @@ def knn_join_bruteforce(
     """Exact kNN join: broadcast the (small) query side, score every base
     row, per-query top-k via window rank. Norms are precomputed per side so
     each pair costs ONE dot product, not three."""
+    emb = spread(emb)
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double_array(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_norm", _norm(F.col("q_vec")))
@@ -77,6 +81,7 @@ def ivf_assign(
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
     ``centroids``: python list of vectors (broadcast as literal array —
     nlist is small by construction). Deterministic ties: lowest index."""
+    emb = spread(emb)  # nlist dot products per row
     cents = F.array(*[
         F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(float(x)) for x in c]).alias("cv"))
         for i, c in enumerate(centroids)
@@ -133,6 +138,7 @@ def rp_lsh_signatures(
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     H = np.random.RandomState(seed).randn(n_bits, dim)
+    emb = spread(emb)
 
     def sig(batches):
         for b in batches:
@@ -288,7 +294,7 @@ def cosine_pairs_bruteforce(
                 }
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return spread(emb.select(id_col, vec_col)).mapInPandas(
         score, "vec_a long, vec_b long, cos double"
     )
 

@@ -104,6 +104,9 @@ def fingerprint(text: Column) -> Column:
 
 def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text analysis: all metrics as native columns."""
+    from ..partition import spread
+
+    docs = spread(docs)  # regex-heavy per row: widen single-row-group scans
     t = F.col(text_col)
     return docs.withColumns(
         {
@@ -163,6 +166,9 @@ def unigram_lm_scores(
     (token, logp) frame) to score a NEW corpus against a reference
     corpus's distribution — the actual CCNet filtering setup — without
     retraining."""
+    from ..partition import spread
+
+    docs = spread(docs)
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
@@ -219,6 +225,9 @@ def repetition_stats(
     reproducible bit-for-bit in DuckDB for the driver oracle
     (cf. reference src/... : the reference engine has no text pipeline;
     this family extends it for training-data curation)."""
+    from ..partition import spread
+
+    docs = spread(docs)
     t = F.col(text_col)
     lines = F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0)
     words = F.when(
@@ -318,6 +327,9 @@ def pii_stats(
     Scale shape: pure column expressions inside the scan — zero shuffles,
     zero UDFs, whole-stage codegen; at 100 TB this is a free rider on
     whatever scan the curation pipeline already does."""
+    from ..partition import spread
+
+    docs = spread(docs)
     t = F.col(text_col)
     return docs.select(
         F.col(id_col),
