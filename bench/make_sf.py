@@ -34,8 +34,13 @@ def make(out_dir: str, factor: int = 10) -> None:
         return f"read_parquet('{SRC}/{t}.parquet')"
 
     def copy(sql, t):
+        # small row groups: parquet readers (Spark scans AND the DuckDB
+        # oracle) parallelize at row-group granularity, and DuckDB's
+        # default 122,880-row groups turn a 50k-row table into ONE task
+        # for every engine no matter the core count
         con.execute(
-            f"COPY ({sql}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)")
+            f"COPY ({sql}) TO '{out_dir}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 8192)")
         n = con.execute(
             f"SELECT count(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
