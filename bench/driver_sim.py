@@ -65,7 +65,56 @@ def main() -> None:
     n_pass = n_rows_only = 0
     failures = []
     timings: dict = {}
+    import json as _json
+    import os as _os
     import time as _time
+
+    tpath = _os.environ.get("DRIVER_SIM_TIMINGS")
+
+    def _flush() -> None:
+        # incremental: a killed replay keeps its partial walls on disk
+        if tpath:
+            with open(tpath, "w") as fh:
+                _json.dump({"sf_dir": SF, "spark_wall_s": timings,
+                            "pass": n_pass, "rows_only": n_rows_only,
+                            "failures": len(failures),
+                            "failure_msgs": failures}, fh, indent=2)
+
+    # The doc_dedup_clusters SQL oracle is a recursive transitive closure:
+    # Theta(sum(component^2) * diameter) reach rows. At driver scale
+    # (sf0.01/0.1) components are small and it runs in seconds — that SQL
+    # stays THE oracle for driver parity. The 10x replay corpus chains the
+    # (lang, n_chars±10) rule into a ~28k-doc component (~1e9 reach rows,
+    # infeasible in any SQL engine), so the replay swaps in an equivalent
+    # independent oracle: the SAME pair rule evaluated by DuckDB, closed by
+    # an exact union-find here — values remain engine-independent.
+    def _cc_oracle_py():
+        import pandas as _pd
+
+        rows = con.execute("""
+            WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
+            SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+            ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 10
+               AND a.doc_id < b.doc_id
+        """).fetchall()
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for u, v in rows:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        ids = [r[0] for r in con.execute(
+            "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+        return _pd.DataFrame(
+            {"doc_id": ids, "cluster": [find(i) for i in ids]})
+
+    use_py_cc = _os.environ.get("DRIVER_SIM_CC_PY") == "1"
 
     for name in names:
         try:
@@ -75,8 +124,12 @@ def main() -> None:
             if name not in osql:
                 print(f"{name}: rows-only, {len(got)} rows")
                 n_rows_only += 1
+                _flush()
                 continue
-            want = con.execute(osql[name]).df()
+            if use_py_cc and name == "doc_dedup_clusters":
+                want = _cc_oracle_py()
+            else:
+                want = con.execute(osql[name]).df()
             gc, gv = canon(got)
             wc, wv = canon(want)
             if gc != wc:
@@ -95,17 +148,11 @@ def main() -> None:
                     n_pass += 1
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: EXC {type(exc).__name__}: {exc}")
+        _flush()
     print(f"\n{n_pass} oracled pass, {n_rows_only} rows-only, {len(failures)} failures")
     for f in failures:
         print("FAIL:", f)
-    tpath = __import__("os").environ.get("DRIVER_SIM_TIMINGS")
-    if tpath:
-        import json as _json
-
-        with open(tpath, "w") as fh:
-            _json.dump({"sf_dir": SF, "spark_wall_s": timings,
-                        "pass": n_pass, "rows_only": n_rows_only,
-                        "failures": len(failures)}, fh, indent=2)
+    _flush()
     spark.stop()
     sys.exit(1 if failures else 0)
 
