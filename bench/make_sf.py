@@ -49,15 +49,18 @@ def make(out_dir: str, factor: int = 10) -> None:
     for t in ("region", "nation"):
         copy(f"SELECT * FROM {src(t)}", t)
 
+    # stride = max+1: ids are 0-based, so a stride of max collides at the
+    # replica boundary (0 + i*max == max + (i-1)*max) — 9 duplicate keys
+    # per table at factor 10, observed as engine/oracle row drift
     maxes = {}
     for t, k in (("customer", "c_custkey"), ("supplier", "s_suppkey"),
                  ("part", "p_partkey"), ("orders", "o_orderkey"),
                  ("events", "event_id"), ("documents", "doc_id"),
                  ("embeddings", "vec_id")):
         maxes[k] = con.execute(
-            f"SELECT max({k}) FROM {src(t)}").fetchone()[0]
+            f"SELECT max({k}) + 1 FROM {src(t)}").fetchone()[0]
     maxes["user_id"] = con.execute(
-        f"SELECT max(user_id) FROM {src('events')}").fetchone()[0]
+        f"SELECT max(user_id) + 1 FROM {src('events')}").fetchone()[0]
 
     rep = f"range({factor}) r(i)"
     copy(f"""SELECT t.* REPLACE (t.c_custkey + r.i * {maxes['c_custkey']}
