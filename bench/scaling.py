@@ -219,9 +219,10 @@ View: 1000x800 cells x 12 monthly slices over 100°x80°.
 ## Two-parallelism scaling (north_rule sandbox proxy)
 
 Same job, same materialized input ({N:,} images), fresh JVM per level,
-shuffle partitions sized 16x cores at every level (measured optimum for
-the salted byte-shuffle's hot-group packing; the ratio scales with the
-cluster like a real deploy),
+shuffle partitions scaling with the level (this table's trials ran the
+r5 1x-cores rule — the cell_long flagship plan shuffles only compact
+cell aggregates, so partition count barely moves it; the salted strategy
+table below uses the measured 16x-cores optimum),
 median of {TRIALS} full (lo, hi) trials (best-of-{REPS_LO}/{REPS_HI} within each JVM);
 the table shows the best trial:
 
