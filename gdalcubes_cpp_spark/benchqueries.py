@@ -3663,17 +3663,35 @@ _KNN_PTS_SQL = f"""
   FROM ({IMG_META_SQL}) imgk
 """
 
+# Oracle shape: the naive qa CROSS JOIN pts window materializes |qa|*|pts|
+# rows — 22.5e9 at the 10x replay (observed: >74 GB of DuckDB spill, out
+# of disk). The oracle stays DEFINITIONALLY exact with an adaptive
+# bounding-box prefilter: any point outside |dlat|<=r, |dlon|<=r/cos(50°)
+# has haversine distance > r*(1-6e-5) (lat band is [30,50]; sin2(d/2) >=
+# cos2(50)*sin2(dlon/2) and d >= dlat), r = max(0.5°, 6*sqrt(area/n)) ~
+# 6x the expected k-NN radius at any SF. A poison arm emits a row the
+# engine never produces whenever a query's rank-K in-box distance reaches
+# 0.999*r, so if the prefilter COULD have clipped a true neighbor the
+# driver compare fails loudly instead of passing on a clipped relation.
 _KNN_SQL = f"""
 WITH pts AS ({_KNN_PTS_SQL}),
+par AS (SELECT greatest(5.0E-1, 6.0E0 * sqrt(8.0E2 / count(*))) AS r FROM pts),
 qa AS (SELECT * FROM pts
        WHERE CAST('0x' || substr(md5('knna' || image_id), 1, 4) AS BIGINT) % 100 = 0),
 cand AS (SELECT qa.image_id AS a_id, p.image_id AS b_id,
                 {_s2mod.knn_dist_sql("qa.lon", "qa.lat", "p.lon", "p.lat")} AS dist
-         FROM qa CROSS JOIN pts p WHERE p.image_id <> qa.image_id),
+         FROM qa CROSS JOIN pts p CROSS JOIN par
+         WHERE p.image_id <> qa.image_id
+           AND abs(p.lat - qa.lat) <= par.r
+           AND abs(p.lon - qa.lon) <= par.r / 6.4278760968653925E-1),
 rk AS (SELECT a_id, b_id, dist,
               CAST(row_number() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS INT) AS rank
-       FROM cand)
-SELECT a_id, b_id, rank, round(dist, 6) AS dist_r FROM rk WHERE rank <= {_KNN_K}
+       FROM cand),
+topk AS (SELECT a_id, b_id, rank, dist FROM rk WHERE rank <= {_KNN_K})
+SELECT a_id, b_id, rank, round(dist, 6) AS dist_r FROM topk
+UNION ALL
+SELECT 'ORACLE_PREFILTER_UNSAFE:' || a_id, b_id, rank, round(dist, 6)
+FROM topk CROSS JOIN par WHERE rank = {_KNN_K} AND dist >= 9.99E-1 * par.r
 """
 
 
