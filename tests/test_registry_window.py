@@ -76,6 +76,10 @@ def test_every_def_reachable():
             "s2_cells", "s2_knn", "hex_cells_img", "cube_jpegbase_decode",
             "stjoin_hex",
         "reduce_time_exact", "reduce_time_stats", "reduce_time_which",
+        # r5-r6: extract_geom is a 3-source union (WKT + GeoJSON + SHP),
+        # images_multimodal a 3-modality union (image + audio + video)
+        "extract_geom_wkt", "extract_geom_geojson", "extract_geom_shp",
+        "images_mm_image", "images_mm_audio", "images_mm_video",
     }
     window = set(REGISTRY)
     orphans = [n for n in DEFS if n not in window and n not in folded_members]
