@@ -28,6 +28,10 @@ def spread(df: DataFrame, per_core: int = 1) -> DataFrame:
     the shuffle amortizes to noise. Result semantics are unaffected: every
     caller aggregates or joins afterwards, none depends on input order.
     """
+    if df.isStreaming:
+        # no .rdd on a streaming frame; micro-batch sources size their own
+        # partitions (maxFilesPerTrigger etc.) — the guard is batch-only
+        return df
     spark = df.sparkSession
     target = max(1, spark.sparkContext.defaultParallelism * per_core)
     if df.rdd.getNumPartitions() >= target:

@@ -53,3 +53,17 @@ def test_dedup_kernels_escape_single_partition(spark, tmp_path):
     # the kernel's input stage runs at session parallelism, not 1 task
     assert sig.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
     assert sig.count() == 200
+
+
+def test_spread_streaming_passthrough(spark, tmp_path):
+    """Streaming frames have no .rdd — spread must pass them through."""
+    import pandas as pd
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1], "text": ["a b c"]}).to_parquet(
+        str(src / "p0.parquet"))
+    sdf = (spark.readStream.schema("doc_id long, text string")
+           .parquet(str(src)))
+    out = spread(sdf)
+    assert out is sdf
