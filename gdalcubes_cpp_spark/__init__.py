@@ -10,10 +10,6 @@ Public API (a user of the reference maps 1:1 onto these):
     )
 """
 
-from .cube import Cube
-from .session import get_spark
-from .view import Band, CubeView, Duration
-
 __all__ = [
     "Band", "Cube", "CubeView", "Duration", "get_spark",
     "build_cube", "st_join", "images_df", "default_view",
@@ -22,7 +18,24 @@ __all__ = [
 ]
 
 
-def __getattr__(name):  # lazy: avoid importing Spark-heavy modules eagerly
+def __getattr__(name):  # lazy: avoid importing Spark-heavy modules eagerly.
+    # EVERY public name resolves on first touch (PEP 562), including Cube/
+    # get_spark: stream_exec child processes (operators/streamexec.py) import
+    # this package for the read/write helpers per CHUNK, and an eager
+    # `from .cube import Cube` would make each child pay the full pyspark
+    # import (~1 s) instead of ~0.1 s of pure-python modules.
+    if name == "Cube":
+        from .cube import Cube
+
+        return Cube
+    if name == "get_spark":
+        from .session import get_spark
+
+        return get_spark
+    if name in ("Band", "CubeView", "Duration"):
+        from . import view
+
+        return getattr(view, name)
     if name in ("build_cube",):
         from .operators.build import build_cube
 

@@ -105,7 +105,8 @@ def run_child(cmd, payload: bytes, chunk_id: int) -> np.ndarray:
     """Write the in-file, exec ``cmd`` with the reference's env contract
     (GDALCUBES_STREAMING / _CHUNK_ID / _FILE_IN / _FILE_OUT,
     src/stream.cpp:108-112), read + parse the out-file."""
-    sdir = os.environ.get("GDALCUBES_STREAMING_DIR") or tempfile.gettempdir()
+    sdir = os.environ.get("GDALCUBES_STREAMING_DIR") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
     fd, f_in = tempfile.mkstemp(prefix=f".stream_{chunk_id}_", suffix="_in",
                                 dir=sdir)
     f_out = f_in[:-3] + "_out"
@@ -285,11 +286,25 @@ def stream_exec(cube, cmd):
 
     schema = "it int, iy int, ix int, " + ", ".join(
         f"`{b}` double" for b in out_bands)
-    df = cube.df.groupBy(
-        F.floor(F.col("it") / F.lit(c_nt)).cast("int").alias("_ct"),
-        F.floor(F.col("iy") / F.lit(c_ny)).cast("int").alias("_cy"),
-        F.floor(F.col("ix") / F.lit(c_nx)).cast("int").alias("_cx"),
-    ).applyInPandas(runner, schema=schema)
+    # One child process per chunk makes each GROUP cost ~a child startup, so
+    # two chunks hash-colliding into one partition serialize two children on
+    # one core while others idle. Pre-partition on the chunk key into enough
+    # partitions that collisions are unlikely (empty partitions cost ~nothing;
+    # the groupBy reuses this exchange — ClusteredDistribution is satisfied —
+    # so no extra shuffle is added). Capped so huge chunk counts, where the
+    # law of large numbers balances load anyway, keep normal-sized stages.
+    n_chunks = nct * ncy * ncx
+    sp = cube.df.sparkSession
+    shuffle_n = int(sp.conf.get("spark.sql.shuffle.partitions", "200"))
+    npart = max(shuffle_n, min(20 * n_chunks, 4096))
+    src = (
+        cube.df
+        .withColumn("_ct", F.floor(F.col("it") / F.lit(c_nt)).cast("int"))
+        .withColumn("_cy", F.floor(F.col("iy") / F.lit(c_ny)).cast("int"))
+        .withColumn("_cx", F.floor(F.col("ix") / F.lit(c_nx)).cast("int"))
+        .repartition(npart, "_ct", "_cy", "_cx")
+    )
+    df = src.groupBy("_ct", "_cy", "_cx").applyInPandas(runner, schema=schema)
 
     # optimistic axis reconstruction (src/stream.h:89-130)
     nv = view
