@@ -958,6 +958,172 @@ def build_cells_salted(
 _LONG_AGGS = {"mean", "min", "max", "first", "last", "median"}
 
 
+def _vec_time_slots(ts: np.ndarray, view: CubeView) -> np.ndarray:
+    """Vectorized twin of CubeView.slot_index_of for REGULAR time axes —
+    the identical arithmetic per unit class (view.time_index), applied to a
+    whole datetime64 column at once. Labeled axes take the scalar path.
+    Equality with the scalar function is pinned by
+    tests/test_cells_long_fast.py over every unit class."""
+    dt, t0 = view.dt, view.t0
+    ts = np.asarray(ts).astype("datetime64[us]")
+    if dt.unit == "Y":
+        yr = ts.astype("datetime64[Y]").astype(np.int64) + 1970
+        # scalar branch splits on t >= t0 but both branches equal
+        # floor((t.year - t0.year) / n) for integers, which // computes
+        return (yr - t0.year) // dt.n
+    if dt.unit == "M":
+        mo = ts.astype("datetime64[M]").astype(np.int64)  # months since 1970-01
+        m0 = (t0.year - 1970) * 12 + (t0.month - 1)
+        return (mo - m0) // dt.n
+    t064 = np.datetime64(t0, "us")
+    dus = (ts - t064).astype("timedelta64[us]").astype(np.int64)
+    secs = dus / 1e6  # == timedelta.total_seconds(): one float div of exact int
+    return np.floor(secs / dt.seconds).astype(np.int64)
+
+
+def _scan_batch_flat(
+    view: CubeView, nb: int, srs_n: str, separable: bool,
+    LON_full, LAT_full, decode_fn, value_fn, mask, file_mask: bool,
+    need_id: bool, band_names,
+    a_id, itg, v_l, v_r, v_b, v_t, a_l, a_r, a_b, a_t,
+    a_bytes, a_fmt, a_mv,
+):
+    """Flat (vectorized-across-images) twin of the per-image scan loop in
+    build_cells_long, for the dominant configuration: regular time axis,
+    'near' resampling (or metadata value_fn, which never warps), masks that
+    are value predicates (None / ValueMask / RangeMask / metadata FileMask).
+
+    The per-image loop spends ~30 small numpy calls per image — at 200k
+    images that Python overhead dwarfs the actual arithmetic (guide §4.2:
+    hand whole batches to vectorized kernels). Here every step runs once
+    per BATCH over flattened (image, cell) arrays; only decode_fn (a real
+    codec) and value_fn (a user callable) remain per-image. Each expression
+    mirrors the loop's operation order exactly so emitted rows are
+    bit-identical, in the same order (pinned by tests/test_cells_long_fast).
+    """
+    empty = pd.DataFrame(
+        {"it": pd.Series([], dtype="int32"),
+         "iy": pd.Series([], dtype="int32"),
+         "ix": pd.Series([], dtype="int32"),
+         **({"image_id": pd.Series([], dtype="object")} if need_id else {}),
+         **{f"v_{b}": pd.Series([], dtype="float64") for b in band_names}}
+    )
+    valid = (itg >= 0) & (itg < view.nt)
+    if file_mask and a_mv is not None:
+        mv = pd.to_numeric(pd.Series(a_mv), errors="coerce").to_numpy(np.float64)
+        with np.errstate(invalid="ignore"):
+            mk = mask.test(mv)
+        valid &= ~(mk & ~np.isnan(mv))  # None/NaN never masks (test_scalar)
+    # covered global cell windows — the loop's formulas, arrays instead of
+    # scalars (separable: center-inside; non-separable: conservative bbox)
+    if separable:
+        ix0 = np.maximum(0, np.ceil((v_l - view.left) / view.dx - 0.5).astype(np.int64))
+        ix1 = np.minimum(view.nx, np.floor((v_r - view.left) / view.dx - 0.5).astype(np.int64) + 1)
+        iy0 = np.maximum(0, np.ceil((view.top - v_t) / view.dy - 0.5).astype(np.int64))
+        iy1 = np.minimum(view.ny, np.floor((view.top - v_b) / view.dy - 0.5).astype(np.int64) + 1)
+    else:
+        ix0 = np.maximum(0, np.floor((v_l - view.left) / view.dx).astype(np.int64))
+        ix1 = np.minimum(view.nx, np.ceil((v_r - view.left) / view.dx).astype(np.int64))
+        iy0 = np.maximum(0, np.floor((view.top - v_t) / view.dy).astype(np.int64))
+        iy1 = np.minimum(view.ny, np.ceil((view.top - v_b) / view.dy).astype(np.int64))
+    wx = ix1 - ix0
+    wy = iy1 - iy0
+    valid &= (wx > 0) & (wy > 0)
+    if not valid.any():
+        return empty
+    sel = np.nonzero(valid)[0]
+    # per-image payloads: the ONLY remaining python loop (codec / user fn)
+    if value_fn is not None:
+        vals = np.asarray([value_fn(i)[:nb] for i in a_id[sel]], dtype=np.float64)
+    else:
+        bufs: list = [[] for _ in range(nb)]
+        Hs = np.empty(len(sel), np.int64)
+        Ws = np.empty(len(sel), np.int64)
+        offs = np.empty(len(sel), np.int64)
+        off = 0
+        for j, k in enumerate(sel):
+            raw = decode_fn(a_bytes[k], a_fmt[k])
+            Hs[j], Ws[j], offs[j] = raw.shape[0], raw.shape[1], off
+            off += raw.shape[0] * raw.shape[1]
+            for b in range(nb):
+                bufs[b].append(np.asarray(raw[:, :, b], dtype=np.float64).ravel())
+        bufs = [np.concatenate(bl) if bl else np.empty(0) for bl in bufs]
+    # flatten (image, cell) windows: row-major within each image, images in
+    # input order — the exact row order the loop emits
+    wxs, wys = wx[sel], wy[sel]
+    counts = wxs * wys
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    img = np.repeat(np.arange(len(sel)), counts)
+    start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    j = np.arange(total) - start[img]
+    jy = j // wxs[img]
+    jx = j - jy * wxs[img]
+    iy = iy0[sel][img] + jy
+    ix = ix0[sel][img] + jx
+    if separable:
+        from .. import srs as _srs
+
+        xs = view.left + (ix + 0.5) * view.dx
+        ys = view.top - (iy + 0.5) * view.dy
+        lon, lat = _srs.axis_to_wgs84(xs, ys, view.srs)
+    else:
+        flat_idx = iy * view.nx + ix
+        lon = np.ascontiguousarray(LON_full).ravel()[flat_idx]
+        lat = np.ascontiguousarray(LAT_full).ravel()[flat_idx]
+    # strict footprint membership — the loop's mx/my (separable trim) and
+    # m2 (non-separable) are these same four inequalities
+    al, ar = a_l[sel][img], a_r[sel][img]
+    ab, at_ = a_b[sel][img], a_t[sel][img]
+    m = (lon >= al) & (lon < ar) & (lat > ab) & (lat <= at_)
+    if not m.any():
+        return empty
+    img, iy, ix, lon, lat = img[m], iy[m], ix[m], lon[m], lat[m]
+    al, ar, ab, at_ = al[m], ar[m], ab[m], at_[m]
+    if value_fn is not None:
+        V = [vals[img, b] for b in range(nb)]
+    else:
+        # warp_plane 'near': integer gather at the cell center, from the
+        # per-image plane — here one fancy-index into the concatenated
+        # buffer per band. Cells whose continuous coord rounds outside
+        # [0, w)x[0, h) (1-ulp edges: warp's own inside test) become NaN,
+        # exactly as warp_plane's out-initialization leaves them.
+        pdxs = (a_r[sel] - a_l[sel]) / Ws
+        pdys = (a_t[sel] - a_b[sel]) / Hs
+        fx = (lon - al) / pdxs[img]
+        fy = (at_ - lat) / pdys[img]
+        w_i, h_i = Ws[img], Hs[img]
+        m_in = (fx >= 0) & (fx < w_i) & (fy >= 0) & (fy < h_i)
+        cxp = np.clip(np.floor(fx).astype(np.int64), 0, w_i - 1)
+        cyp = np.clip(np.floor(fy).astype(np.int64), 0, h_i - 1)
+        lin = offs[img] + cyp * w_i + cxp
+        V = []
+        for b in range(nb):
+            vb = bufs[b][lin]
+            if not m_in.all():
+                vb = np.where(m_in, vb, np.nan)
+            V.append(vb)
+    if mask is not None and not isinstance(mask, BandMask):
+        mk = mask.apply(np.stack(V))
+        if mk.any():
+            V = [np.where(mk, np.nan, vb) for vb in V]
+    A = np.stack(V)
+    keep = ~np.isnan(A).all(axis=0)
+    if not keep.any():
+        return empty
+    out = {
+        "it": itg[sel][img][keep].astype(np.int32),
+        "iy": iy[keep].astype(np.int32),
+        "ix": ix[keep].astype(np.int32),
+    }
+    if need_id:
+        out["image_id"] = a_id[sel][img][keep]
+    for b in range(nb):
+        out[f"v_{band_names[b]}"] = A[b][keep]
+    return pd.DataFrame(out)
+
+
 def build_cells_long(
     images: DataFrame,
     view: CubeView,
@@ -993,11 +1159,32 @@ def build_cells_long(
     nb = len(bands)
     resampling = view.resampling
 
-    cols = ["image_id", "ts", "left", "right", "bottom", "top", "w", "h"]
+    # only first/last order by image_id; for every other aggregation the id
+    # never leaves the scan — omitting it drops the widest column from the
+    # python->JVM Arrow transfer and the partial-agg input (guide §2.3)
+    need_id = agg in ("first", "last")
+    # w/h are NOT selected: the decoded array's own shape drives the warp,
+    # so the columns would only widen the scan and the Arrow transfer
+    cols = ["ts", "left", "right", "bottom", "top"]
+    if need_id or value_fn is not None:
+        cols.insert(0, "image_id")  # value_fn derives values from the id
     if value_fn is None:
         cols += ["bytes", "fmt"]
     if file_mask:
         cols += [c for c in ("m_bytes", "m_fmt", "m_val") if c in images.columns]
+    # flat (vectorized-across-images) scan eligibility — see _scan_batch_flat
+    # (GDALCUBES_VEC_SCAN=0 pins the per-image loop: escape hatch + the
+    # equality tests' way of running both paths)
+    vec_ok = (
+        os.environ.get("GDALCUBES_VEC_SCAN", "1") != "0"
+        and not view.labeled
+        and (value_fn is not None or resampling == "near")
+        and (
+            mask is None
+            or type(mask) in (ValueMask, RangeMask)
+            or (file_mask and "m_bytes" not in images.columns)
+        )
+    )
 
     def scan(batches):
         from .. import srs as _srs
@@ -1026,7 +1213,8 @@ def build_cells_long(
             a_r = pdf["right"].to_numpy()
             a_b = pdf["bottom"].to_numpy()
             a_t = pdf["top"].to_numpy()
-            a_id = pdf["image_id"].to_numpy()
+            a_id = (pdf["image_id"].to_numpy()
+                    if "image_id" in pdf.columns else None)
             if srs_n == "EPSG:3857":
                 # footprint bbox -> view coords for the cell-window math
                 # (separable + monotonic: corners map exactly)
@@ -1063,9 +1251,20 @@ def build_cells_long(
             if value_fn is None:
                 a_bytes = pdf["bytes"].to_numpy()
                 a_fmt = pdf["fmt"].to_numpy()
+            else:
+                a_bytes = a_fmt = None
             a_mb = pdf["m_bytes"].to_numpy() if "m_bytes" in pdf.columns else None
             a_mf = pdf["m_fmt"].to_numpy() if "m_fmt" in pdf.columns else None
             a_mv = pdf["m_val"].to_numpy() if "m_val" in pdf.columns else None
+            if vec_ok and (separable or LON_full is not None):
+                yield _scan_batch_flat(
+                    view, nb, srs_n, separable, LON_full, LAT_full,
+                    decode_fn, value_fn, mask, file_mask, need_id, bands,
+                    a_id, _vec_time_slots(a_ts, view),
+                    v_l, v_r, v_b, v_t, a_l, a_r, a_b, a_t,
+                    a_bytes, a_fmt, a_mv,
+                )
+                continue
             for k in range(len(pdf)):
                 itg = view.slot_index_of(pd.Timestamp(a_ts[k]).to_pydatetime())
                 if itg < 0 or itg >= view.nt:
@@ -1170,7 +1369,8 @@ def build_cells_long(
                 out_it.append(np.full(len(yy), itg, dtype=np.int32))
                 out_iy.append((yy + iy0).astype(np.int32))
                 out_ix.append((xx + ix0).astype(np.int32))
-                out_id.append(np.full(len(yy), a_id[k], dtype=object))
+                if need_id:
+                    out_id.append(np.full(len(yy), a_id[k], dtype=object))
                 for b in range(nb):
                     out_v[b].append(planes[b, yy, xx])
             if not out_it:
@@ -1178,7 +1378,8 @@ def build_cells_long(
                     {"it": pd.Series([], dtype="int32"),
                      "iy": pd.Series([], dtype="int32"),
                      "ix": pd.Series([], dtype="int32"),
-                     "image_id": pd.Series([], dtype="object"),
+                     **({"image_id": pd.Series([], dtype="object")}
+                        if need_id else {}),
                      **{f"v_{b}": pd.Series([], dtype="float64") for b in bands}}
                 )
                 continue
@@ -1187,7 +1388,7 @@ def build_cells_long(
                     "it": np.concatenate(out_it),
                     "iy": np.concatenate(out_iy),
                     "ix": np.concatenate(out_ix),
-                    "image_id": np.concatenate(out_id),
+                    **({"image_id": np.concatenate(out_id)} if need_id else {}),
                     **{
                         f"v_{bands[b]}": np.concatenate(out_v[b])
                         for b in range(nb)
@@ -1195,8 +1396,10 @@ def build_cells_long(
                 }
             )
 
-    schema = "it int, iy int, ix int, image_id string, " + ", ".join(
-        f"`v_{b}` double" for b in bands
+    schema = (
+        "it int, iy int, ix int, "
+        + ("image_id string, " if need_id else "")
+        + ", ".join(f"`v_{b}` double" for b in bands)
     )
     src = images.select(*cols)
     # parallelism floor: a small metadata-derived input (one tiny parquet
