@@ -63,6 +63,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -584,6 +585,52 @@ def np_leaf(face, i, j):
     return uid.view(np.int64)
 
 
+def np_point_leaf(lon, lat):
+    """Vectorized (numpy) leaf ids for lon/lat arrays — the point-encode
+    twin of ``py_cell_id`` (same float pipeline: xyz -> face/uv -> st -> ij,
+    then the shared ``np_leaf`` integer fold). Used where the cell id is an
+    internal JOIN KEY only (s2_knn_join's b-side leaf): the native
+    ``s2_cell_id`` expression binds its subtree with a higher-order
+    function, which blocks whole-stage codegen and evaluates interpreted at
+    ~1 ms/row — three orders of magnitude slower than this batch kernel.
+    Equality with py_cell_id over random + bench point sets is pinned in
+    tests/test_s2_knn.py."""
+    lon = np.radians(np.asarray(lon, np.float64))
+    lat = np.radians(np.asarray(lat, np.float64))
+    cl = np.cos(lat)
+    x, y, z = cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    m = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    comp = np.select([m == 0, m == 1], [x, y], z)
+    face = m + np.where(comp < 0.0, 3, 0)
+    def _st_np(t):
+        # np.where evaluates both arms; out-of-domain lanes are discarded
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(t >= 0.0, 0.5 * np.sqrt(1.0 + 3.0 * t),
+                            1.0 - 0.5 * np.sqrt(1.0 - 3.0 * t))
+
+    def _ij_np(s):
+        return np.clip(np.floor(_LIMIT * s), 0, _LIMIT - 1).astype(np.uint64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                      [y / x, -x / y, -x / z, z / x, z / y], -y / z)
+        v = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                      [z / x, z / y, -y / z, y / x, -x / y], -x / z)
+    return np_leaf(face.astype(np.uint64), _ij_np(_st_np(u)), _ij_np(_st_np(v)))
+
+
+def point_leaf_udf():
+    """pandas_udf (lon, lat) -> leaf cell id via the numpy batch kernel."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def leaf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(np_point_leaf(lon.to_numpy(), lat.to_numpy()))
+
+    return leaf
+
+
 def cover_cells_udf(level: int):
     """pandas_udf (left, right, bottom, top) -> array<long> of covering
     cell ids at ``level``. Per-row range math is trivial Python; the
@@ -701,13 +748,22 @@ def s2_knn_join(
     knn_join_bruteforce / knn_join_ivf stay fully lazy."""
     from pyspark.sql.window import Window
 
-    aa = a.select(F.col(a_id).alias("_aid"), F.col(lon).alias("_alon"), F.col(lat).alias("_alat"))
-    bb = b.select(F.col(b_id).alias("_bid"), F.col(lon).alias("_blon"), F.col(lat).alias("_blat"))
+    from ..partition import spread
+
+    # metadata-thin point tables often arrive as 1-3 scan partitions; both
+    # sides feed per-row kernels (cover explode, leaf encode), so widen them
+    # to session parallelism first (a round-robin shuffle of tiny rows —
+    # partition.spread is a no-op on real-scale many-partition inputs)
+    aa = spread(a.select(F.col(a_id).alias("_aid"), F.col(lon).alias("_alon"), F.col(lat).alias("_alat")))
+    bb = spread(b.select(F.col(b_id).alias("_bid"), F.col(lon).alias("_blon"), F.col(lat).alias("_blat")))
     # one leaf encode of the b side, materialized once: every round's
     # bucket key is then a bit MASK of the leaf (s2_parent), not a re-run
-    # of the 30-step Hilbert fold over all of b
+    # of the 30-step Hilbert fold over all of b. The encode itself is the
+    # numpy batch kernel (np_point_leaf): the id is an internal join key,
+    # and the native expression's higher-order binding runs interpreted at
+    # ~1 ms/row (blocked codegen) — 1000x this kernel.
     bb = bb.withColumn(
-        "_bleaf", s2_cell_id(F.col("_blon"), F.col("_blat"), MAX_LEVEL)
+        "_bleaf", point_leaf_udf()(F.col("_blon"), F.col("_blat"))
     ).localCheckpoint(eager=True)
 
     dist = haversine_deg(F.col("_alon"), F.col("_alat"), F.col("_blon"), F.col("_blat"))

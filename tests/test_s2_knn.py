@@ -179,3 +179,22 @@ def test_driver_point_set_margins(sf_dir):
     # of headroom on rank decisions and on the round(,6) half boundary
     assert min_gap > 1e-8, min_gap
     assert min_bound > 1e-6, min_bound
+
+
+def test_np_point_leaf_matches_py_reference():
+    """The numpy batch point-encode used for s2_knn_join's b-side key must
+    agree with the pure-python test reference (py_cell_id) — random sphere
+    points plus the bench/driver point distribution."""
+    from gdalcubes_cpp_spark.functions.s2 import np_point_leaf, py_cell_id
+
+    rng = np.random.RandomState(11)
+    lon = -180.0 + rng.rand(5000) * 360.0
+    lat = -90.0 + rng.rand(5000) * 180.0
+    got = np_point_leaf(lon, lat)
+    want = np.array([py_cell_id(float(a), float(b)) for a, b in zip(lon, lat)])
+    np.testing.assert_array_equal(got, want)
+
+    ids, dlon, dlat, _ = _driver_points("/root/testdata/sf0.01")
+    got = np_point_leaf(dlon, dlat)
+    want = np.array([py_cell_id(float(a), float(b)) for a, b in zip(dlon, dlat)])
+    np.testing.assert_array_equal(got, want)
