@@ -602,21 +602,26 @@ def connected_components(
     ``pairs`` are returned; callers re-attach isolated nodes (see
     near_dup_clusters).
     """
+    from pyspark.sql.window import Window
+
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    wu = Window.partitionBy("u")
     fp_prev = None
     for _ in range(max_iter):
-        # -- large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v > u
+        # -- large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v > u.
+        # min-over-window instead of groupBy+self-join: the neighborhood
+        # minimum rides the SAME single exchange that clusters u, where the
+        # join form shuffled sym twice (guide §2.4: two operations keyed the
+        # same way share one exchange).
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        sym = sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
         e1 = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
+            sym.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         # -- small-star on (larger → smaller) edges: m(u) = min(N(u) ∪ {u});
@@ -624,13 +629,13 @@ def connected_components(
         d = e1.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).filter(F.col("u") != F.col("v")).distinct()
-        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        d = d.withColumn("m", F.min("v").over(wu))
         prev = e
         e = (
-            d.join(mins2, "u")
-            .filter(F.col("v") != F.col("m"))
+            d.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .union(d.select("u", "m").distinct()
+                   .select(F.col("u"), F.col("m").alias("v")))
             .distinct()
             .localCheckpoint(eager=True)
         )
