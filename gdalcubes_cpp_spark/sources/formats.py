@@ -350,7 +350,22 @@ def ingest_listing(listing: DataFrame, fmt, path_col: str = "path") -> DataFrame
     id and datetime come from their capture groups. All native column
     expressions — Catalyst keeps the whole extraction in one codegen'd
     scan over the inventory table."""
+    from ..partition import spread
+
     fmt = load_format(fmt)
+    # listing tables are metadata-thin (a few path strings per row) and
+    # often arrive as a handful of scan partitions, while the extraction
+    # below runs several java-regex evaluations per row — widen narrow
+    # inputs to session parallelism first (no-op on many-partition inputs).
+    # The lazy checkpoint pins the widened layout: without it Catalyst
+    # pushes the regex filters (with the whole path expression inlined,
+    # recomputed per predicate) back through the exchange onto the narrow
+    # source, serializing exactly the work the spread parallelized. It
+    # materializes in-run (paths only), nothing persists across runs.
+    widened = spread(listing)
+    if widened is not listing:
+        widened = widened.localCheckpoint(eager=False)
+    listing = widened
     p = F.col(path_col)
     hits = F.array(*[
         F.when(
