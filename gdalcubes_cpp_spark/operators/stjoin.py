@@ -184,9 +184,15 @@ def st_join(
         cov = s2m.cover_cells_udf(level)
 
         def owner(joined):
-            return joined, s2m.s2_cell_id(
+            # numpy batch leaf + native parent bit-mask: the owner id is a
+            # join-internal key, and the native s2_cell_id fold evaluates
+            # interpreted (~1 ms/joined row, codegen blocked by its
+            # higher-order binding); np_point_leaf is the py_cell_id-pinned
+            # batch twin the cover side already uses
+            leaf = s2m.point_leaf_udf()(
                 F.greatest(F.col("left"), F.col("ch_left")),
-                F.greatest(F.col("bottom"), F.col("ch_bottom")), level), ()
+                F.greatest(F.col("bottom"), F.col("ch_bottom")))
+            return joined, s2m.s2_parent(leaf, level), ()
     elif method == "hex":
         from ..functions import hexgrid as hgm
 
