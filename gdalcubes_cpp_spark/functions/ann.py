@@ -42,8 +42,12 @@ def cosine_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact brute-force top-k by cosine against one query vector.
-    One scan + a TakeOrderedAndProject — no shuffle of the full score set."""
-    emb = spread(emb)  # dot products dwarf row transfer; widen narrow scans
+    One scan + a TakeOrderedAndProject — the full score set is never
+    shuffled (only per-partition top-k rows reach the driver-side merge).
+    partition.spread may first widen a narrower-than-session-parallelism
+    INPUT with one round-robin exchange of the raw rows (dot products
+    dwarf row transfer); real-scale many-partition scans skip it."""
+    emb = spread(emb)
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = emb.select(
         F.col(id_col).alias("vec_id"),

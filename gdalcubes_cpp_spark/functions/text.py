@@ -324,9 +324,12 @@ def pii_stats(
     :func:`redact_pii` (the hash travels through the driver oracle instead
     of the full redacted text; equality proves the redaction byte-exact).
 
-    Scale shape: pure column expressions inside the scan — zero shuffles,
-    zero UDFs, whole-stage codegen; at 100 TB this is a free rider on
-    whatever scan the curation pipeline already does."""
+    Scale shape: pure column expressions inside the scan — zero UDFs,
+    whole-stage codegen; at 100 TB this rides whatever scan the curation
+    pipeline already does. One caveat: partition.spread widens a
+    narrower-than-session-parallelism input with a round-robin shuffle
+    first (regex-heavy rows; see partition.py), so an input deliberately
+    coalesced below defaultParallelism does pay one exchange here."""
     from ..partition import spread
 
     docs = spread(docs)
