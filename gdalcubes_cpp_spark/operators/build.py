@@ -883,7 +883,25 @@ def build_cells(
         cols += ["bytes", "fmt"]
     if file_mask:
         cols += [c for c in ("m_bytes", "m_fmt", "m_val") if c in joined.columns]
-    return joined.select(*cols).groupBy(*group_cols).applyInPandas(
+    src = joined.select(*cols)
+    # pin the kernel's exchange: the grouped rows are byte-light metadata
+    # (or modest encoded payloads) while the per-CHUNK kernel builds dense
+    # planes — AQE's size-based coalescing sees a few MB and would merge the
+    # post-shuffle partitions down to 1-3 tasks, serializing every chunk's
+    # kernel. An explicit repartition on the group key keeps AQE off this
+    # exchange and spreads small chunk counts collision-free (empty
+    # partitions cost ~nothing; the cap bounds stage size at real scale).
+    sp = joined.sparkSession
+    shuffle_n = int(sp.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_groups = grid.count
+    if group_cols != ("chunk_id",):
+        n_groups = None  # salted: group count = chunks x salt, plenty wide
+    if n_groups is not None and n_groups < shuffle_n * 4:
+        src = src.repartition(max(shuffle_n, min(20 * int(n_groups), 4096)),
+                              *group_cols)
+    else:
+        src = src.repartition(shuffle_n, *group_cols)
+    return src.groupBy(*group_cols).applyInPandas(
         kernel, schema=cells_schema(out_bands)
     )
 

@@ -161,7 +161,15 @@ def st_join(
         method = "broadcast" if grid.count <= broadcast_threshold else "cells"
 
     if method == "broadcast":
-        return images.join(F.broadcast(chunks), _residual_predicate(images, chunks))
+        # a broadcast st_join is a nested-loop probe: every image partition
+        # evaluates the residual predicate against the whole chunk grid, so
+        # a 1-3-partition metadata scan serializes images x chunks predicate
+        # work on as many cores. Widen narrow scans first (footprint tuples
+        # only — the no-bytes-shuffle property is unchanged for wide inputs).
+        from ..partition import spread
+
+        return spread(images).join(
+            F.broadcast(chunks), _residual_predicate(images, chunks))
 
     # The three cell-keyed strategies share ONE shape — conservative cover
     # explode on both sides, cell equi-join, exact bbox+time residual,
