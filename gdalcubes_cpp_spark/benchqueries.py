@@ -3667,12 +3667,18 @@ _KNN_PTS_SQL = f"""
 # rows — 22.5e9 at the 10x replay (observed: >74 GB of DuckDB spill, out
 # of disk). The oracle stays DEFINITIONALLY exact with an adaptive
 # bounding-box prefilter: any point outside |dlat|<=r, |dlon|<=r/cos(50°)
-# has haversine distance > r*(1-6e-5) (lat band is [30,50]; sin2(d/2) >=
-# cos2(50)*sin2(dlon/2) and d >= dlat), r = max(0.5°, 6*sqrt(area/n)) ~
-# 6x the expected k-NN radius at any SF. A poison arm emits a row the
+# has haversine distance > r*(1 - L²/24) with L = r/cos(50°) in radians
+# (lat band is [30,50]; sin²(d/2) >= cos²(50)·sin²(dlon/2) and d >= dlat;
+# the small-angle defect of 2·asin·sin is <= L²/24 relative). With
+# r = max(0.5°, 6·sqrt(800/n)): at the driver SFs (n >= ~1500, r <= 4.4°,
+# L <= 6.9° = 0.119 rad) the bound is r·(1 - 5.9e-4), safely above the
+# poison threshold 0.999·r; the margin only erodes past 1e-3 (crossing
+# the threshold) at n ≲ 900 (r -> 6°), below any driver SF. A poison arm emits a row the
 # engine never produces whenever a query's rank-K in-box distance reaches
-# 0.999*r, so if the prefilter COULD have clipped a true neighbor the
+# 0.999·r, so if the prefilter COULD have clipped a true neighbor the
 # driver compare fails loudly instead of passing on a clipped relation.
+# (The SQL text itself is fingerprint-frozen; the r7 ADVICE-audited bound
+# is recorded here rather than tightened in-query.)
 _KNN_SQL = f"""
 WITH pts AS ({_KNN_PTS_SQL}),
 par AS (SELECT greatest(5.0E-1, 6.0E0 * sqrt(8.0E2 / count(*))) AS r FROM pts),
