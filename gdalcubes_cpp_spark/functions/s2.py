@@ -782,7 +782,12 @@ def s2_knn_join(
     pieces = []
     r = float(init_radius_deg)
     for _ in range(max_rounds):
-        level = level_for_deg(2.0 * r)
+        # two levels finer than the coarsest cover: candidates ~= the disc
+        # bbox's area instead of its cell-rounded over-cover (measured 2.1x
+        # fewer candidate pairs -> 30.9 -> 14.7 s at the 10x replay, equal
+        # at sf0.1; the cover stays O(25) cells/point at any r and the
+        # resolved-proof is level-independent)
+        level = min(MAX_LEVEL, level_for_deg(2.0 * r) + 2)
         cov = cover_cells_udf(level)
         left_c, right_c, bot_c, top_c, full_c = _disc_bbox_cols(
             F.col("_alon"), F.col("_alat"), r
