@@ -53,13 +53,10 @@ def _fixture(key: str, build):
 
 def prepare_fixtures(spark) -> None:
     """Build every decode-member fixture outside any timed region: parquet
-    synth tables + driver-side encoded payload memos. Also absorbs the
-    other one-time session startup cost the bench's warmup() does not
-    reach: the first task that touches a heavy engine module pays its
-    import in every reused python worker (srs is ~0.3 s of pure import),
-    which otherwise lands in whichever timed query runs it first. The
-    warm pass below imports those modules in the workers — it computes no
-    query data and caches no results (worker module tables only)."""
+    synth tables + driver-side encoded payload memos. (An r7 experiment
+    warming worker-side module imports here was measured a wash — cold
+    per-query cost is JVM plan/codegen compilation, not python imports —
+    and was removed.)"""
     from .synth import images_table
 
     for n in (300, 400):
@@ -69,21 +66,6 @@ def prepare_fixtures(spark) -> None:
     _jpegbase_rows()
     _mm_audio_pdf()
     _mm_video_pdf()
-
-    import pandas as pd
-
-    def _warm(batches):
-        from . import codecs, srs  # noqa: F401 — worker-side module warm
-        from .functions import hexgrid, s2  # noqa: F401
-        from .operators import build, streamexec  # noqa: F401
-
-        for b in batches:
-            yield b
-
-    par = spark.sparkContext.defaultParallelism
-    (spark.createDataFrame(pd.DataFrame({"x": list(range(4 * par))}))
-     .repartition(4 * par)
-     .mapInPandas(_warm, "x long").count())
 
 
 # ---------------------------------------------------------------------------
